@@ -1,0 +1,50 @@
+"""Test config: force an 8-virtual-device CPU platform before jax imports.
+
+The driver's dryrun validates real multi-chip sharding separately; tests use
+XLA's host-platform device-count override so sharded code paths execute on any
+machine (including the single-TPU dev box).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0xFA57A)
+
+
+def make_genome(rng, length, gc=0.42):
+    """Random numeric-coded genome with the given GC content."""
+    p_at = (1.0 - gc) / 2
+    p_gc = gc / 2
+    return rng.choice(4, size=length, p=[p_at, p_gc, p_gc, p_at]).astype(np.uint8)
+
+
+def mutate(rng, codes, sub=0.02, ins=0.005, dele=0.005):
+    """Apply random substitutions/indels; returns the mutated numeric sequence."""
+    out = []
+    i = 0
+    n = len(codes)
+    while i < n:
+        r = rng.random()
+        if r < sub:
+            out.append((codes[i] + rng.integers(1, 4)) % 4)
+            i += 1
+        elif r < sub + ins:
+            out.append(rng.integers(0, 4))
+        elif r < sub + ins + dele:
+            i += 1
+        else:
+            out.append(codes[i])
+            i += 1
+    return np.array(out, dtype=np.uint8)
