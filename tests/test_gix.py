@@ -1,0 +1,132 @@
+import numpy as np
+import pytest
+
+from fastga_tpu.io import gdb as gdbm
+from fastga_tpu.io import gix as gixm
+from fastga_tpu.utils import dna
+from tests.test_gdb import write_fasta
+
+
+@pytest.fixture
+def small_gdb(tmp_path, rng):
+    s1 = dna.to_ascii(rng.integers(0, 4, 5000).astype(np.uint8), upper=True).decode()
+    s2 = dna.to_ascii(rng.integers(0, 4, 9000).astype(np.uint8), upper=True).decode()
+    fa = tmp_path / "g.fasta"
+    write_fasta(fa, [("c1", s1), ("c2", s2)])
+    g, _ = gdbm.create_gdb(fa, tmp_path / "g")
+    return g, tmp_path
+
+
+def test_build_sorted(small_gdb):
+    g, _ = small_gdb
+    t = gixm.build_gix(g)
+    assert t.n > 0
+    khi, klo = t.khi_klo()
+    key = (khi.astype(object) << 16) + klo.astype(object)
+    assert all(key[i] <= key[i + 1] for i in range(len(key) - 1))
+
+
+def test_lcp_bruteforce(small_gdb):
+    g, _ = small_gdb
+    t = gixm.build_gix(g)
+    kb = t.kbytes
+    # brute-force base-level lcp on a sample
+    idx = np.linspace(1, t.n - 1, 200).astype(int)
+    for i in idx:
+        a = np.repeat(kb[i - 1], 4)  # expand later; compare base by base
+        la = _bases(kb[i - 1])
+        lb = _bases(kb[i])
+        want = 0
+        while want < t.kmer and la[want] == lb[want]:
+            want += 1
+        if want == t.kmer:
+            assert t.lcp[i] == 40
+        else:
+            assert t.lcp[i] == want
+
+
+def _bases(kbrow):
+    out = []
+    for b in kbrow:
+        out += [(b >> 6) & 3, (b >> 4) & 3, (b >> 2) & 3, b & 3]
+    return out
+
+
+def test_entry_kmers_match_sequence(small_gdb):
+    g, _ = small_gdb
+    t = gixm.build_gix(g)
+    rng = np.random.default_rng(1)
+    seqs = {r: g.get_contig(int(t.perm[r])) for r in range(g.ncontig)}
+    for i in rng.integers(0, t.n, 100):
+        bases = np.array(_bases(t.kbytes[i]), dtype=np.uint8)
+        ctg = seqs[int(t.cont[i])]
+        p = int(t.post[i])
+        if t.comp[i]:
+            want = dna.revcomp(ctg[p - t.kmer : p])
+        else:
+            want = ctg[p : p + t.kmer]
+        np.testing.assert_array_equal(bases, want)
+
+
+def test_prefix_index(small_gdb):
+    g, _ = small_gdb
+    t = gixm.build_gix(g)
+    assert t.prefix_index[-1] == t.n
+    # every entry's 24-bit prefix falls in its panel
+    p24 = ((t.kbytes[:, 0].astype(np.int64) << 16)
+           | (t.kbytes[:, 1].astype(np.int64) << 8)
+           | t.kbytes[:, 2].astype(np.int64))
+    starts = t.prefix_index[p24]
+    ends = t.prefix_index[p24 + 1]
+    i = np.arange(t.n)
+    assert ((i >= starts) & (i < ends)).all()
+
+
+def test_disk_roundtrip(small_gdb):
+    g, tmp = small_gdb
+    t = gixm.build_gix(g)
+    gixm.write_gix(t, tmp / "g")
+    t2 = gixm.read_gix(tmp / "g")
+    assert t2.kmer == t.kmer
+    assert t2.n == t.n
+    np.testing.assert_array_equal(t2.kbytes, t.kbytes)
+    np.testing.assert_array_equal(t2.post, t.post)
+    np.testing.assert_array_equal(t2.cont, t.cont)
+    np.testing.assert_array_equal(t2.comp, t.comp)
+    np.testing.assert_array_equal(t2.lcp, t.lcp)
+    np.testing.assert_array_equal(t2.perm, t.perm)
+    np.testing.assert_array_equal(t2.prefix_index, t.prefix_index)
+    assert (t2.post_bytes, t2.cont_bytes) == (t.post_bytes, t.cont_bytes)
+
+
+def test_rc_fwd_pairing(small_gdb):
+    # every 40-mer position sampled forward must also appear as its RC twin
+    # when both fit: syncmer at j emits fwd(j) and rc(j+12) for j in [28,len-40]
+    g, _ = small_gdb
+    t = gixm.build_gix(g)
+    fwd_posts = set(zip(t.cont[~t.comp].tolist(), t.post[~t.comp].tolist()))
+    rc_posts = set(zip(t.cont[t.comp].tolist(), (t.post[t.comp] - 12).tolist()))
+    lens = {r: g.contigs[int(t.perm[r])].clen for r in range(g.ncontig)}
+    for (c, j) in list(fwd_posts)[:500]:
+        if j >= 28:
+            assert (c, j) in rc_posts
+    for (c, j) in list(rc_posts)[:500]:
+        if j <= lens[c] - 40:
+            assert (c, j) in fwd_posts
+
+
+def test_masked_prefix(tmp_path, rng):
+    s = dna.to_ascii(rng.integers(0, 4, 2000).astype(np.uint8), upper=True).decode()
+    # lower-case a block
+    s = s[:500] + s[500:700].lower() + s[700:]
+    fa = tmp_path / "g.fasta"
+    write_fasta(fa, [("c1", s)])
+    g, masks = gdbm.create_gdb(fa, tmp_path / "g")
+    t = gixm.build_gix(g, masks=masks)
+    # forward entries starting inside the mask have maskb = min(run, 40)
+    sel = (~t.comp) & (t.post >= 500) & (t.post < 700)
+    want = np.minimum(700 - t.post[sel], 40)
+    np.testing.assert_array_equal(t.maskb[sel], want)
+    # entries well before the mask are unmasked
+    sel2 = (~t.comp) & (t.post < 440)
+    assert (t.maskb[sel2] == 0).all()
