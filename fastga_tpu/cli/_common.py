@@ -1,0 +1,138 @@
+"""CLI helpers: reference-style option parsing and source-type inference.
+
+The reference uses single-dash glued options (-T8, -f10, -1:name, flags
+combinable; gene_core.h ARG_* macros) and infers input types from extensions
+with probing (Get_GDB_Paths GDB.c:159, FastGA.c:4657-4737).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+FASTA_EXTS = (".fa", ".fasta", ".fna", ".fa.gz", ".fasta.gz", ".fna.gz")
+
+
+class ArgError(SystemExit):
+    def __init__(self, prog, msg, usage=""):
+        sys.stderr.write(f"{prog}: {msg}\n")
+        if usage:
+            sys.stderr.write(f"Usage: {prog} {usage}\n")
+        super().__init__(1)
+
+
+def parse_args(argv: List[str], flags: str = "", opts: str = "",
+               str_opts: str = "") -> Tuple[Dict, List[str]]:
+    """Parse reference-style args.
+
+    ``flags``: combinable boolean letters; ``opts``: letters taking a glued
+    numeric value (-T8); ``str_opts``: letters taking a glued string value
+    (-P/tmp, -1:name).  Returns (options dict, positional args).
+    """
+    out: Dict = {f: False for f in flags}
+    pos: List[str] = []
+    for a in argv:
+        if a.startswith("-") and len(a) > 1 and not _is_number(a):
+            c = a[1]
+            if c in str_opts:
+                v = a[2:]
+                if v.startswith(":"):
+                    v = v[1:]
+                out[c] = v
+            elif c in opts:
+                try:
+                    v = a[2:]
+                    out[c] = float(v) if ("." in v or "e" in v) else int(v)
+                except ValueError:
+                    raise ArgError("", f"option -{c} requires a numeric "
+                                   f"value, got '{a[2:]}'")
+            elif all(ch in flags for ch in a[1:]):
+                for ch in a[1:]:
+                    out[ch] = True
+            else:
+                raise ArgError("", f"unknown option {a}")
+        else:
+            pos.append(a)
+    return out, pos
+
+
+def _is_number(a: str) -> bool:
+    try:
+        float(a)
+        return True
+    except ValueError:
+        return False
+
+
+def infer_source(path: str) -> Tuple[str, Path]:
+    """Classify an input as ('gdb'|'gix'|'fasta', resolved path).
+
+    Probes extensions the way the reference does: explicit extension wins,
+    else try .gix, .1gdb, then FASTA variants.
+    """
+    p = Path(path)
+    name = p.name
+    if name.endswith(".gix"):
+        return "gix", p
+    if name.endswith(".1gdb") or name.endswith(".gdb"):
+        return "gdb", p
+    for ext in FASTA_EXTS:
+        if name.endswith(ext):
+            return "fasta", p
+    # probe
+    for ext, t in [(".gix", "gix"), (".1gdb", "gdb")] + \
+                  [(e, "fasta") for e in FASTA_EXTS]:
+        q = p.parent / (name + ext)
+        if q.exists():
+            return t, q
+    if p.exists():
+        return "fasta", p
+    raise ArgError("", f"cannot find {path} (tried .gix/.1gdb/FASTA variants)")
+
+
+def resolve_genome(path: str, nthreads: int = 8, keep: bool = False,
+                   verbose: bool = False):
+    """Input -> (GDB, GixTable), building whatever is missing.
+
+    Mirrors FastGA's precursor resolution (FastGA.c:4646-4775): a .gix input
+    loads the index from disk; a .1gdb builds the index in memory; a FASTA
+    builds both.  With ``keep`` the built artifacts are persisted next to
+    the source like -k.
+    """
+    from ..io import gdb as gdbm
+    from ..io import gix as gixm
+
+    t, p = infer_source(path)
+    root = _root(p)
+    if t == "gix":
+        gdb = gdbm.read_gdb(root)
+        table = gixm.read_gix(root)
+        return gdb, table
+    if t == "gdb":
+        gdb = gdbm.read_gdb(root)
+        masks = None
+    else:
+        if verbose:
+            sys.stderr.write(f"  Creating genome data base (GDB) {root}.1gdb"
+                             f"{' (in memory)' if not keep else ''}\n")
+        gdb, masks = gdbm.create_gdb(p, target=root if keep else None)
+    gixp = Path(str(root) + ".gix")
+    if gixp.exists():
+        table = gixm.read_gix(root)
+    else:
+        if verbose:
+            sys.stderr.write(f"  Creating genome index (GIX) {root}.gix"
+                             f"{' (in memory)' if not keep else ''}\n")
+        table = gixm.build_gix(gdb, nthreads=nthreads, masks=masks)
+        if keep:
+            gixm.write_gix(table, root, nthreads=nthreads)
+    return gdb, table
+
+
+def _root(p: Path) -> Path:
+    name = p.name
+    for ext in (".gix", ".1gdb", ".gdb") + FASTA_EXTS:
+        if name.endswith(ext):
+            return p.parent / name[: -len(ext)]
+    return p

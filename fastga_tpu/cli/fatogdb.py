@@ -1,0 +1,38 @@
+"""fatogdb — FASTA(.gz) -> GDB (.1gdb + .bps [+ .1ano]) (FAtoGDB.c surface).
+
+    python -m fastga_tpu.cli.fatogdb [-v] [-n<int>] <source> [<target>]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from . import _common
+from ..io import ano as anom
+from ..io import gdb as gdbm
+
+USAGE = "[-v] [-n<int(0)>] <source:fasta> [<target:path>[.1gdb]]"
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    opts, pos = _common.parse_args(argv, flags="v", opts="n")
+    if not 1 <= len(pos) <= 2:
+        raise _common.ArgError("fatogdb", "expects 1 or 2 arguments", USAGE)
+    src = Path(pos[0])
+    target = Path(pos[1]) if len(pos) == 2 else _common._root(src)
+    ncut = int(opts.get("n") or 0)
+    gdb, masks = gdbm.create_gdb(src, target=target, ncut=ncut)
+    if masks:
+        root = gdbm.GDB.paths(target)[0]
+        anom.write_ano(str(root)[:-5] + ".1ano", gdb, masks)
+    if opts["v"]:
+        sys.stderr.write(
+            f"  {gdb.nscaff} scaffolds, {gdb.ncontig} contigs, "
+            f"{gdb.seqtot} bp{', ' + str(len(masks)) + ' mask intervals' if masks else ''}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,110 @@
+""".1ano — ONEcode mask/annotation interval files (ANO.c equivalent).
+
+Schema per ANO.c:33-48: optional GDB skeleton group, then `M` lines with
+(scaffold index, beg, end) in scaffold coordinates, with optional `L` label /
+`X` score / `P` partition lines.  In core we keep contig-relative sorted
+intervals (ANO.h:25-51); conversion scaffold<->contig happens at IO
+boundaries like Read_ANO (ANO.c:105).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from . import onecode
+from .gdb import GDB, MaskIval
+
+ANO_SCHEMA_TEXT = """\
+P 3 ano
+O g 0
+G S
+O S 1 6 STRING
+D G 1 3 INT
+D C 1 3 INT
+O M 3 3 INT 3 INT 3 INT
+D L 1 6 STRING
+D X 1 3 INT
+D P 1 8 INT_LIST
+"""
+
+ANO_SCHEMA = onecode.OneSchema.from_text(ANO_SCHEMA_TEXT)["ano"]
+
+
+def ano_path(path) -> Path:
+    p = Path(path)
+    if not p.name.endswith(".1ano"):
+        p = p.parent / (p.name + ".1ano")
+    return p
+
+
+def write_ano(path, gdb: GDB, masks: Sequence[MaskIval],
+              with_skeleton: bool = True, command: str = "") -> Path:
+    """Write contig-relative mask intervals as a .1ano (scaffold coords)."""
+    p = ano_path(path)
+    w = onecode.OneWriter(p, ANO_SCHEMA, "ano")
+    w.add_provenance("fastga_tpu", "0.1", command or "write_ano")
+    if with_skeleton:
+        w.write("g")
+        for s in gdb.scaffolds:
+            w.write("S", s.header)
+            spos = 0
+            for c in range(s.fctg, s.ectg):
+                ctg = gdb.contigs[c]
+                if ctg.sbeg > spos:
+                    w.write("G", ctg.sbeg - spos)
+                w.write("C", ctg.clen)
+                spos = ctg.sbeg + ctg.clen
+            if s.slen > spos:
+                w.write("G", s.slen - spos)
+    for m in sorted(masks, key=lambda m: (gdb.contigs[m.contig].scaf,
+                                          gdb.contigs[m.contig].sbeg + m.beg)):
+        ctg = gdb.contigs[m.contig]
+        w.write("M", ctg.scaf, ctg.sbeg + m.beg, ctg.sbeg + m.end)
+    w.close()
+    return p
+
+
+def read_ano(path, gdb: GDB) -> List[MaskIval]:
+    """Read a .1ano and convert to contig-relative intervals.
+
+    Intervals are clipped to contigs (portions falling into gaps are
+    dropped), then sorted per contig by beg (Read_ANO semantics).
+    """
+    p = ano_path(path)
+    r = onecode.OneReader(p, ANO_SCHEMA)
+    out: List[MaskIval] = []
+    # map scaffold -> its contigs, for coordinate conversion
+    by_scaf: dict = {}
+    for ci, c in enumerate(gdb.contigs):
+        by_scaf.setdefault(c.scaf, []).append(ci)
+    for line in r:
+        if line.type != "M":
+            continue
+        s, beg, end = line.fields
+        for ci in by_scaf.get(s, []):
+            c = gdb.contigs[ci]
+            lo = max(beg, c.sbeg)
+            hi = min(end, c.sbeg + c.clen)
+            if lo < hi:
+                out.append(MaskIval(ci, lo - c.sbeg, hi - c.sbeg))
+    r.close()
+    out.sort(key=lambda m: (m.contig, m.beg))
+    return out
+
+
+def ano_union(mask_lists: Sequence[List[MaskIval]]) -> List[MaskIval]:
+    """Union of several mask sets (ANO_Union ANO.c:641)."""
+    allm = sorted((m for ml in mask_lists for m in ml),
+                  key=lambda m: (m.contig, m.beg))
+    out: List[MaskIval] = []
+    for m in allm:
+        if out and out[-1].contig == m.contig and m.beg <= out[-1].end:
+            if m.end > out[-1].end:
+                out[-1] = MaskIval(m.contig, out[-1].beg, m.end)
+        else:
+            out.append(MaskIval(m.contig, m.beg, m.end))
+    return out

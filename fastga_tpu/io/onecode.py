@@ -88,19 +88,18 @@ class OneSchema:
                 cur = OneSchema(primary=name)
                 schemas[name] = cur
             elif kind == "G":
-                # 'G <char> 0' (object-group) or 'G S' (relation inside section)
+                # 'G <char>' right after an O line: that object groups <char>
+                # objects.  ONElib keeps these in definition order and emits
+                # them as '~ G <char> 0' header lines (writeInfoSpec).
                 if cur is None:
                     continue
                 gchar = toks[1]
-                if len(toks) >= 3 and toks[2] == "0":
-                    cur.defn_order.append(("G", gchar))
-                else:
-                    # "G S" after an O line: that object groups S objects
-                    last_obj = next(
-                        (c for k, c in reversed(cur.defn_order) if k == "O"), None
-                    )
-                    if last_obj is not None:
-                        cur.groups[last_obj] = gchar
+                cur.defn_order.append(("G", gchar))
+                last_obj = next(
+                    (c for k, c in reversed(cur.defn_order) if k == "O"),
+                    None)
+                if last_obj is not None:
+                    cur.groups[last_obj] = gchar
             elif kind in ("O", "D"):
                 c = toks[1]
                 nf = int(toks[2])
@@ -222,35 +221,10 @@ class OneWriter:
                         ll = len(v)
                     st[2] += ll
                     st[1] = max(st[1], ll)
-        # group stats: for each object type, max count/total of each
-        # contained type per object instance
+        # '%' per-object group stats are optional metadata; ONElib accepts
+        # files without them, and emitting them correctly requires modeling
+        # its full object-containment hierarchy — omitted for now.
         gstats = {}
-        obj_types = [c for c, s in self.schema.lines.items() if s.is_object]
-        for oc in obj_types:
-            per = {}
-            cur = None
-            for t, fields in self._lines:
-                if t == oc:
-                    cur = {}
-                    per.setdefault("_insts", []).append(cur)
-                elif cur is not None and t != oc:
-                    spec = self.schema.lines[t]
-                    e = cur.setdefault(t, [0, 0])
-                    e[0] += 1
-                    for ftype, v in zip(spec.fields, fields):
-                        if ftype in _LIST_TYPES:
-                            e[1] += (sum(len(s) for s in v)
-                                     if ftype == STRING_LIST else len(v))
-            insts = per.get("_insts", [])
-            if insts:
-                agg = {}
-                for inst in insts:
-                    for t, (c, tot) in inst.items():
-                        a = agg.setdefault(t, [0, 0])
-                        a[0] = max(a[0], c)
-                        a[1] = max(a[1], tot)
-                if agg:
-                    gstats[oc] = agg
         return stats, gstats
 
     def close(self):
