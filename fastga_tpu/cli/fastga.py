@@ -29,7 +29,7 @@ USAGE = ("[-v] [-k] [-T<int(8)>] [-f<int(10)>] [-s<int(1000)>] "
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     opts, pos = _common.parse_args(argv, flags="vk",
-                                   opts="TfsclipS", str_opts="1P")
+                                   opts="TfsclipS", str_opts="1PE")
     if not 1 <= len(pos) <= 2:
         raise _common.ArgError("fastga", "expects 1 or 2 source arguments",
                                USAGE)
@@ -57,8 +57,9 @@ def main(argv=None) -> int:
         freq=freq, chain_break=chain_break, chain_min=chain_min,
         align_min=align_min, align_rate=1.0 - ident)
 
+    engine = opts.get("E") or "jax"   # -Eref selects the exact host engine
     ovls, stats = aligner.align_genomes(gdb1, gdb2, t1, t2, params,
-                                        verbose=verbose)
+                                        engine=engine, verbose=verbose)
     if verbose:
         sys.stderr.write(
             f"\n  Total seeds = {stats['nseeds']}, "

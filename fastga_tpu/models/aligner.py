@@ -52,6 +52,9 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
                   engine: str = "ref",
                   verbose: bool = False) -> Tuple[List[Overlap], dict]:
     """Full FastGA comparison; returns (overlaps in output order, stats)."""
+    if engine not in ("ref", "jax"):
+        raise ValueError(f"unknown wave engine '{engine}' "
+                         f"(expected 'ref' or 'jax')")
     stats = {}
     seeds = mergem.adaptamer_seeds(t1, t2, freq=params.freq,
                                    soft_mask=params.soft_mask)
@@ -99,6 +102,18 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
         if key not in seq_cache:
             seq_cache[key] = gdb2.get_contig(int(perm2[rank]))
         return seq_cache[key]
+
+    if engine == "jax":
+        groups = _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1,
+                               lens2, spec, params, get_a, get_b, stats)
+        for key, ovls in groups:
+            nlas += len(ovls)
+            out.extend(dedup_group(ovls))
+        stats["nlas"] = nlas
+        stats["nlive"] = len(out)
+        stats["cov"] = sum(o.aepos - o.abpos for o in out)
+        out.sort(key=lambda o: (o.aread, o.abpos, o.bread, o.bcomp))
+        return out, stats
 
     while i < n:
         ac, bc, cm = int(tubes.acont[i]), int(tubes.bcont[i]), bool(tubes.comp[i])
@@ -332,3 +347,158 @@ def dedup_group(ovls: List[Overlap]) -> List[Overlap]:
                         continue
 
     return [o for o, f in zip(os, flags) if not (f & ELIMINATED)]
+
+
+# -- device-engine scheduler --------------------------------------------------
+
+
+def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
+                  params, get_a, get_b, stats):
+    """Run the tube-tiling loop with the batched device wave engine.
+
+    The per-(group, pairing) tube sequence is inherently order-dependent
+    (`alast` blocking, result-driven tiling); independence across pairings
+    gives the batch dimension: each scheduling round issues at most one
+    Local_Alignment per active pairing queue, runs them as one device
+    batch, then advances every queue with its result.
+    """
+    from ..ops import seqpack, wave as wavek
+    from ..ops.wave_batch import BatchAligner, WorkItem
+
+    n = tubes.n
+    # group tubes into per-(acont,bcont,comp,pairing) queues, in order
+    queues = {}
+    order = []
+    for t in range(n):
+        key = (int(tubes.acont[t]), int(tubes.bcont[t]), bool(tubes.comp[t]),
+               int(tubes.pairing[t]))
+        if key not in queues:
+            queues[key] = []
+            order.append(key)
+        queues[key].append(t)
+
+    # sequence pool over every contig (rank, strand) appearing in tubes
+    seqs = {}
+    for t in range(n):
+        ar, br = int(tubes.acont[t]), int(tubes.bcont[t])
+        cm = bool(tubes.comp[t])
+        seqs.setdefault(("a", ar, cm), None)
+        seqs.setdefault(("b", br), None)
+    for k in list(seqs):
+        seqs[k] = get_a(k[1], k[2]) if k[0] == "a" else get_b(k[1])
+    pool = seqpack.SeqPool.build(seqs)
+
+    cfg = wavek.WaveConfig(n=min(256, max(8, len(queues))), w=256,
+                           chunk=96, max_chunks=512)
+    ba = BatchAligner(spec, pool.words, pool.offs, lambda k: seqs[k], cfg)
+
+    class QState:
+        __slots__ = ("key", "tubes", "ti", "alast", "dgmin", "dgmax",
+                     "alow", "ahgh", "started", "ovls")
+
+        def __init__(self, key, tube_list):
+            self.key = key
+            self.tubes = tube_list
+            self.ti = -1
+            self.alast = -1
+            self.started = False
+            self.ovls = []
+
+    states = [QState(k, queues[k]) for k in order]
+    aln_min = params.align_min - 50
+    aln_rate = params.align_rate + 0.05
+
+    def advance_to_next_tube(q):
+        """Move to the next unblocked tube; returns False when exhausted."""
+        while True:
+            q.ti += 1
+            if q.ti >= len(q.tubes):
+                return False
+            t = q.tubes[q.ti]
+            q.dgmin = int(tubes.dgmin[t])
+            q.dgmax = int(tubes.dgmax[t])
+            alow = int(tubes.alow[t])
+            ahgh = int(tubes.ahgh[t])
+            if ahgh <= q.alast:
+                continue  # BLOCKED (FastGA.c:3334)
+            if alow < q.alast:
+                alow = q.alast
+            q.alow = alow
+            q.ahgh = ahgh - BUCK_ANTI
+            q.started = True
+            return True
+
+    def next_item(q):
+        """Next Local_Alignment call for this queue, or None if exhausted.
+        Implements the do-while tiling including the dgmin clamp."""
+        while True:
+            if not q.started:
+                if not advance_to_next_tube(q):
+                    return None
+            amid = q.alow + BUCK_ANTI
+            if amid > q.ahgh:
+                amid = q.ahgh
+                if amid + q.dgmin < 0:
+                    q.dgmin = -amid
+                    if q.dgmin > q.dgmax:
+                        q.alast = q.alow
+                        q.started = False
+                        continue
+            return amid
+
+    active = list(states)
+    for q in active:
+        q.started = False
+    total_calls = 0
+    while active:
+        batch_items = []
+        batch_q = []
+        still = []
+        for q in active:
+            amid = next_item(q)
+            if amid is None:
+                continue
+            ar, br, cm, _ = q.key
+            ctg1 = int(perm1[ar])
+            ctg2 = int(perm2[br])
+            alen = int(lens1[ctg1])
+            blen = int(lens2[ctg2])
+            batch_items.append(WorkItem(("a", ar, cm), ("b", br),
+                                        q.dgmin, q.dgmax, int(amid), cm,
+                                        alen, blen))
+            batch_q.append((q, int(amid), alen, blen, ctg1, ctg2))
+            still.append(q)
+        if not batch_items:
+            break
+        total_calls += len(batch_items)
+        paths = ba.run(batch_items)
+        nxt = []
+        for (q, amid, alen, blen, ctg1, ctg2), p in zip(batch_q, paths):
+            cm = q.key[2]
+            rlen = p.aepos - p.abpos
+            if rlen >= aln_min and aln_rate * rlen >= p.diffs:
+                q.ovls.append(Overlap(
+                    aread=ctg1, bread=ctg2, abpos=p.abpos, aepos=p.aepos,
+                    bbpos=p.bbpos, bepos=p.bepos, diffs=p.diffs, bcomp=cm,
+                    trace=list(p.trace)))
+            eant = (alen + blen) - (p.abpos + p.bbpos) if cm \
+                else p.aepos + p.bepos
+            q.alow = amid if eant <= q.alow else eant
+            if q.alow >= q.ahgh:
+                q.alast = q.alow
+                q.started = False
+            nxt.append(q)
+        active = nxt
+
+    stats["device_calls"] = total_calls
+    stats.update({f"wave_{k}": v for k, v in ba.stats.items()})
+    # emit per (acont,bcont,comp) group in tube order for dedup
+    merged = {}
+    gorder = []
+    for q in states:
+        gkey = q.key[:3]
+        if gkey not in merged:
+            merged[gkey] = []
+            gorder.append(gkey)
+        merged[gkey].extend(q.ovls)
+    return [(g, merged[g]) for g in gorder]

@@ -1,0 +1,591 @@
+"""Batched O(nd) wavefront aligner — the TPU device kernel.
+
+Runs the reference's adaptive wave recurrence (align.c forward_wave /
+reverse_wave; scalar spec in ops/wave_ref.py) over a *batch* of seed tubes:
+state is [N, W] arrays (N tubes x W diagonal slots); each wave is a fixed
+set of vector ops — shifted-neighbour furthest-reach max, 16-base
+packed-word snake extension, windowed 60-bit match-history updates,
+suffix-positive trim-table gathers, WAVE_LAG band pruning.  The dynamic
+diagonal band is virtualized onto slots through a per-tube drifting window
+(kbase) recentered every wave.
+
+Exactness strategy:
+- endpoints / diffs / trim points computed exactly on device;
+- the trace-point path is reconstructed on the host from a compact per-wave
+  predecessor-choice log (ops/wave_replay.py) — no pebble chains on device;
+- tubes exceeding static budgets (band wider than W-4, wave budget,
+  degenerate empty band) are flagged `fallback` and re-run on the exact
+  host engine by the driver.
+
+Everything is jit-compiled once per (N, W, chunk) configuration.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+from .wave_ref import (PATH_LEN, TRIM_LEN, TRIM_MASK, TRIM_MLAG, WAVE_LAG,
+                       AlignSpec)
+
+# choice codes in the replay log
+CH_DIAG = 0   # inherited from same diagonal (substitution step)
+CH_LOW = 1    # from k-1
+CH_HIGH = 2   # from k+1
+CH_NONE = 3
+
+
+class WaveConfig(NamedTuple):
+    n: int = 256        # tubes per batch
+    w: int = 256        # diagonal slots
+    chunk: int = 128    # waves per device call
+    max_chunks: int = 64
+
+
+class WaveResult(NamedTuple):
+    """Per-tube device outputs (host numpy [n])."""
+    trima: np.ndarray    # trim anti (fwd: aepos+bepos; rev: abpos+bbpos)
+    trimx: np.ndarray    # trim A coordinate
+    trimd: np.ndarray    # trim diffs
+    trim_wave: np.ndarray
+    trim_slot: np.ndarray  # trim diagonal
+    kbase0: np.ndarray
+    nwaves: np.ndarray
+    fallback: np.ndarray
+
+
+def _ctz2(jnp, x):
+    """#matching leading bases = trailing-zero bits / 2 (16 if equal)."""
+    z = x | jnp.uint32(0)
+    low = z & (~z + jnp.uint32(1))
+    tz = _popcount32(jnp, low - jnp.uint32(1))
+    return jnp.where(x == 0, 16, tz >> 1).astype(jnp.int32)
+
+
+def _popcount32(jnp, v):
+    v = v - ((v >> 1) & jnp.uint32(0x55555555))
+    v = (v & jnp.uint32(0x33333333)) + ((v >> 2) & jnp.uint32(0x33333333))
+    v = (v + (v >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((v * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def _rev2(jnp, v):
+    """Reverse 2-bit groups within uint32."""
+    v = ((v >> 2) & jnp.uint32(0x33333333)) | ((v & jnp.uint32(0x33333333)) << 2)
+    v = ((v >> 4) & jnp.uint32(0x0F0F0F0F)) | ((v & jnp.uint32(0x0F0F0F0F)) << 4)
+    v = ((v >> 8) & jnp.uint32(0x00FF00FF)) | ((v & jnp.uint32(0x00FF00FF)) << 8)
+    return (v >> 16) | (v << 16)
+
+
+def _fetch16(jnp, pool, woff, start):
+    """16 bases starting at ``start`` (may be negative; guard words around
+    every sequence make out-of-range reads zeros, clamped by callers)."""
+    w = start >> 4                    # arithmetic shift: floor
+    sh = ((start & 15) << 1).astype(jnp.uint32)
+    idx = woff + w
+    w0 = pool[idx].astype(jnp.uint32)
+    w1 = pool[idx + 1].astype(jnp.uint32)
+    lo = jnp.where(sh > 0, w0 >> sh, w0)
+    hi = jnp.where(sh > 0, w1 << (jnp.uint32(32) - sh), jnp.uint32(0))
+    return lo | hi
+
+
+def build_forward_chunk(cfg: WaveConfig, path_ave: int,
+                        table: np.ndarray, score: np.ndarray,
+                        direction: int = +1):
+    """Compile the per-chunk wave stepper for one direction.
+
+    direction=+1: forward wave (maximize anti); -1: reverse (minimize).
+    Returns a jitted fn: (pool, targs, state) -> (state, logs).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    N, W, CW = cfg.n, cfg.w, cfg.chunk
+    TBL = jnp.asarray(table.astype(np.int32))
+    SCR = jnp.asarray(score.astype(np.int32))
+    PA = path_ave
+    fwd = direction > 0
+    BAR = jnp.int32(-1) if fwd else jnp.int32(0x7FFFFFFF)
+    wix = jnp.arange(W, dtype=jnp.int32)[None, :]          # [1, W]
+
+    def snake(pool, x, k, aw, alen, bw, blen, thi, tlo, m, active):
+        """Chunked match extension with 60-bit window updates."""
+        def cond(st):
+            return st[-1].any()
+
+        def body(st):
+            x_, thi_, tlo_, m_, cont = st
+            y_ = x_ - k
+            if fwd:
+                va = jnp.clip(alen - x_, 0, 16)
+                vb = jnp.clip(blen - y_, 0, 16)
+                wa = _fetch16(jnp, pool, aw[:, None], x_)
+                wb = _fetch16(jnp, pool, bw[:, None], y_)
+            else:
+                va = jnp.clip(x_, 0, 16)
+                vb = jnp.clip(y_, 0, 16)
+                wa = _rev2(jnp, _fetch16(jnp, pool, aw[:, None], x_ - 16))
+                wb = _rev2(jnp, _fetch16(jnp, pool, bw[:, None], y_ - 16))
+            mm = _ctz2(jnp, wa ^ wb)
+            run = jnp.minimum(jnp.minimum(mm, va), vb)
+            run = jnp.where(cont, run, 0)
+            # window update: the reference checks bit 60 *before* each
+            # shift (align.c:698-701), so a run of r matches increments
+            # m by r - popcount(bits [61-r, 60] of the pre-run vector)
+            runu = run.astype(jnp.uint32)
+            out_bits = jnp.where(
+                run > 0,
+                (thi_ >> (jnp.uint32(29) - runu)) & ((jnp.uint32(1) << runu)
+                                                     - jnp.uint32(1)),
+                jnp.uint32(0))
+            m2 = m_ + run - _popcount32(jnp, out_bits)
+            ones = jnp.where(run > 0,
+                             (jnp.uint32(1) << runu) - jnp.uint32(1),
+                             jnp.uint32(0))
+            thi2 = jnp.where(run > 0,
+                             (thi_ << runu) | (tlo_ >> (jnp.uint32(32) - runu)),
+                             thi_)
+            tlo2 = jnp.where(run > 0, (tlo_ << runu) | ones, tlo_)
+            x2 = x_ + (run if fwd else -run)
+            cont2 = cont & (run == 16)
+            return x2, thi2, tlo2, m2, cont2
+
+        x, thi, tlo, m, _ = jax.lax.while_loop(
+            cond, body, (x, thi, tlo, m, active))
+        y = x - k
+        if fwd:
+            b_sent = (y < 0) | (y >= blen)
+            a_sent = ~b_sent & ((x < 0) | (x >= alen))
+        else:
+            b_sent = (y - 1 < 0) | (y - 1 >= blen)
+            a_sent = ~b_sent & ((x - 1 < 0) | (x - 1 >= alen))
+        return x, thi, tlo, m, b_sent & active, a_sent & active
+
+    def one_wave(pool, targs, st):
+        (V, Thi, Tlo, M, kbase, low, hgh, besta, bestx, lasta,
+         trima, trimx, trimd, trim_wave, trim_slot,
+         alive, fallback, dif) = st
+        aw, alen, bw, blen, minp, maxp = targs
+
+        live = alive[:, None]
+
+        # --- band expansion (minp/maxp clamped) ---
+        # diag of slot w = kbase + w; minp/maxp are diagonal bounds
+        lowd = kbase + low - 1
+        can_low = lowd >= minp
+        low2 = jnp.where(alive & can_low, low - 1, low)
+        hghd = kbase + hgh + 1
+        can_hgh = hghd <= maxp
+        hgh2 = jnp.where(alive & can_hgh, hgh + 1, hgh)
+        dif2 = jnp.where(alive, dif + 1, dif)
+
+        # fresh edge cells get the barrier value
+        is_new_low = (wix == low2[:, None]) & (low2 != low)[:, None]
+        is_new_hgh = (wix == hgh2[:, None]) & (hgh2 != hgh)[:, None]
+        V1 = jnp.where((is_new_low | is_new_hgh) & live, BAR, V)
+
+        in_band = (wix >= low2[:, None]) & (wix <= hgh2[:, None]) & live
+        Vr = jnp.where(in_band, V1, BAR)
+
+        # --- transition: choose from k-1 / k / k+1 ---
+        Vm = jnp.concatenate([jnp.full((N, 1), BAR, jnp.int32), Vr[:, :-1]],
+                             axis=1)   # V[k-1]
+        Vp = jnp.concatenate([Vr[:, 1:], jnp.full((N, 1), BAR, jnp.int32)],
+                             axis=1)   # V[k+1]
+        am, ac, ap = Vm, Vr, Vp
+        if fwd:
+            take_p = ((ac < am) & (am < ap)) | (~(ac < am) & (ac < ap))
+            take_m = (ac < am) & ~(am < ap)
+            c_pre = jnp.where(take_p, ap + 1,
+                              jnp.where(take_m, am + 1, ac + 2))
+        else:
+            take_m = ((ac > ap) & (ap > am)) | (~(ac > ap) & (ac > am))
+            take_p = (ac > ap) & ~(ap > am)
+            c_pre = jnp.where(take_m, am - 1,
+                              jnp.where(take_p, ap - 1, ac - 2))
+        choice = jnp.where(take_p, CH_HIGH,
+                           jnp.where(take_m, CH_LOW, CH_DIAG)
+                           ).astype(jnp.uint8)
+        choice = jnp.where(in_band, choice, CH_NONE)
+
+        def pick(A):
+            Am = jnp.concatenate([A[:, :1], A[:, :-1]], axis=1)
+            Ap = jnp.concatenate([A[:, 1:], A[:, -1:]], axis=1)
+            return jnp.where(take_p, Ap, jnp.where(take_m, Am, A))
+
+        thi = pick(Thi)
+        tlo = pick(Tlo)
+        m = pick(M)
+
+        # edit step: drop one window bit, shift in 0
+        m = m - ((thi >> jnp.uint32(28)) & jnp.uint32(1)).astype(jnp.int32)
+        thi = (thi << 1) | (tlo >> 31)
+        tlo = tlo << 1
+
+        # --- snake extension ---
+        k = kbase[:, None] + wix
+        x = (c_pre + k) >> 1
+        x, thi, tlo, m, b_sent, a_sent = snake(
+            pool, x, k, aw, alen[:, None], bw, blen[:, None],
+            thi, tlo, m, in_band)
+        c = (x << 1) - k
+
+        # --- best / trim updates (descending-k running max semantics) ---
+        cm = jnp.where(in_band, c, BAR)
+        if fwd:
+            # suffix (high-w) exclusive cummax
+            rc = jax.lax.cummax(cm[:, ::-1], axis=1)[:, ::-1]
+            suff_excl = jnp.concatenate(
+                [rc[:, 1:], jnp.full((N, 1), BAR, jnp.int32)], axis=1)
+            improver = in_band & (c > jnp.maximum(besta[:, None], suff_excl))
+            cbest = rc[:, 0]
+            better = alive & (cbest > besta)
+        else:
+            rc = jax.lax.cummin(cm, axis=1)
+            pre_excl = jnp.concatenate(
+                [jnp.full((N, 1), BAR, jnp.int32), rc[:, :-1]], axis=1)
+            improver = in_band & (c < jnp.minimum(besta[:, None], pre_excl))
+            cbest = rc[:, -1]
+            better = alive & (cbest < besta)
+
+        # the final (in iteration order) improver = the one with extreme c
+        imp_c = jnp.where(improver, c, BAR)
+        if fwd:
+            best_slot = jnp.argmax(imp_c, axis=1)       # first max slot
+        else:
+            best_slot = jnp.argmin(imp_c, axis=1)
+        rowix = jnp.arange(N)
+        besta2 = jnp.where(better, cbest, besta)
+        bestx2 = jnp.where(better, x[rowix, best_slot], bestx)
+
+        # lasta: extreme c among improvers with m >= PATH_AVE
+        el = improver & (m >= PA)
+        el_c = jnp.where(el, c, BAR)
+        if fwd:
+            l_val = el_c.max(axis=1)
+            l_upd = alive & el.any(axis=1) & (l_val > besta)
+        else:
+            l_val = el_c.min(axis=1)
+            l_upd = alive & el.any(axis=1) & (l_val < besta)
+        lasta2 = jnp.where(l_upd, l_val, lasta)
+
+        # trim: extreme c among improvers passing m and the score tables
+        b15 = (tlo & jnp.uint32(TRIM_MASK)).astype(jnp.int32)
+        b30 = (((tlo >> jnp.uint32(15)) | (thi << jnp.uint32(17)))
+               & jnp.uint32(TRIM_MASK)).astype(jnp.int32)
+        tok = (TBL[b15] >= 0) & (TBL[b30] + SCR[b15] >= 0)
+        et = el & tok
+        et_c = jnp.where(et, c, BAR)
+        if fwd:
+            t_val = et_c.max(axis=1)
+            t_slot = jnp.argmax(et_c, axis=1)
+            t_upd = alive & et.any(axis=1) & (t_val > besta)
+        else:
+            t_val = et_c.min(axis=1)
+            t_slot = jnp.argmin(et_c, axis=1)
+            t_upd = alive & et.any(axis=1) & (t_val < besta)
+        trima2 = jnp.where(t_upd, t_val, trima)
+        trimx2 = jnp.where(t_upd, x[rowix, t_slot], trimx)
+        trimd2 = jnp.where(t_upd, dif2, trimd)
+        trim_wave2 = jnp.where(t_upd, dif2, trim_wave)
+        trim_slot2 = jnp.where(t_upd, (kbase + t_slot).astype(jnp.int32),
+                               trim_slot)
+
+        # write back state (in-band only)
+        V2 = jnp.where(in_band, c, V1)
+        Thi2 = jnp.where(in_band, thi, Thi)
+        Tlo2 = jnp.where(in_band, tlo, Tlo)
+        M2 = jnp.where(in_band, m, M)
+
+        # --- sentinel clipping (align.c:757-782 / mirrored) ---
+        hit = (a_sent | b_sent).any(axis=1)
+        more = ~hit
+        # best point off-boundary rescues `more`
+        by = besta2 - bestx2
+        if fwd:
+            b_in = (by >= 0) & (by < blen)
+            a_in = (bestx2 >= 0) & (bestx2 < alen)
+        else:
+            b_in = (by - 1 >= 0) & (by - 1 < blen)
+            a_in = (bestx2 - 1 >= 0) & (bestx2 - 1 < alen)
+        more = more | (b_in & a_in)
+
+        big = jnp.int32(1 << 30)
+        if fwd:
+            aclip = jnp.where(a_sent, wix, big).min(axis=1)      # lowest slot
+            bclip = jnp.where(b_sent, wix, -big).max(axis=1)     # highest
+            hgh3 = jnp.where(hit & (hgh2 >= aclip), aclip - 1, hgh2)
+            low3 = jnp.where(hit & (low2 <= bclip), bclip + 1, low2)
+        else:
+            aclip = jnp.where(a_sent, wix, -big).max(axis=1)     # highest
+            bclip = jnp.where(b_sent, wix, big).min(axis=1)      # lowest
+            low3 = jnp.where(hit & (low2 <= aclip), aclip + 1, low2)
+            hgh3 = jnp.where(hit & (hgh2 >= bclip), bclip - 1, hgh2)
+
+        # --- WAVE_LAG band prune ---
+        if fwd:
+            thr = besta2 - WAVE_LAG
+            ok = in_band & (V2 >= thr[:, None])
+        else:
+            thr = besta2 + WAVE_LAG
+            ok = in_band & (V2 <= thr[:, None])
+        ok = ok & (wix >= low3[:, None]) & (wix <= hgh3[:, None])
+        anyok = ok.any(axis=1)
+        hgh4 = jnp.where(ok, wix, -big).max(axis=1)
+        low4 = jnp.where(ok, wix, big).min(axis=1)
+        empty = alive & ~anyok
+        hgh4 = jnp.where(anyok, hgh4, low3 - 1)
+        low4 = jnp.where(anyok, low4, low3)
+
+        # --- liveness / budgets ---
+        if fwd:
+            going = more & (lasta2 >= besta2 - TRIM_MLAG)
+        else:
+            going = more & (lasta2 <= besta2 + TRIM_MLAG)
+        width = hgh4 - low4 + 1
+        # budget overruns only matter for tubes that would keep going
+        over = alive & going & (width > W - 4)
+        fallback2 = fallback | over | (alive & going & empty)
+        alive2 = alive & going & ~over & ~empty
+
+        # --- recenter band in slot space ---
+        center = (low4 + hgh4) >> 1
+        shift = jnp.where(alive2, center - W // 2, 0)   # slots move down
+        src = wix + shift[:, None]
+        srcc = jnp.clip(src, 0, W - 1)
+
+        def regather(A, fill):
+            G = jnp.take_along_axis(A, srcc, axis=1)
+            return jnp.where((src >= 0) & (src < W), G, fill)
+
+        V3 = regather(V2, BAR)
+        Thi3 = regather(Thi2, jnp.uint32(0))
+        Tlo3 = regather(Tlo2, jnp.uint32(0))
+        M3 = regather(M2, jnp.int32(0))
+        kbase2 = kbase + shift
+        low5 = low4 - shift
+        hgh5 = hgh4 - shift
+
+        st2 = (V3, Thi3, Tlo3, M3, kbase2, low5, hgh5, besta2, bestx2,
+               lasta2, trima2, trimx2, trimd2, trim_wave2, trim_slot2,
+               alive2, fallback2, dif2)
+        logrow = (choice, jnp.stack([low2, hgh2, kbase, dif2], axis=1))
+        return st2, logrow
+
+    def chunk_fn(pool, targs, st):
+        def body(i, carry):
+            st, chlog, bandlog = carry
+            st2, (choice, band) = one_wave(pool, targs, st)
+            chlog = jax.lax.dynamic_update_slice(chlog, choice[None],
+                                                 (i, 0, 0))
+            bandlog = jax.lax.dynamic_update_slice(bandlog, band[None],
+                                                   (i, 0, 0))
+            return st2, chlog, bandlog
+
+        chlog0 = jnp.full((CW, N, W), CH_NONE, dtype=jnp.uint8)
+        bandlog0 = jnp.zeros((CW, N, 4), dtype=jnp.int32)
+        st, chlog, bandlog = jax.lax.fori_loop(
+            0, CW, body, (st, chlog0, bandlog0))
+        return st, chlog, bandlog
+
+    return jax.jit(chunk_fn), snake
+
+
+def build_wave0(cfg: WaveConfig, direction: int = +1):
+    """Compile the wave-0 initializer: state from tube descriptors.
+
+    Wave 0 (align.c:414-510 / mirrored): snakes from x=(anti+k)>>1 on every
+    band diagonal; T/M initialized to the full-match window regardless of
+    actual matches; trim/best = furthest reach; then the sentinel clip block.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    N, W = cfg.n, cfg.w
+    fwd = direction > 0
+    BAR = jnp.int32(-1) if fwd else jnp.int32(0x7FFFFFFF)
+    wix = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    def snake0(pool, x, k, aw, alen, bw, blen, active):
+        def cond(st):
+            return st[-1].any()
+
+        def body(st):
+            x_, cont = st
+            y_ = x_ - k
+            if fwd:
+                va = jnp.clip(alen - x_, 0, 16)
+                vb = jnp.clip(blen - y_, 0, 16)
+                wa = _fetch16(jnp, pool, aw[:, None], x_)
+                wb = _fetch16(jnp, pool, bw[:, None], y_)
+            else:
+                va = jnp.clip(x_, 0, 16)
+                vb = jnp.clip(y_, 0, 16)
+                wa = _rev2(jnp, _fetch16(jnp, pool, aw[:, None], x_ - 16))
+                wb = _rev2(jnp, _fetch16(jnp, pool, bw[:, None], y_ - 16))
+            mm = _ctz2(jnp, wa ^ wb)
+            run = jnp.minimum(jnp.minimum(mm, va), vb)
+            run = jnp.where(cont, run, 0)
+            x2 = x_ + (run if fwd else -run)
+            return x2, cont & (run == 16)
+
+        x, _ = jax.lax.while_loop(cond, body, (x, active))
+        y = x - k
+        if fwd:
+            b_sent = (y < 0) | (y >= blen)
+            a_sent = ~b_sent & ((x < 0) | (x >= alen))
+        else:
+            b_sent = (y - 1 < 0) | (y - 1 >= blen)
+            a_sent = ~b_sent & ((x - 1 < 0) | (x - 1 >= alen))
+        return x, b_sent & active, a_sent & active
+
+    def wave0(pool, targs, dgmin, dgmax, anti):
+        aw, alen, bw, blen, minp, maxp = targs
+        kbase = dgmin + ((dgmax - dgmin) >> 1) - W // 2
+        low = dgmin - kbase
+        hgh = dgmax - kbase
+        k = kbase[:, None] + wix
+        in_band = (wix >= low[:, None]) & (wix <= hgh[:, None])
+
+        x0 = (anti[:, None] + k) >> 1
+        x, b_sent, a_sent = snake0(pool, x0, k, aw, alen[:, None],
+                                   bw, blen[:, None], in_band)
+        c = (x << 1) - k
+
+        besta0 = anti
+        bestx0 = (anti + (kbase + hgh)) >> 1
+
+        cm = jnp.where(in_band, c, BAR)
+        rowix = jnp.arange(N)
+        if fwd:
+            rc = jax.lax.cummax(cm[:, ::-1], axis=1)[:, ::-1]
+            suff = jnp.concatenate([rc[:, 1:],
+                                    jnp.full((N, 1), BAR, jnp.int32)], axis=1)
+            improver = in_band & (c > jnp.maximum(besta0[:, None], suff))
+            cbest = rc[:, 0]
+            better = cbest > besta0
+            imp_c = jnp.where(improver, c, BAR)
+            bslot = jnp.argmax(imp_c, axis=1)
+        else:
+            rc = jax.lax.cummin(cm, axis=1)
+            pre = jnp.concatenate([jnp.full((N, 1), BAR, jnp.int32),
+                                   rc[:, :-1]], axis=1)
+            improver = in_band & (c < jnp.minimum(besta0[:, None], pre))
+            cbest = rc[:, -1]
+            better = cbest < besta0
+            imp_c = jnp.where(improver, c, BAR)
+            bslot = jnp.argmin(imp_c, axis=1)
+
+        besta = jnp.where(better, cbest, besta0)
+        bestx = jnp.where(better, x[rowix, bslot], bestx0)
+        lasta = besta
+        trima = besta
+        trimx = bestx
+        trimd = jnp.zeros(N, jnp.int32)
+        trim_wave = jnp.zeros(N, jnp.int32)
+        trim_slot = jnp.where(better, kbase + bslot, kbase + hgh)
+
+        # sentinel clip block
+        hit = (a_sent | b_sent).any(axis=1)
+        more = ~hit
+        by = besta - bestx
+        if fwd:
+            b_in = (by >= 0) & (by < blen)
+            a_in = (bestx >= 0) & (bestx < alen)
+        else:
+            b_in = (by - 1 >= 0) & (by - 1 < blen)
+            a_in = (bestx - 1 >= 0) & (bestx - 1 < alen)
+        more = more | (b_in & a_in)
+
+        big = jnp.int32(1 << 30)
+        if fwd:
+            aclip = jnp.where(a_sent, wix, big).min(axis=1)
+            bclip = jnp.where(b_sent, wix, -big).max(axis=1)
+            hgh = jnp.where(hit & (hgh >= aclip), aclip - 1, hgh)
+            low = jnp.where(hit & (low <= bclip), bclip + 1, low)
+        else:
+            aclip = jnp.where(a_sent, wix, -big).max(axis=1)
+            bclip = jnp.where(b_sent, wix, big).min(axis=1)
+            low = jnp.where(hit & (low <= aclip), aclip + 1, low)
+            hgh = jnp.where(hit & (hgh >= bclip), bclip - 1, hgh)
+
+        V = jnp.where(in_band, c, BAR)
+        Thi = jnp.where(in_band, jnp.uint32((1 << 28) - 1), jnp.uint32(0))
+        Tlo = jnp.where(in_band, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+        M = jnp.where(in_band, jnp.int32(PATH_LEN), jnp.int32(0))
+
+        alive = more
+        fallback = jnp.zeros(N, bool)
+        dif = jnp.zeros(N, jnp.int32)
+        st = (V, Thi, Tlo, M, kbase, low, hgh, besta, bestx, lasta,
+              trima, trimx, trimd, trim_wave, trim_slot, alive, fallback, dif)
+        return st, kbase
+
+    return jax.jit(wave0)
+
+
+class WaveEngine:
+    """Host orchestrator: compiles the wave-0/chunk steppers per direction
+    and runs batches to completion, collecting choice logs for replay."""
+
+    def __init__(self, spec: AlignSpec, cfg: WaveConfig = WaveConfig()):
+        import jax.numpy as jnp
+        self.spec = spec
+        self.cfg = cfg
+        self.fwd0 = build_wave0(cfg, +1)
+        self.rev0 = build_wave0(cfg, -1)
+        self.fwd_chunk, _ = build_forward_chunk(
+            cfg, spec.ave_path, np.asarray(spec.table),
+            np.asarray(spec.score), +1)
+        self.rev_chunk, _ = build_forward_chunk(
+            cfg, spec.ave_path, np.asarray(spec.table),
+            np.asarray(spec.score), -1)
+
+    def run(self, pool, tubes: dict, direction: int):
+        """tubes: dict of int32 [n<=N] arrays: aw, alen, bw, blen, dgmin,
+        dgmax, anti, minp, maxp.  Returns (WaveResult arrays, logs) where
+        logs = list of (choice u8 [CW,N,W], band i32 [CW,N,4])."""
+        import jax.numpy as jnp
+        cfg = self.cfg
+        n = len(tubes["aw"])
+        assert n <= cfg.n
+
+        def padi(x, fill=0):
+            a = np.full(cfg.n, fill, dtype=np.int32)
+            a[:n] = x
+            return jnp.asarray(a)
+
+        targs = (padi(tubes["aw"]), padi(tubes["alen"], 1),
+                 padi(tubes["bw"]), padi(tubes["blen"], 1),
+                 padi(tubes.get("minp", np.full(n, -(1 << 30)))),
+                 padi(tubes.get("maxp", np.full(n, 1 << 30))))
+        w0 = self.fwd0 if direction > 0 else self.rev0
+        chunk = self.fwd_chunk if direction > 0 else self.rev_chunk
+        st, kbase0 = w0(pool, targs, padi(tubes["dgmin"]),
+                        padi(tubes["dgmax"]), padi(tubes["anti"]))
+        # padding rows: deactivate
+        if n < cfg.n:
+            alive = np.asarray(st[15]).copy()
+            alive[n:] = False
+            st = st[:15] + (jnp.asarray(alive),) + st[16:]
+
+        logs = []
+        for _ in range(cfg.max_chunks):
+            if not bool(np.asarray(st[15]).any()):
+                break
+            st, chlog, bandlog = chunk(pool, targs, st)
+            logs.append((np.asarray(chlog), np.asarray(bandlog)))
+
+        alive = np.asarray(st[15])
+        fallback = np.asarray(st[16]) | alive   # budget exceeded
+        res = WaveResult(
+            trima=np.asarray(st[10])[:n], trimx=np.asarray(st[11])[:n],
+            trimd=np.asarray(st[12])[:n], trim_wave=np.asarray(st[13])[:n],
+            trim_slot=np.asarray(st[14])[:n],
+            kbase0=np.asarray(kbase0)[:n],
+            nwaves=np.asarray(st[17])[:n],
+            fallback=fallback[:n])
+        return res, logs

@@ -1,0 +1,249 @@
+"""Batched Local_Alignment: device wave runs + host replay/stitching.
+
+Mirrors Local_Alignment's orchestration (align.c:1423-1576) over a batch:
+forward wave from the tube band, reverse wave from the forward path's
+origin diagonal, DUB_TRIM short-pass reruns, and the A-complement
+reflection — with device batches per phase and host-side exact trace
+replay.  Tubes the device flags (band/wave budget overruns) fall back to
+the exact scalar engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import wave as wavek
+from . import wave_replay as wrep
+from .wave_ref import DUB_TRIM, AlignSpec, Path, local_alignment
+
+
+@dataclass
+class WorkItem:
+    akey: object          # key into the sequence pool / lookup
+    bkey: object
+    dgmin: int
+    dgmax: int
+    anti: int
+    acomp: bool
+    alen: int
+    blen: int
+    selfie: bool = False
+    lbord: int = -1
+    hbord: int = -1
+
+
+class BatchAligner:
+    """Runs Local_Alignment over batches of work items."""
+
+    def __init__(self, spec: AlignSpec, pool_words: np.ndarray,
+                 offs: Dict, seq_lookup: Callable[[object], np.ndarray],
+                 cfg: wavek.WaveConfig = wavek.WaveConfig()):
+        import jax.numpy as jnp
+        self.spec = spec
+        self.cfg = cfg
+        self.engine = wavek.WaveEngine(spec, cfg)
+        self.pool = jnp.asarray(pool_words)
+        self.offs = offs
+        self.seq = seq_lookup
+        self.stats = {"fallbacks": 0, "device_waves": 0, "items": 0}
+
+    # -- internals -----------------------------------------------------------
+
+    def _run_dir(self, items: Sequence[WorkItem], dgmin, dgmax, anti,
+                 direction: int):
+        """One direction over all items (auto-batched); returns per-item
+        (result row, TubeLog) with fallback flags."""
+        n = len(items)
+        rows = [None] * n
+        logs = [None] * n
+        fall = np.zeros(n, dtype=bool)
+        B = self.cfg.n
+        for lo in range(0, n, B):
+            sel = list(range(lo, min(lo + B, n)))
+            tubes = dict(
+                aw=np.array([self.offs[items[i].akey][0] for i in sel], np.int32),
+                alen=np.array([items[i].alen for i in sel], np.int32),
+                bw=np.array([self.offs[items[i].bkey][0] for i in sel], np.int32),
+                blen=np.array([items[i].blen for i in sel], np.int32),
+                dgmin=np.array([dgmin[i] for i in sel], np.int32),
+                dgmax=np.array([dgmax[i] for i in sel], np.int32),
+                anti=np.array([anti[i] for i in sel], np.int32),
+                minp=np.array([self._minp(items[i], dgmin[i]) for i in sel],
+                              np.int32),
+                maxp=np.array([self._maxp(items[i], dgmax[i]) for i in sel],
+                              np.int32),
+            )
+            res, batch_logs = self.engine.run(self.pool, tubes, direction)
+            self.stats["device_waves"] += int(res.nwaves.sum())
+            for j, i in enumerate(sel):
+                rows[i] = tuple(int(f[j]) for f in res)
+                fall[i] = bool(res.fallback[j])
+                if not fall[i]:
+                    logs[i] = wrep.TubeLog(batch_logs, j, int(res.nwaves[j]))
+        return rows, logs, fall
+
+    @staticmethod
+    def _minp(it: WorkItem, low: int) -> int:
+        if it.lbord < 0:
+            return 1 if (it.selfie and low >= 0) else -(1 << 30)
+        return low - it.lbord
+
+    @staticmethod
+    def _maxp(it: WorkItem, hgh: int) -> int:
+        if it.hbord < 0:
+            return -1 if (it.selfie and hgh <= 0) else (1 << 30)
+        return hgh + it.hbord
+
+    # -- public --------------------------------------------------------------
+
+    def run(self, items: Sequence[WorkItem]) -> List[Path]:
+        n = len(items)
+        self.stats["items"] += n
+        paths = [Path() for _ in range(n)]
+        if n == 0:
+            return paths
+        tspace = self.spec.trace_space
+
+        hgh = np.array([it.dgmax for it in items], np.int64)
+        anti = np.array([it.anti for it in items], np.int64)
+        low = np.array([it.dgmin for it in items], np.int64)
+        aoff = np.array([it.alen % tspace if it.acomp else 0
+                         for it in items], np.int64)
+        # clamp hgh so the start point has y >= 0 (align.c:1463)
+        for i in range(n):
+            while ((anti[i] - hgh[i]) >> 1) < 0:
+                hgh[i] -= 1
+
+        host = np.zeros(n, dtype=bool)   # exact-host fallback set
+
+        # ---- forward pass ----
+        rows, logs, fall = self._run_dir(items, low, hgh, anti, +1)
+        host |= fall
+        seam = np.zeros(n, np.int64)
+        for i in range(n):
+            if host[i]:
+                continue
+            (trima, trimx, trimd, twave, tslot, kb0, nw, fb) = rows[i]
+            A = self.seq(items[i].akey)
+            Bs = self.seq(items[i].bkey)
+            try:
+                seam[i] = wrep.replay_forward(
+                    A, Bs, int(anti[i]), int(aoff[i]), kb0, tslot, twave,
+                    trima, trimx, trimd, logs[i], paths[i], tspace)
+            except AssertionError:
+                host[i] = True
+                paths[i] = Path()
+
+        fshort = np.array([(p.aepos + p.bepos) - anti[i] < DUB_TRIM
+                           for i, p in enumerate(paths)])
+
+        # ---- reverse pass (from the forward seam diagonal) ----
+        rows, logs, fall = self._run_dir(items, seam, seam, anti, -1)
+        host |= fall
+        for i in range(n):
+            if host[i]:
+                continue
+            (trima, trimx, trimd, twave, tslot, kb0, nw, fb) = rows[i]
+            A = self.seq(items[i].akey)
+            Bs = self.seq(items[i].bkey)
+            try:
+                wrep.replay_reverse(
+                    A, Bs, int(anti[i]), int(aoff[i]), tslot, twave,
+                    trima, trimx, trimd, logs[i], paths[i], tspace)
+            except AssertionError:
+                host[i] = True
+                paths[i] = Path()
+
+        rshort = np.array([anti[i] - (p.abpos + p.bbpos) < DUB_TRIM
+                           for i, p in enumerate(paths)])
+
+        # ---- short-pass reruns (align.c:1508-1532) ----
+        fwd_rerun = [i for i in range(n)
+                     if not host[i] and fshort[i] and not rshort[i]]
+        rev_rerun = [i for i in range(n)
+                     if not host[i] and not fshort[i] and rshort[i]]
+        both = [i for i in range(n)
+                if not host[i] and fshort[i] and rshort[i]]
+        for i in both:
+            p = paths[i]
+            p.aepos = p.abpos = (p.abpos + p.aepos) >> 1
+            p.bepos = p.bbpos = (p.bbpos + p.bepos) >> 1
+            p.trace = []
+
+        if fwd_rerun:
+            its = [items[i] for i in fwd_rerun]
+            low2 = np.array([paths[i].abpos - paths[i].bbpos
+                             for i in fwd_rerun], np.int64)
+            anti2 = np.array([paths[i].abpos + paths[i].bbpos
+                              for i in fwd_rerun], np.int64)
+            for i in fwd_rerun:
+                paths[i].trace = []
+            rows, logs, fall = self._run_dir(its, low2, low2, anti2, +1)
+            for j, i in enumerate(fwd_rerun):
+                if fall[j]:
+                    host[i] = True
+                    paths[i] = Path()
+                    continue
+                (trima, trimx, trimd, twave, tslot, kb0, nw, fb) = rows[j]
+                try:
+                    wrep.replay_forward(
+                        self.seq(items[i].akey), self.seq(items[i].bkey),
+                        int(anti2[j]), int(aoff[i]), kb0, tslot, twave,
+                        trima, trimx, trimd, logs[j], paths[i], tspace)
+                except AssertionError:
+                    host[i] = True
+                    paths[i] = Path()
+
+        if rev_rerun:
+            its = [items[i] for i in rev_rerun]
+            low2 = np.array([paths[i].aepos - paths[i].bepos
+                             for i in rev_rerun], np.int64)
+            anti2 = np.array([paths[i].aepos + paths[i].bepos
+                              for i in rev_rerun], np.int64)
+            for i in rev_rerun:
+                paths[i].trace = []
+                paths[i].diffs = 0
+            rows, logs, fall = self._run_dir(its, low2, low2, anti2, -1)
+            for j, i in enumerate(rev_rerun):
+                if fall[j]:
+                    host[i] = True
+                    paths[i] = Path()
+                    continue
+                (trima, trimx, trimd, twave, tslot, kb0, nw, fb) = rows[j]
+                try:
+                    wrep.replay_reverse(
+                        self.seq(items[i].akey), self.seq(items[i].bkey),
+                        int(anti2[j]), int(aoff[i]), tslot, twave,
+                        trima, trimx, trimd, logs[j], paths[i], tspace)
+                except AssertionError:
+                    host[i] = True
+                    paths[i] = Path()
+
+        # ---- exact-host fallback ----
+        for i in np.flatnonzero(host):
+            self.stats["fallbacks"] += 1
+            it = items[i]
+            paths[i] = local_alignment(
+                self.spec, self.seq(it.akey), self.seq(it.bkey),
+                it.dgmin, it.dgmax, it.anti, it.lbord, it.hbord,
+                selfie=it.selfie, acomp=it.acomp, alen=it.alen, blen=it.blen)
+            # host path includes the acomp flip; skip the flip below
+            host[i] = True
+
+        # ---- A-complement reflection (align.c:1534-1557) ----
+        for i in range(n):
+            if host[i] or not items[i].acomp:
+                continue
+            p = paths[i]
+            a0 = p.abpos
+            p.abpos = items[i].alen - p.aepos
+            p.aepos = items[i].alen - a0
+            b0 = p.bbpos
+            p.bbpos = items[i].blen - p.bepos
+            p.bepos = items[i].blen - b0
+            p.trace.reverse()
+
+        return paths

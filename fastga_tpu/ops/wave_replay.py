@@ -1,0 +1,207 @@
+"""Host-side exact trace reconstruction from device wave logs.
+
+The device kernel (ops/wave.py) logs, per wave, each slot's predecessor
+choice plus the band mapping (low, hgh, kbase, dif).  Given a tube's trim
+point (wave, diagonal), the final path is recovered by walking choices
+backward to the wave-0 origin, then re-extending snakes forward on the host
+to obtain the exact per-wave furthest-reach positions; trace points are the
+grid crossings of that path (the reference's pebble chains, align.c:805-870
+forward / 1325-1414 reverse, reproduced without device-side pebbles).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from . import wave as wavek
+from .wave_ref import Path, _snake_fwd, _snake_rev
+
+
+class TubeLog:
+    """Per-tube view of the chunked logs."""
+
+    __slots__ = ("choice", "low", "hgh", "kbase")
+
+    def __init__(self, logs, tube: int, nwaves: int):
+        cw = logs[0][0].shape[0] if logs else 0
+        ch = []
+        band = []
+        need = nwaves
+        for chlog, bandlog in logs:
+            take = min(cw, need)
+            ch.append(chlog[:take, tube])
+            band.append(bandlog[:take, tube])
+            need -= take
+            if need <= 0:
+                break
+        self.choice = np.concatenate(ch) if ch else np.zeros((0, 1), np.uint8)
+        b = np.concatenate(band) if band else np.zeros((0, 4), np.int32)
+        self.low, self.hgh, self.kbase = b[:, 0], b[:, 1], b[:, 2]
+
+
+def _marks_between(last: int, upto: int, tspace: int, aoff: int,
+                   descending: bool = False) -> List[int]:
+    """Grid marks (≡ aoff mod tspace) in (last, upto] ascending, or
+    [upto, last) descending for the reverse wave."""
+    out = []
+    if not descending:
+        m = last + tspace
+        while m <= upto:
+            out.append(m)
+            m += tspace
+    else:
+        m = last - tspace
+        while m >= upto:
+            out.append(m)
+            m -= tspace
+    return out
+
+
+def replay_forward(A, B, anti: int, aoff: int, kbase0: int,
+                   trim_slotdiag: int, trim_wave: int, trima: int,
+                   trimx: int, trimd: int, log: TubeLog, path: Path,
+                   tspace: int = 100) -> int:
+    """Rebuild the forward trace; appends to path, returns seam diagonal."""
+    # backward choice walk: diag per wave along the path
+    diag = int(trim_slotdiag)
+    diags = [diag]
+    for w in range(trim_wave, 0, -1):
+        slot = diag - int(log.kbase[w - 1])
+        ch = int(log.choice[w - 1, slot])
+        if ch == wavek.CH_LOW:
+            diag -= 1
+        elif ch == wavek.CH_HIGH:
+            diag += 1
+        diags.append(diag)
+    diags.reverse()   # diags[w] for w = 0..trim_wave
+
+    # forward snake reconstruction
+    d0 = diags[0]
+    x = (anti + d0) >> 1
+    na0 = ((x + (tspace - aoff)) // tspace - 1) * tspace + aoff
+    x, _, _ = _snake_fwd(A, B, x, d0)
+    xs = [x]
+    for w in range(1, trim_wave + 1):
+        dcur, dprev = diags[w], diags[w - 1]
+        vprev = 2 * xs[-1] - dprev
+        c_pre = vprev + (2 if dcur == dprev else 1)
+        xp = (c_pre + dcur) >> 1
+        xp, _, _ = _snake_fwd(A, B, xp, dcur)
+        xs.append(xp)
+    assert xs[-1] >= trimx, (xs[-1], trimx)
+
+    # crossings: (diag, mark, wave)
+    crossings: List[Tuple[int, int, int]] = []
+    last = na0
+    for w in range(0, trim_wave + 1):
+        for m in _marks_between(last, xs[w], tspace, aoff):
+            crossings.append((diags[w], m, w))
+            last = m
+
+    # assemble (align.c:805-870)
+    trimy = trima - trimx
+    k = d0
+    b = (anti - d0) >> 1
+    e = 0
+    for (kc, mark, d) in crossings:
+        a = mark - kc
+        path.trace.append((d - e, a - b))
+        b, e = a, d
+        k = kc
+    if b + k != trimx:
+        path.trace.append((trimd - e, trimy - b))
+    elif b != trimy:
+        de, ab = path.trace[-1]
+        path.trace[-1] = (de + (trimd - e), ab + (trimy - b))
+    path.aepos = trimx
+    path.bepos = trimy
+    path.diffs = trimd
+    return d0
+
+
+def replay_reverse(A, B, anti: int, aoff: int, trim_slotdiag: int,
+                   trim_wave: int, trima: int, trimx: int, trimd: int,
+                   log: TubeLog, path: Path, tspace: int = 100):
+    """Rebuild the reverse trace; prepends to path (align.c:1325-1414)."""
+    diag = int(trim_slotdiag)
+    diags = [diag]
+    for w in range(trim_wave, 0, -1):
+        slot = diag - int(log.kbase[w - 1])
+        ch = int(log.choice[w - 1, slot])
+        if ch == wavek.CH_LOW:
+            diag -= 1
+        elif ch == wavek.CH_HIGH:
+            diag += 1
+        diags.append(diag)
+    diags.reverse()
+
+    d0 = diags[0]
+    x0 = (anti + d0) >> 1
+    na0 = ((x0 + (tspace - aoff) - 1) // tspace - 1) * tspace + aoff
+    x, _, _ = _snake_rev(A, B, x0, d0)
+    xs = [x]
+    for w in range(1, trim_wave + 1):
+        dcur, dprev = diags[w], diags[w - 1]
+        vprev = 2 * xs[-1] - dprev
+        c_pre = vprev - (2 if dcur == dprev else 1)
+        xp = (c_pre + dcur) >> 1
+        xp, _, _ = _snake_rev(A, B, xp, dcur)
+        xs.append(xp)
+    assert xs[-1] <= trimx, (xs[-1], trimx)
+
+    # pebble 0 of the reverse wave records mark = x0 (pre-snake); the first
+    # crossing candidate is na0 itself (align.c:1003: `while (x <= na)`
+    # without a prior decrement)
+    pebbles: List[Tuple[int, int, int]] = [(d0, x0, 0)]
+    last = na0 + tspace
+    for w in range(0, trim_wave + 1):
+        for m in _marks_between(last, xs[w], tspace, aoff, descending=True):
+            pebbles.append((diags[w], m, w))
+            last = m
+
+    trimy = trima - trimx
+    pre: List[Tuple[int, int]] = []
+    k, mark0, _ = pebbles[0]
+    b = mark0 - k
+    e = 0
+    i = 0
+    if (b + k) % tspace != aoff:
+        i = 1
+        if i >= len(pebbles):
+            a, d = trimy, trimd
+        else:
+            kc, mc, d = pebbles[i]
+            a = mc - kc
+        if path.tlen == 0:
+            pre.append((d - e, b - a))
+        else:
+            de, ab = path.trace[0]
+            path.trace[0] = (de + (d - e), ab + (b - a))
+        b, e = a, d
+        if i >= len(pebbles):
+            pebbles = []
+        else:
+            pebbles = pebbles[i:]
+            k = pebbles[0][0]
+    if pebbles:
+        for (kc, mc, d) in pebbles[1:]:
+            a = mc - kc
+            pre.append((d - e, b - a))
+            b, e = a, d
+            k = kc
+        if b + k != trimx:
+            pre.append((trimd - e, b - trimy))
+        elif b != trimy:
+            if pre:
+                de, ab = pre[-1]
+                pre[-1] = (de + (trimd - e), ab + (b - trimy))
+            else:
+                de, ab = path.trace[0]
+                path.trace[0] = (de + (trimd - e), ab + (b - trimy))
+
+    path.trace[:0] = pre[::-1]
+    path.abpos = trimx
+    path.bbpos = trimy
+    path.diffs += trimd
