@@ -388,8 +388,9 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
         seqs[k] = get_a(k[1], k[2]) if k[0] == "a" else get_b(k[1])
     pool = seqpack.SeqPool.build(seqs)
 
-    cfg = wavek.WaveConfig(n=min(256, max(8, len(queues))), w=256,
-                           chunk=96, max_chunks=512)
+    # fixed batch geometry so the wave kernels compile once per process
+    # (and hit the persistent compilation cache across runs)
+    cfg = wavek.WaveConfig(n=256, w=256, chunk=96, max_chunks=512)
     ba = BatchAligner(spec, pool.words, pool.offs, lambda k: seqs[k], cfg)
 
     class QState:

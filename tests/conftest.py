@@ -7,12 +7,25 @@ machine (including the single-TPU dev box).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+
+def _force_cpu_backend():
+    """This box's sitecustomize pre-registers a TPU backend at interpreter
+    boot; env vars alone don't override it once registered."""
+    import jax
+    if jax.devices()[0].platform != "cpu" or len(jax.devices()) < 8:
+        import jax.extend
+        jax.config.update("jax_platforms", "cpu")
+        jax.extend.backend.clear_backends()
+
+
+_force_cpu_backend()
 
 import numpy as np
 import pytest
