@@ -130,6 +130,61 @@ def resolve_genome(path: str, nthreads: int = 8, keep: bool = False,
     return gdb, table
 
 
+def resolve_gdb(path: str, verbose: bool = False):
+    """Input -> GDB only (no index), building from FASTA in memory if
+    needed (the converters' Get_GDB pattern, ALNtoPAF.c:733-752)."""
+    from ..io import gdb as gdbm
+
+    t, p = infer_source(path)
+    root = _root(p)
+    if t in ("gdb", "gix"):
+        return gdbm.read_gdb(root)
+    gdb, _ = gdbm.create_gdb(p, target=None)
+    return gdb
+
+
+def open_aln(path: str, prog: str):
+    """Open a .1aln and resolve its two source GDBs from the header
+    references (db paths relative to the recorded cpath when needed)."""
+    from ..io import alncode
+
+    p = Path(path)
+    if not p.name.endswith(".1aln"):
+        q = Path(str(p) + ".1aln")
+        if q.exists():
+            p = q
+    if not p.exists():
+        raise ArgError(prog, f"cannot find alignment file {path}")
+    af = alncode.read_aln(p)
+
+    def find(name):
+        if not name:
+            return None
+        cand = Path(name)
+        tries = [cand]
+        if not cand.is_absolute():
+            if af.cpath:
+                tries.append(Path(af.cpath) / name)
+            tries.append(p.parent / name)
+        for t in tries:
+            try:
+                infer_source(str(t))
+                return resolve_gdb(str(t))
+            except SystemExit:
+                continue
+        raise ArgError(prog, f"cannot find source {name} referenced by {p}")
+
+    gdb1 = find(af.db1_name)
+    gdb2 = find(af.db2_name) if af.db2_name else gdb1
+    if gdb1 is None:
+        if af.skeletons:
+            gdb1 = af.skeletons[0]
+            gdb2 = af.skeletons[1] if len(af.skeletons) > 1 else gdb1
+        else:
+            raise ArgError(prog, f"{p} has no source references or skeletons")
+    return af, gdb1, gdb2
+
+
 def _root(p: Path) -> Path:
     name = p.name
     for ext in (".gix", ".1gdb", ".gdb") + FASTA_EXTS:

@@ -1,0 +1,49 @@
+"""alntopsl — .1aln to PSL converter (reference ALNtoPSL.c surface).
+
+    python -m fastga_tpu.cli.alntopsl [-T<int(8)>] <alignments>[.1aln]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from . import _common
+from ..io import psl
+from ..utils import dna
+
+USAGE = "[-T<int(8)>] <alignments:path>[.1aln]"
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    opts, pos = _common.parse_args(argv, flags="", opts="T")
+    if len(pos) != 1:
+        raise _common.ArgError("alntopsl", "expects one .1aln argument",
+                               USAGE)
+    af, gdb1, gdb2 = _common.open_aln(pos[0], "alntopsl")
+
+    acache = {}
+
+    def get_a(c):
+        if c not in acache:
+            acache.clear()
+            acache[c] = gdb1.get_contig(c)
+        return acache[c]
+
+    bcache = {}
+
+    def get_b(c, comp):
+        key = (c, comp)
+        if key not in bcache:
+            bcache.clear()
+            s = gdb2.get_contig(c)
+            bcache[key] = dna.revcomp(s) if comp else s
+        return bcache[key]
+
+    psl.write_psl(af.overlaps, gdb1, gdb2, get_a, get_b, af.tspace,
+                  sys.stdout)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,61 @@
+"""Converter tests: ALNtoPAF/ALNtoPSL outputs byte-identical to the C
+reference on the 30kb E/F pair.
+
+Goldens in tests/golden/ were captured from the reference binaries
+(ALNtoPAF [-m -x -s -S -w] / ALNtoPSL on the FastGA-produced EvF.1aln);
+they contain no absolute paths so they are environment-independent.
+"""
+
+import contextlib
+import io
+import pathlib
+
+import pytest
+
+from fastga_tpu.cli import alntopaf, alntopsl, fastga
+from fastga_tpu.utils import dna
+from tests.test_gdb import write_fasta
+from tests.test_wave_ref import diverged_pair
+
+GOLD = pathlib.Path(__file__).parent / "golden"
+
+
+@pytest.fixture(scope="module")
+def ours_aln(tmp_path_factory, monkeypatch_module=None):
+    tmp = tmp_path_factory.mktemp("conv")
+    a, b = diverged_pair()
+    write_fasta(tmp / "E.fasta", [("e1", dna.to_ascii(a, True).decode())])
+    write_fasta(tmp / "F.fasta", [("f1", dna.to_ascii(b, True).decode())])
+    out = tmp / "ours.1aln"
+    rc = fastga.main(["-Eref", f"-1:{out}", str(tmp / "E.fasta"),
+                      str(tmp / "F.fasta")])
+    assert rc == 0
+    return out
+
+
+def run_cli(main, args):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(args)
+    assert rc == 0
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("args,golden", [
+    ([], "ref_paf.txt"),
+    (["-m"], "ref_paf-m.txt"),
+    (["-x"], "ref_paf-x.txt"),
+    (["-s"], "ref_paf-s.txt"),
+    (["-S"], "ref_paf-S.txt"),
+    (["-w"], "ref_paf-w.txt"),
+    (["-m", "-s"], "ref_paf-m-s.txt"),
+    (["-x", "-S"], "ref_paf-x-S.txt"),
+])
+def test_alntopaf_matches_reference(ours_aln, args, golden):
+    got = run_cli(alntopaf.main, args + [str(ours_aln)])
+    assert got == (GOLD / golden).read_text()
+
+
+def test_alntopsl_matches_reference(ours_aln):
+    got = run_cli(alntopsl.main, [str(ours_aln)])
+    assert got == (GOLD / "ref_psl.txt").read_text()
