@@ -47,6 +47,10 @@ def write_ano(path, gdb: GDB, masks: Sequence[MaskIval],
     p = ano_path(path)
     w = onecode.OneWriter(p, ANO_SCHEMA, "ano")
     w.add_provenance("fastga_tpu", "0.1", command or "write_ano")
+    # the source reference is load-bearing: the reference Read_ANO
+    # dereferences oneFile->reference[0] unconditionally
+    if gdb.srcpath:
+        w.add_reference(gdb.srcpath, 1)
     if with_skeleton:
         w.write("g")
         for s in gdb.scaffolds:

@@ -114,7 +114,35 @@ class OneSchema:
                 comment = " ".join(toks[i:])
                 cur.lines[c] = LineSpec(c, kind == "O", tuple(fields), comment)
                 cur.defn_order.append((kind, c))
+        for s in schemas.values():
+            s._build_contains()
         return schemas
+
+    def _build_contains(self):
+        """Containment per ONElib initialiseStats (ONElib.c:505-535): D lines
+        belong to the preceding O object, G relations declare grouped
+        objects, then transitive closure through contained objects."""
+        self.contains = {}
+        cur_obj = None
+        for kind, c in self.defn_order:
+            if kind == "O":
+                cur_obj = c
+                self.contains.setdefault(c, set())
+            elif cur_obj is not None:
+                self.contains[cur_obj].add(c)
+        changed = True
+        while changed:
+            changed = False
+            for o, kids in self.contains.items():
+                for k in list(kids):
+                    for sub in self.contains.get(k, ()):
+                        if sub not in kids:
+                            kids.add(sub)
+                            changed = True
+
+    def has_list(self, c: str) -> bool:
+        spec = self.lines.get(c)
+        return bool(spec) and any(f in _LIST_TYPES for f in spec.fields)
 
     def spec_header_lines(self) -> List[str]:
         """Schema as '~' header lines (writeInfoSpec ONElib.c:455-472)."""
@@ -207,10 +235,32 @@ class OneWriter:
         raise AssertionError(ftype)
 
     def _counts(self):
-        """Per-type (count, max, total) plus per-object within-group maxima."""
+        """Per-type (count, max, total) plus per-object '%' stats, computed
+        with ONElib's open-object stack (oneWriteLine ONElib.c:2368-2371:
+        writing a line a stacked object doesn't contain pops it, updating
+        the per-instance maxima recorded by startObject/endObject)."""
         stats = {}
+        contains = getattr(self.schema, "contains", {})
+        objstats = {o: {t: [0, 0] for t in sorted(kids)}
+                    for o, kids in contains.items()}
+        stack: List[tuple] = []   # (obj char, {type: count at open},
+                                  #            {type: total at open})
+
+        def end_object():
+            o, c0, t0 = stack.pop()
+            for t, (mc, mt) in objstats[o].items():
+                st = stats.get(t)
+                cnt = (st[0] if st else 0) - c0[t]
+                tot = (st[2] if st else 0) - t0[t]
+                if cnt > mc:
+                    objstats[o][t][0] = cnt
+                if tot > mt:
+                    objstats[o][t][1] = tot
+
         for t, fields in self._lines:
             spec = self.schema.lines[t]
+            while stack and t not in contains.get(stack[-1][0], ()):
+                end_object()
             st = stats.setdefault(t, [0, 0, 0])
             st[0] += 1
             for ftype, v in zip(spec.fields, fields):
@@ -221,11 +271,13 @@ class OneWriter:
                         ll = len(v)
                     st[2] += ll
                     st[1] = max(st[1], ll)
-        # '%' per-object group stats are optional metadata; ONElib accepts
-        # files without them, and emitting them correctly requires modeling
-        # its full object-containment hierarchy — omitted for now.
-        gstats = {}
-        return stats, gstats
+            if spec.is_object and t in objstats:
+                c0 = {k: stats.get(k, (0, 0, 0))[0] for k in objstats[t]}
+                t0 = {k: stats.get(k, (0, 0, 0))[2] for k in objstats[t]}
+                stack.append((t, c0, t0))
+        while stack:
+            end_object()
+        return stats, objstats
 
     def close(self):
         if self._closed:
