@@ -57,6 +57,18 @@ def parse_args(argv: List[str], flags: str = "", opts: str = "",
     return out, pos
 
 
+def opt_int(opts: Dict, key: str, default: int) -> int:
+    """Numeric option with default; unlike `opts.get(k) or d` an explicit
+    0 is honored."""
+    v = opts.get(key)
+    return default if v is None or v is False else int(v)
+
+
+def opt_float(opts: Dict, key: str, default: float) -> float:
+    v = opts.get(key)
+    return default if v is None or v is False else float(v)
+
+
 def _is_number(a: str) -> bool:
     try:
         float(a)

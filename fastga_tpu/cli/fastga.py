@@ -36,12 +36,12 @@ def main(argv=None) -> int:
 
     verbose = opts["v"]
     keep = opts["k"]
-    nthreads = int(opts.get("T") or 8)
-    freq = int(opts.get("f") or 10)
-    chain_break = 2 * int(opts.get("s") or 1000)
-    chain_min = 2 * int(opts.get("c") or 85)
-    align_min = int(opts.get("l") or 100)
-    ident = float(opts.get("i") or 0.7)
+    nthreads = _common.opt_int(opts, "T", 8)
+    freq = _common.opt_int(opts, "f", 10)
+    chain_break = 2 * _common.opt_int(opts, "s", 1000)
+    chain_min = 2 * _common.opt_int(opts, "c", 85)
+    align_min = _common.opt_int(opts, "l", 100)
+    ident = _common.opt_float(opts, "i", 0.7)
     one_name = opts.get("1") or None
 
     t0 = time.time()

@@ -85,7 +85,7 @@ def main(argv=None) -> int:
     if not 1 <= len(pos) <= 2:
         raise _common.ArgError("gdbshow", "expects a source and optional "
                                "selection", USAGE)
-    width = int(opts.get("w") or 80)
+    width = _common.opt_int(opts, "w", 80)
     doseq = not opts["h"]
     upper = bool(opts["u"])
 

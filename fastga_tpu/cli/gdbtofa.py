@@ -35,7 +35,7 @@ def main(argv=None) -> int:
     if not 1 <= len(pos) <= 2:
         raise _common.ArgError("gdbtofa", "expects source and optional "
                                "target", USAGE)
-    width = int(opts.get("w") or 80)
+    width = _common.opt_int(opts, "w", 80)
 
     root = _common._root(Path(pos[0]))
     gdb = gdbm.read_gdb(root)

@@ -59,3 +59,35 @@ def test_alntopaf_matches_reference(ours_aln, args, golden):
 def test_alntopsl_matches_reference(ours_aln):
     got = run_cli(alntopsl.main, [str(ours_aln)])
     assert got == (GOLD / "ref_psl.txt").read_text()
+
+
+# -- ALNshow ------------------------------------------------------------------
+
+from fastga_tpu.cli import alnshow  # noqa: E402
+
+
+@pytest.mark.parametrize("args,golden", [
+    ([], "ref_show_plain.txt"),
+    (["-a"], "ref_show_a.txt"),
+    (["-r", "-w60"], "ref_show_r_w60.txt"),
+    (["-a", "-n"], "ref_show_a_n.txt"),
+])
+def test_alnshow_matches_reference(ours_aln, args, golden):
+    got = run_cli(alnshow.main, args + [str(ours_aln)])
+    # the reference prints the .1aln root name in the banner
+    want = (GOLD / golden).read_text().replace("\nours:", f"\n{ours_aln.stem}:")
+    assert got == want
+
+
+def test_alnshow_selection_reverse(ours_aln):
+    got = run_cli(alnshow.main, [str(ours_aln), "@1-", "@1"])
+    want = (GOLD / "ref_show_sel_rev.txt").read_text().replace(
+        "\nours:", f"\n{ours_aln.stem}:")
+    assert got == want
+
+
+def test_alnshow_border0(ours_aln):
+    got = run_cli(alnshow.main, ["-a", "-b0", str(ours_aln), "@1:0-12k"])
+    want = (GOLD / "ref_show_a_b0_sel.txt").read_text().replace(
+        "\nours:", f"\n{ours_aln.stem}:")
+    assert got == want
