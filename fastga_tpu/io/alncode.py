@@ -75,8 +75,14 @@ class AlnWriter:
     def __init__(self, path, tspace: int, db1_name: str,
                  db2_name: Optional[str], cpath: str,
                  prog: str = "fastga_tpu", version: str = "0.1",
-                 command: str = ""):
-        self.w = onecode.OneWriter(path, ALN_SCHEMA, "aln")
+                 command: str = "", binary: bool = True):
+        """``binary`` matches the reference default (FastGA writes binary
+        .1aln); pass False for the ASCII form."""
+        if binary:
+            from .onecode_binary import BinaryWriter
+            self.w = BinaryWriter(path, ALN_SCHEMA, "aln")
+        else:
+            self.w = onecode.OneWriter(path, ALN_SCHEMA, "aln")
         self.w.add_provenance(prog, version, command or prog)
         self.w.add_reference(db1_name, 1)
         if db2_name is not None:
@@ -130,7 +136,8 @@ class AlnFile:
 
 
 def read_aln(path) -> AlnFile:
-    r = onecode.OneReader(_P(path), ALN_SCHEMA)
+    from .onecode_binary import open_any
+    r = open_any(_P(path), ALN_SCHEMA)
     tspace = 100
     overlaps: List[Overlap] = []
     skeletons: List[GDB] = []

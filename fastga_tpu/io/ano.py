@@ -79,7 +79,8 @@ def read_ano(path, gdb: GDB) -> List[MaskIval]:
     dropped), then sorted per contig by beg (Read_ANO semantics).
     """
     p = ano_path(path)
-    r = onecode.OneReader(p, ANO_SCHEMA)
+    from .onecode_binary import open_any
+    r = open_any(p, ANO_SCHEMA)
     out: List[MaskIval] = []
     # map scaffold -> its contigs, for coordinate conversion
     by_scaf: dict = {}

@@ -305,7 +305,8 @@ def read_gdb(path) -> GDB:
     skel, bps = GDB.paths(path)
     gdb = GDB()
     gdb.bps_path = bps
-    r = onecode.OneReader(skel, GDB_SCHEMA)
+    from .onecode_binary import open_any
+    r = open_any(skel, GDB_SCHEMA)
     if r.references:
         gdb.srcpath = r.references[0].filename
     boff = 0
