@@ -1,0 +1,7 @@
+"""gixmv entry point (see gixxfer.py)."""
+import sys
+
+from .gixxfer import main_mv as main
+
+if __name__ == "__main__":
+    sys.exit(main())

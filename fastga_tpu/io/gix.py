@@ -71,6 +71,33 @@ class GixTable:
     def n(self) -> int:
         return len(self.post)
 
+    def kmer_codes(self, i: int) -> np.ndarray:
+        """Entry i's k-mer as base codes (big-endian within byte)."""
+        kb = self.kbytes[i]
+        out = np.empty(self.kmer, np.uint8)
+        out[0::4] = (kb >> 6) & 3
+        out[1::4] = (kb >> 4) & 3
+        out[2::4] = (kb >> 2) & 3
+        out[3::4] = kb & 3
+        return out
+
+    def searchsorted(self, codes: np.ndarray) -> int:
+        """Index of the first entry >= the given full-k-mer base codes."""
+        import bisect
+        q = codes.reshape(-1, 4)
+        probe = bytes((q[:, 0] << 6) | (q[:, 1] << 4) | (q[:, 2] << 2)
+                      | q[:, 3])
+        rows = self.kbytes
+
+        class _V:
+            def __getitem__(self, k):
+                return rows[k].tobytes()
+
+            def __len__(self):
+                return len(rows)
+
+        return bisect.bisect_left(_V(), probe)
+
     def khi_klo(self) -> Tuple[np.ndarray, np.ndarray]:
         """k-mer packed as (uint64 bases 0..31, uint16 bases 32..39)."""
         kb = self.kbytes
