@@ -113,7 +113,9 @@ def test_gixshow_addresses(rich):
     assert len(lines) == 5  # header + entries 0..3 inclusive (GIXshow.c)
     # dna-prefix range selects exactly the kmers with that prefix
     out2 = run_cli(gixshow.main, [str(rich / "SHOWIX"), "acg"])
-    for ln in out2.splitlines():
+    body = out2.splitlines()[1:]  # skip the column header
+    assert body
+    for ln in body:
         assert ln.split(": ")[1].startswith("acg")
 
 
