@@ -28,8 +28,8 @@ USAGE = ("[-v] [-k] [-T<int(8)>] [-f<int(10)>] [-s<int(1000)>] "
 
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    opts, pos = _common.parse_args(argv, flags="vk",
-                                   opts="TfsclipS", str_opts="1PE")
+    opts, pos = _common.parse_args(argv, flags="vkS",
+                                   opts="Tfsclip", str_opts="1PE")
     if not 1 <= len(pos) <= 2:
         raise _common.ArgError("fastga", "expects 1 or 2 source arguments",
                                USAGE)
@@ -49,9 +49,7 @@ def main(argv=None) -> int:
     if len(pos) == 2:
         gdb2, t2 = _common.resolve_genome(pos[1], nthreads, keep, verbose)
     else:
-        raise _common.ArgError(
-            "fastga", "self-comparison (single source) not implemented yet",
-            USAGE)
+        gdb2, t2 = gdb1, t1   # self-comparison (FastGA A)
 
     params = aligner.FastGAParams(
         freq=freq, chain_break=chain_break, chain_min=chain_min,
@@ -59,7 +57,8 @@ def main(argv=None) -> int:
 
     engine = opts.get("E") or "jax"   # -Eref selects the exact host engine
     ovls, stats = aligner.align_genomes(gdb1, gdb2, t1, t2, params,
-                                        engine=engine, verbose=verbose)
+                                        engine=engine, verbose=verbose,
+                                        symmetric=bool(opts.get("S")))
     if verbose:
         sys.stderr.write(
             f"\n  Total seeds = {stats['nseeds']}, "
@@ -71,12 +70,15 @@ def main(argv=None) -> int:
     cmd = "fastga " + " ".join(argv)
     if one_name:
         out = one_name if one_name.endswith(".1aln") else one_name + ".1aln"
+        selfcmp = len(pos) == 1
         w = alncode.AlnWriter(out, params.tspace,
                               str(Path(pos[0]).resolve()),
-                              str(Path(pos[1]).resolve()),
+                              None if selfcmp
+                              else str(Path(pos[1]).resolve()),
                               str(Path.cwd()), command=cmd)
         w.write_skeleton(gdb1)
-        w.write_skeleton(gdb2)
+        if not selfcmp:
+            w.write_skeleton(gdb2)
         for o in ovls:
             w.write_overlap(o)
         w.close()

@@ -50,14 +50,34 @@ class FastGAParams:
 def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
                   params: FastGAParams = FastGAParams(),
                   engine: str = "ref",
-                  verbose: bool = False) -> Tuple[List[Overlap], dict]:
-    """Full FastGA comparison; returns (overlaps in output order, stats)."""
+                  verbose: bool = False,
+                  symmetric: bool = False) -> Tuple[List[Overlap], dict]:
+    """Full FastGA comparison; returns (overlaps in output order, stats).
+
+    Pass the same gdb/table twice (identical objects) for self-comparison
+    (`FastGA A`): seeds come from within-table adaptamer groups and
+    same-contig forward tubes exclude the main diagonal
+    (FastGA.c:3030-3033, 3245-3262).  ``symmetric`` adds the -S second
+    merge pass with G2 driving (FastGA.c:2410-2470).
+    """
     if engine not in ("ref", "jax"):
         raise ValueError(f"unknown wave engine '{engine}' "
                          f"(expected 'ref' or 'jax')")
+    selfcmp = t2 is t1
     stats = {}
-    seeds = mergem.adaptamer_seeds(t1, t2, freq=params.freq,
-                                   soft_mask=params.soft_mask)
+    if selfcmp:
+        seeds = mergem.self_adaptamer_seeds(t1, freq=params.freq,
+                                            soft_mask=params.soft_mask)
+    else:
+        seeds = mergem.adaptamer_seeds(t1, t2, freq=params.freq,
+                                       soft_mask=params.soft_mask)
+        if symmetric:
+            extra = mergem.adaptamer_seeds_flip(t1, t2, freq=params.freq,
+                                                soft_mask=params.soft_mask)
+            seeds = mergem.SeedBatch(*[
+                np.concatenate([getattr(seeds, f), getattr(extra, f)])
+                for f in ("plen", "acont", "apost", "bcont", "bpost",
+                          "bcomp")])
     stats["nseeds"] = seeds.n
     stats["seed_len_avg"] = (float(seeds.plen.astype(np.float64).mean())
                              if seeds.n else 0.0)
@@ -105,7 +125,8 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
 
     if engine == "jax":
         groups = _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1,
-                               lens2, spec, params, get_a, get_b, stats)
+                               lens2, spec, params, get_a, get_b, stats,
+                               selfcmp)
         for key, ovls in groups:
             nlas += len(ovls)
             out.extend(dedup_group(ovls))
@@ -131,6 +152,7 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
         mlen = alen + blen
         A = get_a(ac, cm)
         B = get_b(bc)
+        self_group = selfcmp and ctg1 == ctg2 and not cm
 
         ovls: List[Overlap] = []
         alast = -1
@@ -156,9 +178,23 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
                         dgmin = -amid
                         if dgmin > dgmax:
                             break
-                p = wave_ref.local_alignment(
-                    spec, A, B, dgmin, dgmax, amid, -1, -1,
-                    selfie=False, acomp=cm, alen=alen, blen=blen)
+                if self_group:
+                    # exclude the main diagonal (FastGA.c:3245-3262)
+                    if dgmin > 0:
+                        p = wave_ref.local_alignment(
+                            spec, A, B, dgmin, dgmax, amid,
+                            dgmin - 1, -1, acomp=cm, alen=alen, blen=blen)
+                    elif dgmax < 0:
+                        p = wave_ref.local_alignment(
+                            spec, A, B, dgmin, dgmax, amid,
+                            -1, -(dgmax + 1), acomp=cm, alen=alen,
+                            blen=blen)
+                    else:
+                        p = wave_ref.Path()
+                else:
+                    p = wave_ref.local_alignment(
+                        spec, A, B, dgmin, dgmax, amid, -1, -1,
+                        selfie=False, acomp=cm, alen=alen, blen=blen)
                 rlen = p.aepos - p.abpos
                 if rlen >= aln_min and aln_rate * rlen >= p.diffs:
                     ovls.append(Overlap(
@@ -353,7 +389,7 @@ def dedup_group(ovls: List[Overlap]) -> List[Overlap]:
 
 
 def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
-                  params, get_a, get_b, stats):
+                  params, get_a, get_b, stats, selfcmp=False):
     """Run the tube-tiling loop with the batched device wave engine.
 
     The per-(group, pairing) tube sequence is inherently order-dependent
@@ -455,6 +491,7 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
         batch_items = []
         batch_q = []
         still = []
+        zero_q = []
         for q in active:
             amid = next_item(q)
             if amid is None:
@@ -464,12 +501,32 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
             ctg2 = int(perm2[br])
             alen = int(lens1[ctg1])
             blen = int(lens2[ctg2])
+            lbord = hbord = -1
+            if selfcmp and ctg1 == ctg2 and not cm:
+                if q.dgmin > 0:
+                    lbord = q.dgmin - 1
+                elif q.dgmax < 0:
+                    hbord = -(q.dgmax + 1)
+                else:
+                    # crossing the main diagonal: zero-length result
+                    zero_q.append((q, int(amid)))
+                    still.append(q)
+                    continue
             batch_items.append(WorkItem(("a", ar, cm), ("b", br),
                                         q.dgmin, q.dgmax, int(amid), cm,
-                                        alen, blen))
+                                        alen, blen, lbord=lbord,
+                                        hbord=hbord))
             batch_q.append((q, int(amid), alen, blen, ctg1, ctg2))
             still.append(q)
+        for q, amid in zero_q:
+            q.alow = amid
+            if q.alow >= q.ahgh:
+                q.alast = q.alow
+                q.started = False
         if not batch_items:
+            if zero_q:
+                active = still
+                continue
             break
         total_calls += len(batch_items)
         paths = ba.run(batch_items)
@@ -489,6 +546,7 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
                 q.alast = q.alow
                 q.started = False
             nxt.append(q)
+        nxt.extend(q for q, _ in zero_q)
         active = nxt
 
     stats["device_calls"] = total_calls
