@@ -591,6 +591,9 @@ class BinaryWriter:
                 indexes.setdefault(t, [data_start]).append(f.tell())
             self._write_binary_line(f, t, spec, fields)
 
+        # newline terminating the binary data region (oneFileClose writes it
+        # before the footer; sequential readers need it)
+        f.write(b"\n")
         # footer: ASCII count lines interleaved with binary '&' index lines
         foot_off = f.tell()
         for kind, c in self.schema.defn_order:
