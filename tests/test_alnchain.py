@@ -80,3 +80,45 @@ def test_alnchain_default_output_name(rr_aln):
     out = rr_aln.parent / "rr.chain.1aln"
     assert out.exists()
     assert len(alncode.read_aln(out).overlaps) > 0
+
+
+# -- PAF importers -------------------------------------------------------------
+
+from fastga_tpu.cli import alntopaf, paftoaln, paftopsl  # noqa: E402
+
+
+def test_paftoaln_matches_reference(rr_aln, tmp_path):
+    paf = tmp_path / "rr.paf"
+    paf.write_text(run_cli_out(alntopaf.main, ["-x", str(rr_aln)]))
+    fa = rr_aln.parent
+    rc = paftoaln.main([str(paf), str(fa / "A.fasta"), str(fa / "B.fasta")])
+    assert rc == 0
+    got = [[o.aread, o.abpos, o.aepos, o.bread, o.bbpos, o.bepos,
+            int(o.bcomp), o.diffs]
+           for o in alncode.read_aln(tmp_path / "rr.1aln").overlaps]
+    want = json.load(open(GOLD / "paftoaln.json"))
+    assert got == want
+
+
+def test_paftopsl_matches_reference(rr_aln, tmp_path):
+    paf = tmp_path / "rr.paf"
+    paf.write_text(run_cli_out(alntopaf.main, ["-x", str(rr_aln)]))
+    got = run_cli_out(paftopsl.main, [str(paf)])
+    assert got == (GOLD / "paftopsl.txt").read_text()
+
+
+def test_psl_consistency(rr_aln, tmp_path):
+    """PSL via .1aln directly == PSL via PAF+CIGAR."""
+    from fastga_tpu.cli import alntopsl
+    paf = tmp_path / "c.paf"
+    paf.write_text(run_cli_out(alntopaf.main, ["-x", str(rr_aln)]))
+    assert run_cli_out(alntopsl.main, [str(rr_aln)]) == \
+        run_cli_out(paftopsl.main, [str(paf)])
+
+
+def run_cli_out(main, args):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(args)
+    assert rc == 0
+    return buf.getvalue()
