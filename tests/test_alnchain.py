@@ -122,3 +122,19 @@ def run_cli_out(main, args):
         rc = main(args)
     assert rc == 0
     return buf.getvalue()
+
+
+# -- ALNplot -------------------------------------------------------------------
+
+from fastga_tpu.cli import alnplot  # noqa: E402
+
+
+@pytest.mark.parametrize("args,golden", [
+    ([], "plot_default.eps"),
+    (["-L", "-G"], "plot_LG.eps"),
+    (["-S", "-W800"], "plot_SW_sel.eps"),
+])
+def test_alnplot_matches_reference(rr_aln, args, golden):
+    sel = ["@1-", "@1"] if golden == "plot_SW_sel.eps" else []
+    got = run_cli_out(alnplot.main, args + [str(rr_aln)] + sel)
+    assert got == (GOLD / golden).read_text()
