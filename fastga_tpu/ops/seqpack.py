@@ -38,17 +38,23 @@ class SeqPool:
     @staticmethod
     def build(seqs: Dict) -> "SeqPool":
         """seqs: key -> numeric uint8 array."""
-        chunks: List[np.ndarray] = []
+        # 5 guard words before the first sequence and after every sequence
+        # so 5-word (64-base + spill) fetches never cross sequences and
+        # negative word indices never clamp onto real data
+        chunks: List[np.ndarray] = [np.zeros(5, dtype=np.uint32)]
         offs = {}
-        woff = 0
+        woff = 5
         for k, s in seqs.items():
             w = pack_u32(np.asarray(s, dtype=np.uint8))
-            # pad 4 guard words of zeros after each sequence so 2-word
-            # fetches never read the next sequence
             chunks.append(w)
-            chunks.append(np.zeros(4, dtype=np.uint32))
+            chunks.append(np.zeros(5, dtype=np.uint32))
             offs[k] = (woff, len(s))
-            woff += len(w) + 4
-        words = (np.concatenate(chunks) if chunks
-                 else np.zeros(1, dtype=np.uint32))
+            woff += len(w) + 5
+        words = np.concatenate(chunks)
+        # pad to a whole number of 512-word half-pages (and >= 1 page): the
+        # pallas wave kernel builds overlapping 1024-word pages at 512 stride
+        target = max(1024, -(-len(words) // 512) * 512)
+        if len(words) < target:
+            words = np.concatenate(
+                [words, np.zeros(target - len(words), dtype=np.uint32)])
         return SeqPool(words, offs)

@@ -92,6 +92,36 @@ def _fetch16(jnp, pool, woff, start):
     return lo | hi
 
 
+def _fetch64_pair(jnp, pool, aw, astart, bw, bstart):
+    """Four 16-base words per side for both sequences with ONE pool gather.
+
+    Gathers on TPU run on the scalar core; batching the 10 word reads of a
+    64-base double-fetch into one [N, 10*W] gather removes ~10 kernel
+    launches per snake step.  Returns (a_words[4], b_words[4]) as uint32
+    [N, W] arrays; out-of-range reads hit the pool guard words.
+    """
+    wa = astart >> 4
+    wb = bstart >> 4
+    sha = ((astart & 15) << 1).astype(jnp.uint32)
+    shb = ((bstart & 15) << 1).astype(jnp.uint32)
+    idxa = jnp.stack([aw[:, None] + wa + k for k in range(5)], axis=1)
+    idxb = jnp.stack([bw[:, None] + wb + k for k in range(5)], axis=1)
+    big = jnp.concatenate([idxa, idxb], axis=1)          # [N, 10, W]
+    words = pool[big].astype(jnp.uint32)                 # one gather
+    out = []
+    for side, sh in ((0, sha), (1, shb)):
+        ws = [words[:, side * 5 + k] for k in range(5)]
+        row = []
+        for k in range(4):
+            lo = jnp.where(sh > 0, ws[k] >> sh, ws[k])
+            hi = jnp.where(sh > 0,
+                           ws[k + 1] << (jnp.uint32(32) - sh),
+                           jnp.uint32(0))
+            row.append(lo | hi)
+        out.append(row)
+    return out[0], out[1]
+
+
 def build_forward_chunk(cfg: WaveConfig, path_ave: int,
                         table: np.ndarray, score: np.ndarray,
                         direction: int = +1):
@@ -112,7 +142,7 @@ def build_forward_chunk(cfg: WaveConfig, path_ave: int,
     wix = jnp.arange(W, dtype=jnp.int32)[None, :]          # [1, W]
 
     def snake(pool, x, k, aw, alen, bw, blen, thi, tlo, m, active):
-        """Chunked match extension with 60-bit window updates."""
+        """Match extension, 64 bases per step, one gather per step."""
         def cond(st):
             return st[-1].any()
 
@@ -120,37 +150,47 @@ def build_forward_chunk(cfg: WaveConfig, path_ave: int,
             x_, thi_, tlo_, m_, cont = st
             y_ = x_ - k
             if fwd:
-                va = jnp.clip(alen - x_, 0, 16)
-                vb = jnp.clip(blen - y_, 0, 16)
-                wa = _fetch16(jnp, pool, aw[:, None], x_)
-                wb = _fetch16(jnp, pool, bw[:, None], y_)
+                va = jnp.clip(alen - x_, 0, 64)
+                vb = jnp.clip(blen - y_, 0, 64)
+                was, wbs = _fetch64_pair(jnp, pool, aw, x_, bw, y_)
             else:
-                va = jnp.clip(x_, 0, 16)
-                vb = jnp.clip(y_, 0, 16)
-                wa = _rev2(jnp, _fetch16(jnp, pool, aw[:, None], x_ - 16))
-                wb = _rev2(jnp, _fetch16(jnp, pool, bw[:, None], y_ - 16))
-            mm = _ctz2(jnp, wa ^ wb)
-            run = jnp.minimum(jnp.minimum(mm, va), vb)
+                va = jnp.clip(x_, 0, 64)
+                vb = jnp.clip(y_, 0, 64)
+                was, wbs = _fetch64_pair(jnp, pool, aw, x_ - 64, bw, y_ - 64)
+                was = [_rev2(jnp, w) for w in was][::-1]
+                wbs = [_rev2(jnp, w) for w in wbs][::-1]
+            mm = [_ctz2(jnp, a ^ b) for a, b in zip(was, wbs)]
+            run = mm[0]
+            full = mm[0] == 16
+            for kk in (1, 2, 3):
+                run = jnp.where(full, 16 * kk + mm[kk], run)
+                full = full & (mm[kk] == 16)
+            run = jnp.minimum(jnp.minimum(run, va), vb)
             run = jnp.where(cont, run, 0)
             # window update: the reference checks bit 60 *before* each
             # shift (align.c:698-701), so a run of r matches increments
-            # m by r - popcount(bits [61-r, 60] of the pre-run vector)
-            runu = run.astype(jnp.uint32)
-            out_bits = jnp.where(
-                run > 0,
-                (thi_ >> (jnp.uint32(29) - runu)) & ((jnp.uint32(1) << runu)
-                                                     - jnp.uint32(1)),
-                jnp.uint32(0))
-            m2 = m_ + run - _popcount32(jnp, out_bits)
-            ones = jnp.where(run > 0,
-                             (jnp.uint32(1) << runu) - jnp.uint32(1),
-                             jnp.uint32(0))
-            thi2 = jnp.where(run > 0,
-                             (thi_ << runu) | (tlo_ >> (jnp.uint32(32) - runu)),
-                             thi_)
-            tlo2 = jnp.where(run > 0, (tlo_ << runu) | ones, tlo_)
+            # m by r - popcount(bits [61-r, 60] of the pre-run vector);
+            # runs up to 64 are applied as four <=16 sub-shifts
+            m2, thi2, tlo2 = m_, thi_, tlo_
+            for kk in range(4):
+                r = jnp.clip(run - 16 * kk, 0, 16)
+                ru = r.astype(jnp.uint32)
+                out_bits = jnp.where(
+                    r > 0,
+                    (thi2 >> (jnp.uint32(29) - ru)) & ((jnp.uint32(1) << ru)
+                                                       - jnp.uint32(1)),
+                    jnp.uint32(0))
+                m2 = m2 + r - _popcount32(jnp, out_bits)
+                ones = jnp.where(r > 0,
+                                 (jnp.uint32(1) << ru) - jnp.uint32(1),
+                                 jnp.uint32(0))
+                nthi = jnp.where(
+                    r > 0,
+                    (thi2 << ru) | (tlo2 >> (jnp.uint32(32) - ru)), thi2)
+                tlo2 = jnp.where(r > 0, (tlo2 << ru) | ones, tlo2)
+                thi2 = nthi
             x2 = x_ + (run if fwd else -run)
-            cont2 = cont & (run == 16)
+            cont2 = cont & (run == 64)
             return x2, thi2, tlo2, m2, cont2
 
         x, thi, tlo, m, _ = jax.lax.while_loop(
@@ -351,23 +391,33 @@ def build_forward_chunk(cfg: WaveConfig, path_ave: int,
         fallback2 = fallback | over | (alive & going & empty)
         alive2 = alive & going & ~over & ~empty
 
-        # --- recenter band in slot space ---
-        center = (low4 + hgh4) >> 1
-        shift = jnp.where(alive2, center - W // 2, 0)   # slots move down
-        src = wix + shift[:, None]
-        srcc = jnp.clip(src, 0, W - 1)
+        # --- recenter band in slot space (only when near the slot edges;
+        # the band drifts <=1 slot/wave so this triggers rarely) ---
+        need = (alive2 & ((low4 <= 2) | (hgh4 >= W - 3))).any()
 
-        def regather(A, fill):
-            G = jnp.take_along_axis(A, srcc, axis=1)
-            return jnp.where((src >= 0) & (src < W), G, fill)
+        def do_recenter(args):
+            V2, Thi2, Tlo2, M2, kbase, low4, hgh4, alive2 = args
+            center = (low4 + hgh4) >> 1
+            shift = jnp.where(alive2, center - W // 2, 0)
+            src = wix + shift[:, None]
+            srcc = jnp.clip(src, 0, W - 1)
 
-        V3 = regather(V2, BAR)
-        Thi3 = regather(Thi2, jnp.uint32(0))
-        Tlo3 = regather(Tlo2, jnp.uint32(0))
-        M3 = regather(M2, jnp.int32(0))
-        kbase2 = kbase + shift
-        low5 = low4 - shift
-        hgh5 = hgh4 - shift
+            def regather(A, fill):
+                G = jnp.take_along_axis(A, srcc, axis=1)
+                return jnp.where((src >= 0) & (src < W), G, fill)
+
+            return (regather(V2, BAR), regather(Thi2, jnp.uint32(0)),
+                    regather(Tlo2, jnp.uint32(0)),
+                    regather(M2, jnp.int32(0)),
+                    kbase + shift, low4 - shift, hgh4 - shift)
+
+        def no_recenter(args):
+            V2, Thi2, Tlo2, M2, kbase, low4, hgh4, alive2 = args
+            return (V2, Thi2, Tlo2, M2, kbase, low4, hgh4)
+
+        (V3, Thi3, Tlo3, M3, kbase2, low5, hgh5) = jax.lax.cond(
+            need, do_recenter, no_recenter,
+            (V2, Thi2, Tlo2, M2, kbase, low4, hgh4, alive2))
 
         st2 = (V3, Thi3, Tlo3, M3, kbase2, low5, hgh5, besta2, bestx2,
                lasta2, trima2, trimx2, trimd2, trim_wave2, trim_slot2,
@@ -417,20 +467,25 @@ def build_wave0(cfg: WaveConfig, direction: int = +1):
             x_, cont = st
             y_ = x_ - k
             if fwd:
-                va = jnp.clip(alen - x_, 0, 16)
-                vb = jnp.clip(blen - y_, 0, 16)
-                wa = _fetch16(jnp, pool, aw[:, None], x_)
-                wb = _fetch16(jnp, pool, bw[:, None], y_)
+                va = jnp.clip(alen - x_, 0, 64)
+                vb = jnp.clip(blen - y_, 0, 64)
+                was, wbs = _fetch64_pair(jnp, pool, aw, x_, bw, y_)
             else:
-                va = jnp.clip(x_, 0, 16)
-                vb = jnp.clip(y_, 0, 16)
-                wa = _rev2(jnp, _fetch16(jnp, pool, aw[:, None], x_ - 16))
-                wb = _rev2(jnp, _fetch16(jnp, pool, bw[:, None], y_ - 16))
-            mm = _ctz2(jnp, wa ^ wb)
-            run = jnp.minimum(jnp.minimum(mm, va), vb)
+                va = jnp.clip(x_, 0, 64)
+                vb = jnp.clip(y_, 0, 64)
+                was, wbs = _fetch64_pair(jnp, pool, aw, x_ - 64, bw, y_ - 64)
+                was = [_rev2(jnp, w) for w in was][::-1]
+                wbs = [_rev2(jnp, w) for w in wbs][::-1]
+            mm = [_ctz2(jnp, a ^ b) for a, b in zip(was, wbs)]
+            run = mm[0]
+            full = mm[0] == 16
+            for kk in (1, 2, 3):
+                run = jnp.where(full, 16 * kk + mm[kk], run)
+                full = full & (mm[kk] == 16)
+            run = jnp.minimum(jnp.minimum(run, va), vb)
             run = jnp.where(cont, run, 0)
             x2 = x_ + (run if fwd else -run)
-            return x2, cont & (run == 16)
+            return x2, cont & (run == 64)
 
         x, _ = jax.lax.while_loop(cond, body, (x, active))
         y = x - k
@@ -532,17 +587,33 @@ class WaveEngine:
     and runs batches to completion, collecting choice logs for replay."""
 
     def __init__(self, spec: AlignSpec, cfg: WaveConfig = WaveConfig()):
+        import os
+
+        import jax
         import jax.numpy as jnp
         self.spec = spec
         self.cfg = cfg
         self.fwd0 = build_wave0(cfg, +1)
         self.rev0 = build_wave0(cfg, -1)
-        self.fwd_chunk, _ = build_forward_chunk(
-            cfg, spec.ave_path, np.asarray(spec.table),
-            np.asarray(spec.score), +1)
-        self.rev_chunk, _ = build_forward_chunk(
-            cfg, spec.ave_path, np.asarray(spec.table),
-            np.asarray(spec.score), -1)
+        # the Pallas in-VMEM kernel is the TPU path; the XLA graph stepper
+        # remains as the CPU/fallback implementation
+        mode = os.environ.get("FASTGA_TPU_WAVE", "auto")
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if mode == "pallas" or (mode == "auto" and on_tpu):
+            from . import wave_pallas
+            self.fwd_chunk = wave_pallas.build_chunk_pallas(
+                cfg, spec.ave_path, spec.mscore, spec.dscore, +1,
+                interpret=not on_tpu)
+            self.rev_chunk = wave_pallas.build_chunk_pallas(
+                cfg, spec.ave_path, spec.mscore, spec.dscore, -1,
+                interpret=not on_tpu)
+        else:
+            self.fwd_chunk, _ = build_forward_chunk(
+                cfg, spec.ave_path, np.asarray(spec.table),
+                np.asarray(spec.score), +1)
+            self.rev_chunk, _ = build_forward_chunk(
+                cfg, spec.ave_path, np.asarray(spec.table),
+                np.asarray(spec.score), -1)
 
     def run(self, pool, tubes: dict, direction: int):
         """tubes: dict of int32 [n<=N] arrays: aw, alen, bw, blen, dgmin,

@@ -1,0 +1,608 @@
+"""Pallas TPU wave kernel: the O(nd) wavefront recurrence in VMEM.
+
+The XLA graph version (ops/wave.py) materializes every [N, W] intermediate
+to HBM — ~67 MB of traffic per wave.  This kernel runs a whole chunk of
+waves per pallas_call with all state resident in VMEM/registers:
+
+- grid over tube blocks (BT=8 tubes = one VPU sublane tile, W lanes);
+- per-tube sequence windows staged in VMEM by DMA from the packed pool in
+  HBM, refilled when the wavefront escapes them;
+- per-lane sequence fetch via one-hot f32 contractions on the MXU (TPUs
+  have no per-lane gather; a [W, SW] one-hot against 16-bit window halves
+  is exact in f32 and nearly free);
+- the suffix-positive trim test computed arithmetically from the match
+  bit-vectors (30 fused VPU steps) instead of the reference's 2^15-entry
+  tables;
+- cummax via log-step shift-max doubling; band recentering via
+  pltpu.roll with per-tube dynamic shifts (gated on band drift).
+
+Semantics are identical to ops/wave.py (same state tuple, same logs, same
+trim/prune rules); tests compare the two step for step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .wave import CH_DIAG, CH_HIGH, CH_LOW, CH_NONE, WaveConfig
+from .wave_ref import TRIM_LEN, TRIM_MLAG, WAVE_LAG
+
+BT = 32         # tubes per program (i1 native sublane tile)
+PGS = 512       # pool page stride in words
+PGS_LOG = 9
+PGW = 1024      # page size: pages overlap 50% so any <=512-word span fits
+                # entirely in page (start_word >> 9); pages are grouped 8
+                # to a [8, PGW] tile so HBM DMA slices are tile-aligned
+SW = PGW - 8    # refill when an active lane's word index passes this
+
+NSC = 16        # scalar-state columns (padded to a nice width)
+(SC_KBASE, SC_LOW, SC_HGH, SC_BESTA, SC_BESTX, SC_LASTA, SC_TRIMA,
+ SC_TRIMX, SC_TRIMD, SC_TRIMW, SC_TRIMS, SC_ALIVE, SC_FALL, SC_DIF) = range(14)
+
+
+def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
+                       dscore: int, direction: int = +1,
+                       interpret: bool = False):
+    """Compile the in-VMEM chunk stepper.
+
+    Returns fn(pool_words_u32, targs, state) -> (state2, chlog, bandlog)
+    with the state-tuple layout of ops/wave.build_forward_chunk.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, W, CW = cfg.n, cfg.w, cfg.chunk
+    assert N % BT == 0
+    NB = N // BT
+    fwd = direction > 0
+    BARv = -1 if fwd else 0x7FFFFFFF
+    PA = path_ave
+
+    def kernel(aw_r, alen_r, bw_r, blen_r, minp_r, maxp_r,
+               V_r, Thi_r, Tlo_r, M_r, sc_r,
+               pool_r,
+               Vo_r, Thio_r, Tloo_r, Mo_r, sco_r, chlog_r, bandlog_r,
+               awin_r, bwin_r, sem_r):
+        BAR = jnp.int32(BARv)
+        NP = pool_r.shape[0] * 8          # pages (incl. edge-replica pads)
+        wix = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
+        swixp = jax.lax.broadcasted_iota(jnp.int32, (W, PGW), 1)
+        big = jnp.int32(1 << 30)
+
+        def shl(A, sh, fill):
+            """out[i] = A[i+sh] with fill on the high end (lane shift via
+            roll; sliced concats trip Mosaic's offset checks)."""
+            r = pltpu.roll(A, W - sh, 1)   # roll requires shift >= 0
+            return jnp.where(wix < W - sh, r, fill)
+
+        def shr(A, sh, fill):
+            """out[i] = A[i-sh] with fill on the low end."""
+            r = pltpu.roll(A, sh, 1)
+            return jnp.where(wix >= sh, r, fill)
+
+        alen = alen_r[:, :]
+        blen = blen_r[:, :]
+        minp = minp_r[:, :]
+        maxp = maxp_r[:, :]
+
+
+        def refill(win_r, base, woff_r, iw, act, slot):
+            """Stage windows so active lanes' word indices fall inside;
+            per-tube DMA refill when they do not.  ``base`` is a [BT, 1]
+            value carried through the loops (windows are per-call scratch,
+            so bases never outlive a pallas_call)."""
+            loc = iw - base
+            bad = act & ((loc < 0) | (loc >= SW))
+            anybad = bad.astype(jnp.int32).max(axis=1)[:, None]  # [BT,1]
+            iww = jnp.where(act, iw, big)
+            want = iww.min(axis=1)[:, None] - 8                  # [BT,1]
+            pgw = jnp.clip(woff_r[:, :] + want, 0, NP * PGS - 1)
+            page = pgw >> PGS_LOG                                # [BT,1]
+            newbase = jnp.where(anybad > 0, page * PGS - woff_r[:, :], base)
+            for t in range(BT):
+                @pl.when(anybad[t, 0] > 0)
+                def _():
+                    dma = pltpu.make_async_copy(
+                        pool_r.at[page[t, 0] >> 3],
+                        win_r.at[t], sem_r.at[slot])
+                    dma.start()
+                    dma.wait()
+            return newbase
+
+        def fetch64(win_r, base, woff_r, iw, sh):
+            """words iw..iw+4 per lane from the staged [8, PGW] page group:
+            a [1, 8] one-hot row dot picks the page sublane (the group DMA
+            is tile-aligned; which page inside it is dynamic), then five
+            [2, PGW] x [W, PGW] contractions pick per-lane words (the word
+            offset k is folded into the one-hot, never into the data —
+            lane-offset relayouts cannot be concatenated on TPU); returns
+            four assembled (funnel-shifted) uint32 words [BT, W]."""
+            loc = jnp.clip(iw - base, 0, PGW - 6)
+            subl = ((base + woff_r[:, :]) >> PGS_LOG) & 7        # [BT,1]
+            rix = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+            outs = [[], [], [], []]
+            for t in range(BT):
+                w32g = win_r[t]                                  # [8, PGW]
+                # Mosaic lacks direct u32<->f32 casts; the 16-bit halves
+                # fit int32 exactly so hop through it
+                lo8 = (w32g & jnp.uint32(0xFFFF)).astype(jnp.int32) \
+                    .astype(jnp.float32)
+                hi8 = (w32g >> jnp.uint32(16)).astype(jnp.int32) \
+                    .astype(jnp.float32)
+                ohrow = (rix == subl[t, 0]).astype(jnp.float32)  # [1, 8]
+                lo = jax.lax.dot_general(
+                    ohrow, lo8, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)          # [1, PGW]
+                hi = jax.lax.dot_general(
+                    ohrow, hi8, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                mat2 = jnp.concatenate([lo, hi], axis=0)         # [2, PGW]
+                loct = loc[t:t + 1, :].reshape(W, 1)             # [W, 1]
+                words5 = []
+                for k in range(5):
+                    ohk = (swixp - k == loct).astype(jnp.float32)  # [W,PGW]
+                    g = jax.lax.dot_general(
+                        mat2, ohk, (((1,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)      # [2, W]
+                    gi = g.astype(jnp.int32).astype(jnp.uint32)
+                    words5.append(gi[0:1, :]
+                                  | (gi[1:2, :] << jnp.uint32(16)))  # [1,W]
+                shv = sh[t:t + 1, :].astype(jnp.uint32)          # [1, W]
+                for k in range(4):
+                    lo_ = jnp.where(shv > 0, words5[k] >> shv, words5[k])
+                    hi_ = jnp.where(shv > 0,
+                                    words5[k + 1] << (jnp.uint32(32) - shv),
+                                    jnp.uint32(0))
+                    outs[k].append(lo_ | hi_)
+            return [jnp.concatenate(o, axis=0) for o in outs]    # 4x [BT,W]
+
+        def popcount(v):
+            v = v - ((v >> 1) & jnp.uint32(0x55555555))
+            v = (v & jnp.uint32(0x33333333)) + ((v >> 2)
+                                                & jnp.uint32(0x33333333))
+            v = (v + (v >> 4)) & jnp.uint32(0x0F0F0F0F)
+            return ((v * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+        def ctz2(x):
+            low = x & (~x + jnp.uint32(1))
+            pc = popcount(low - jnp.uint32(1))
+            return jnp.where(x == 0, 16, pc >> 1)
+
+        def rev2(v):
+            v = ((v >> 2) & jnp.uint32(0x33333333)) | \
+                ((v & jnp.uint32(0x33333333)) << 2)
+            v = ((v >> 4) & jnp.uint32(0x0F0F0F0F)) | \
+                ((v & jnp.uint32(0x0F0F0F0F)) << 4)
+            v = ((v >> 8) & jnp.uint32(0x00FF00FF)) | \
+                ((v & jnp.uint32(0x00FF00FF)) << 8)
+            return (v >> 16) | (v << 16)
+
+        def suffix_max(c):
+            v = c
+            sh = 1
+            while sh < W:
+                v = jnp.maximum(v, shl(v, sh, BAR))
+                sh <<= 1
+            return v
+
+        def prefix_min(c):
+            v = c
+            sh = 1
+            while sh < W:
+                v = jnp.minimum(v, shr(v, sh, BAR))
+                sh <<= 1
+            return v
+
+        def trim_ok(thi, tlo):
+            b15 = tlo & jnp.uint32(0x7FFF)
+            b30 = ((tlo >> jnp.uint32(15)) | (thi << jnp.uint32(17))) \
+                & jnp.uint32(0x7FFF)
+
+            def tab(vbits):
+                s = jnp.zeros((BT, W), jnp.int32)
+                mx = jnp.zeros((BT, W), jnp.int32)
+                for bit in range(TRIM_LEN):
+                    mx = jnp.maximum(mx, s)
+                    b = (vbits >> jnp.uint32(TRIM_LEN - 1 - bit)) \
+                        & jnp.uint32(1)
+                    s = s + jnp.where(b > 0, jnp.int32(mscore),
+                                      jnp.int32(-dscore))
+                return s - mx, s
+
+            t15, s15 = tab(b15)
+            t30, _ = tab(b30)
+            return (t15 >= 0) & (t30 + s15 >= 0)
+
+        def wave_body(wi, carry):
+            V, Thi, Tlo, M, sc, abase, bbase = carry
+            kbase = sc[:, SC_KBASE:SC_KBASE + 1]
+            low = sc[:, SC_LOW:SC_LOW + 1]
+            hgh = sc[:, SC_HGH:SC_HGH + 1]
+            besta = sc[:, SC_BESTA:SC_BESTA + 1]
+            bestx = sc[:, SC_BESTX:SC_BESTX + 1]
+            lasta = sc[:, SC_LASTA:SC_LASTA + 1]
+            trima = sc[:, SC_TRIMA:SC_TRIMA + 1]
+            trimx = sc[:, SC_TRIMX:SC_TRIMX + 1]
+            trimd = sc[:, SC_TRIMD:SC_TRIMD + 1]
+            trimw = sc[:, SC_TRIMW:SC_TRIMW + 1]
+            trims = sc[:, SC_TRIMS:SC_TRIMS + 1]
+            alive = sc[:, SC_ALIVE:SC_ALIVE + 1] > 0
+            fall = sc[:, SC_FALL:SC_FALL + 1] > 0
+            dif = sc[:, SC_DIF:SC_DIF + 1]
+
+            live = alive
+
+            lowd = kbase + low - 1
+            low2 = jnp.where(alive & (lowd >= minp), low - 1, low)
+            hghd = kbase + hgh + 1
+            hgh2 = jnp.where(alive & (hghd <= maxp), hgh + 1, hgh)
+            dif2 = jnp.where(alive, dif + 1, dif)
+
+            is_new_low = (wix == low2) & (low2 != low)
+            is_new_hgh = (wix == hgh2) & (hgh2 != hgh)
+            V1 = jnp.where((is_new_low | is_new_hgh) & live, BAR, V)
+
+            in_band = (wix >= low2) & (wix <= hgh2) & live
+            Vr = jnp.where(in_band, V1, BAR)
+
+            Vm = shr(Vr, 1, BAR)
+            Vp = shl(Vr, 1, BAR)
+            am, ac, ap = Vm, Vr, Vp
+            if fwd:
+                take_p = ((ac < am) & (am < ap)) | (~(ac < am) & (ac < ap))
+                take_m = (ac < am) & ~(am < ap)
+                c_pre = jnp.where(take_p, ap + 1,
+                                  jnp.where(take_m, am + 1, ac + 2))
+            else:
+                take_m = ((ac > ap) & (ap > am)) | (~(ac > ap) & (ac > am))
+                take_p = (ac > ap) & ~(ap > am)
+                c_pre = jnp.where(take_m, am - 1,
+                                  jnp.where(take_p, ap - 1, ac - 2))
+            # select in int32 (uint8 selects force an i1 relayout Mosaic
+            # rejects), convert once at the end
+            choice_i = jnp.where(take_p, jnp.int32(CH_HIGH),
+                                 jnp.where(take_m, jnp.int32(CH_LOW),
+                                           jnp.int32(CH_DIAG)))
+            choice_i = jnp.where(in_band, choice_i, jnp.int32(CH_NONE))
+            choice = choice_i.astype(jnp.uint8)
+
+            def pick(A):
+                Am = jnp.where(wix >= 1, pltpu.roll(A, 1, 1), A)
+                Ap = jnp.where(wix < W - 1, pltpu.roll(A, W - 1, 1), A)
+                return jnp.where(take_p, Ap, jnp.where(take_m, Am, A))
+
+            thi = pick(Thi)
+            tlo = pick(Tlo)
+            m = pick(M)
+            m = m - ((thi >> jnp.uint32(28)) & jnp.uint32(1)).astype(
+                jnp.int32)
+            thi = (thi << 1) | (tlo >> 31)
+            tlo = tlo << 1
+
+            k = kbase + wix
+            x = (c_pre + k) >> 1
+
+            # ---- snake ----
+            def scond(st):
+                return st[4].max() > 0
+
+            def sbody(st):
+                # cont is carried as int32: scf.yield cannot carry i1
+                # vectors on TPU
+                x_, thi_, tlo_, m_, cont_i, ab_, bb_ = st
+                cont = cont_i > 0
+                y_ = x_ - k
+                if fwd:
+                    va = jnp.clip(alen - x_, 0, 64)
+                    vb = jnp.clip(blen - y_, 0, 64)
+                    sa, sb_ = x_, y_
+                else:
+                    va = jnp.clip(x_, 0, 64)
+                    vb = jnp.clip(y_, 0, 64)
+                    sa, sb_ = x_ - 64, y_ - 64
+                iwa = sa >> 4
+                iwb = sb_ >> 4
+                sha = (sa & 15) << 1
+                shb = (sb_ & 15) << 1
+                ab = refill(awin_r, ab_, aw_r, iwa, cont, 0)
+                bb = refill(bwin_r, bb_, bw_r, iwb, cont, 1)
+                was = fetch64(awin_r, ab, aw_r, iwa, sha)
+                wbs = fetch64(bwin_r, bb, bw_r, iwb, shb)
+                if not fwd:
+                    was = [rev2(w) for w in was][::-1]
+                    wbs = [rev2(w) for w in wbs][::-1]
+                mm = [ctz2(a ^ b) for a, b in zip(was, wbs)]
+                run = mm[0]
+                fullr = mm[0] == 16
+                for kk in (1, 2, 3):
+                    run = jnp.where(fullr, 16 * kk + mm[kk], run)
+                    fullr = fullr & (mm[kk] == 16)
+                run = jnp.minimum(jnp.minimum(run, va), vb)
+                run = jnp.where(cont, run, 0)
+                m2, thi2, tlo2 = m_, thi_, tlo_
+                for kk in range(4):
+                    r = jnp.clip(run - 16 * kk, 0, 16)
+                    ru = r.astype(jnp.uint32)
+                    ob = jnp.where(
+                        r > 0,
+                        (thi2 >> (jnp.uint32(29) - ru))
+                        & ((jnp.uint32(1) << ru) - jnp.uint32(1)),
+                        jnp.uint32(0))
+                    m2 = m2 + r - popcount(ob)
+                    ones = jnp.where(r > 0,
+                                     (jnp.uint32(1) << ru) - jnp.uint32(1),
+                                     jnp.uint32(0))
+                    nthi = jnp.where(
+                        r > 0,
+                        (thi2 << ru) | (tlo2 >> (jnp.uint32(32) - ru)),
+                        thi2)
+                    tlo2 = jnp.where(r > 0, (tlo2 << ru) | ones, tlo2)
+                    thi2 = nthi
+                x2 = x_ + (run if fwd else -run)
+                cont2 = (cont & (run == 64)).astype(jnp.int32)
+                return x2, thi2, tlo2, m2, cont2, ab, bb
+
+            x, thi, tlo, m, _, abase2, bbase2 = jax.lax.while_loop(
+                scond, sbody,
+                (x, thi, tlo, m, in_band.astype(jnp.int32), abase, bbase))
+            y = x - k
+            if fwd:
+                b_sent = (y < 0) | (y >= blen)
+                a_sent = ~b_sent & ((x < 0) | (x >= alen))
+            else:
+                b_sent = (y - 1 < 0) | (y - 1 >= blen)
+                a_sent = ~b_sent & ((x - 1 < 0) | (x - 1 >= alen))
+            b_sent = b_sent & in_band
+            a_sent = a_sent & in_band
+            c = (x << 1) - k
+
+            # ---- best/trim updates ----
+            cm = jnp.where(in_band, c, BAR)
+            if fwd:
+                rc = suffix_max(cm)
+                suff_excl = shl(rc, 1, BAR)
+                improver = in_band & (c > jnp.maximum(besta, suff_excl))
+                cbest = rc.max(axis=1)[:, None]
+                better = alive & (cbest > besta)
+            else:
+                rc = prefix_min(cm)
+                pre_excl = shr(rc, 1, BAR)
+                improver = in_band & (c < jnp.minimum(besta, pre_excl))
+                cbest = rc.min(axis=1)[:, None]
+                better = alive & (cbest < besta)
+
+            imp_c = jnp.where(improver, c, BAR)
+            isbest = improver & (imp_c == cbest)
+            bslot = jnp.where(isbest, wix, big).min(axis=1)[:, None]
+            x_at_b = jnp.where(wix == bslot, x, -big).max(axis=1)[:, None]
+            besta2 = jnp.where(better, cbest, besta)
+            bestx2 = jnp.where(better, x_at_b, bestx)
+
+            el = improver & (m >= PA)
+            el_c = jnp.where(el, c, BAR)
+            el_any = el.any(axis=1)[:, None]
+            if fwd:
+                l_val = el_c.max(axis=1)[:, None]
+                l_upd = alive & el_any & (l_val > besta)
+            else:
+                l_val = el_c.min(axis=1)[:, None]
+                l_upd = alive & el_any & (l_val < besta)
+            lasta2 = jnp.where(l_upd, l_val, lasta)
+
+            tok = trim_ok(thi, tlo)
+            et = el & tok
+            et_c = jnp.where(et, c, BAR)
+            et_any = et.any(axis=1)[:, None]
+            if fwd:
+                t_val = et_c.max(axis=1)[:, None]
+                t_upd = alive & et_any & (t_val > besta)
+            else:
+                t_val = et_c.min(axis=1)[:, None]
+                t_upd = alive & et_any & (t_val < besta)
+            t_hit = et & (et_c == t_val)
+            tslot = jnp.where(t_hit, wix, big).min(axis=1)[:, None]
+            x_at_t = jnp.where(wix == tslot, x, -big).max(axis=1)[:, None]
+            trima2 = jnp.where(t_upd, t_val, trima)
+            trimx2 = jnp.where(t_upd, x_at_t, trimx)
+            trimd2 = jnp.where(t_upd, dif2, trimd)
+            trimw2 = jnp.where(t_upd, dif2, trimw)
+            trims2 = jnp.where(t_upd, kbase + tslot, trims)
+
+            V2 = jnp.where(in_band, c, V1)
+            Thi2 = jnp.where(in_band, thi, Thi)
+            Tlo2 = jnp.where(in_band, tlo, Tlo)
+            M2 = jnp.where(in_band, m, M)
+
+            # ---- sentinel clipping ----
+            hit = (a_sent | b_sent).any(axis=1)[:, None]
+            more = ~hit
+            by = besta2 - bestx2
+            if fwd:
+                b_in = (by >= 0) & (by < blen)
+                a_in = (bestx2 >= 0) & (bestx2 < alen)
+            else:
+                b_in = (by - 1 >= 0) & (by - 1 < blen)
+                a_in = (bestx2 - 1 >= 0) & (bestx2 - 1 < alen)
+            more = more | (b_in & a_in)
+
+            if fwd:
+                aclip = jnp.where(a_sent, wix, big).min(axis=1)[:, None]
+                bclip = jnp.where(b_sent, wix, -big).max(axis=1)[:, None]
+                hgh3 = jnp.where(hit & (hgh2 >= aclip), aclip - 1, hgh2)
+                low3 = jnp.where(hit & (low2 <= bclip), bclip + 1, low2)
+            else:
+                aclip = jnp.where(a_sent, wix, -big).max(axis=1)[:, None]
+                bclip = jnp.where(b_sent, wix, big).min(axis=1)[:, None]
+                low3 = jnp.where(hit & (low2 <= aclip), aclip + 1, low2)
+                hgh3 = jnp.where(hit & (hgh2 >= bclip), bclip - 1, hgh2)
+
+            if fwd:
+                ok = in_band & (V2 >= besta2 - WAVE_LAG)
+            else:
+                ok = in_band & (V2 <= besta2 + WAVE_LAG)
+            ok = ok & (wix >= low3) & (wix <= hgh3)
+            anyok = ok.any(axis=1)[:, None]
+            hgh4 = jnp.where(ok, wix, -big).max(axis=1)[:, None]
+            low4 = jnp.where(ok, wix, big).min(axis=1)[:, None]
+            empty = alive & ~anyok
+            hgh4 = jnp.where(anyok, hgh4, low3 - 1)
+            low4 = jnp.where(anyok, low4, low3)
+
+            if fwd:
+                going = more & (lasta2 >= besta2 - TRIM_MLAG)
+            else:
+                going = more & (lasta2 <= besta2 + TRIM_MLAG)
+            width = hgh4 - low4 + 1
+            over = alive & going & (width > W - 4)
+            fall2 = fall | over | (alive & going & empty)
+            alive2 = alive & going & ~over & ~empty
+
+            # ---- gated recenter via per-tube dynamic roll ----
+            need = (alive2 & ((low4 <= 2) | (hgh4 >= W - 3))
+                    ).astype(jnp.int32).max() > 0
+
+            def do_recenter(args):
+                V2, Thi2, Tlo2, M2, kbase, low4, hgh4, alive2 = args
+                center = (low4 + hgh4) >> 1
+                shift = jnp.where(alive2, center - W // 2, 0)   # [BT,1]
+                Vn, Thin, Tlon, Mn = [], [], [], []
+                lix = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+                for t in range(BT):
+                    sh_t = shift[t, 0]
+                    src = lix + sh_t
+                    valid = (src >= 0) & (src < W)
+                    rsh = (-sh_t) % W   # dynamic roll shift must be >= 0
+                    rl = lambda A, fill: jnp.where(
+                        valid, pltpu.roll(A[t:t + 1, :], rsh, 1), fill)
+                    Vn.append(rl(V2, BAR))
+                    Thin.append(rl(Thi2, jnp.uint32(0)))
+                    Tlon.append(rl(Tlo2, jnp.uint32(0)))
+                    Mn.append(rl(M2, jnp.int32(0)))
+                return (jnp.concatenate(Vn, 0), jnp.concatenate(Thin, 0),
+                        jnp.concatenate(Tlon, 0), jnp.concatenate(Mn, 0),
+                        kbase + shift, low4 - shift, hgh4 - shift)
+
+            def no_recenter(args):
+                V2, Thi2, Tlo2, M2, kbase, low4, hgh4, alive2 = args
+                return V2, Thi2, Tlo2, M2, kbase, low4, hgh4
+
+            V3, Thi3, Tlo3, M3, kbase2, low5, hgh5 = jax.lax.cond(
+                need, do_recenter, no_recenter,
+                (V2, Thi2, Tlo2, M2, kbase, low4, hgh4, alive2))
+
+            # ---- logs ----
+            chlog_r[pl.ds(wi, 1)] = choice[None]
+            bandcols = jnp.concatenate(
+                [low2, hgh2, kbase, dif2,
+                 jnp.zeros((BT, 124), jnp.int32)], axis=1)
+            bandlog_r[pl.ds(wi, 1)] = bandcols[None]
+
+            sc2 = jnp.concatenate(
+                [kbase2, low5, hgh5, besta2, bestx2, lasta2, trima2,
+                 trimx2, trimd2, trimw2, trims2,
+                 alive2.astype(jnp.int32), fall2.astype(jnp.int32), dif2,
+                 jnp.zeros((BT, NSC - 14), jnp.int32)], axis=1)
+            return V3, Thi3, Tlo3, M3, sc2, abase2, bbase2
+
+        base0 = jnp.full((BT, 1), -big, jnp.int32)
+        V, Thi, Tlo, M, sc, _, _ = jax.lax.fori_loop(
+            0, CW, wave_body,
+            (V_r[:], Thi_r[:], Tlo_r[:], M_r[:], sc_r[:], base0, base0))
+
+        Vo_r[:] = V
+        Thio_r[:] = Thi
+        Tloo_r[:] = Tlo
+        Mo_r[:] = M
+        sco_r[:] = sc
+
+    # ---- pallas_call wrapper --------------------------------------------
+
+    def col():
+        return pl.BlockSpec((BT, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def row():
+        return pl.BlockSpec((BT, W), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    scs = pl.BlockSpec((BT, NSC), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=(NB,),
+        in_specs=[col(), col(), col(), col(), col(), col(),
+                  row(), row(), row(), row(), scs,
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[row(), row(), row(), row(), scs,
+                   pl.BlockSpec((CW, BT, W), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((CW, BT, 128), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[
+            pltpu.VMEM((BT, 8, PGW), jnp.uint32),
+            pltpu.VMEM((BT, 8, PGW), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, W), jnp.int32),
+            jax.ShapeDtypeStruct((N, W), jnp.uint32),
+            jax.ShapeDtypeStruct((N, W), jnp.uint32),
+            jax.ShapeDtypeStruct((N, W), jnp.int32),
+            jax.ShapeDtypeStruct((N, NSC), jnp.int32),
+            jax.ShapeDtypeStruct((CW, N, W), jnp.uint8),
+            jax.ShapeDtypeStruct((CW, N, 128), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def chunk_fn(pool, targs, st):
+        """Adapter with ops/wave.py's state-tuple interface."""
+        # overlapping page groups [NG, 8, PGW]: page p = words[p*PGS :
+        # p*PGS+PGW] (pure reshape/concat — no gather); edge-replica pad
+        # rows keep every page index from the kernel's clip valid
+        m = pool.shape[0] // PGS
+        r = pool.reshape(m, PGS)
+        pages = jnp.concatenate([r[:-1], r[1:]], axis=1)     # [m-1, PGW]
+        npad = (-(m - 1)) % 8
+        if npad:
+            pages = jnp.concatenate(
+                [pages, jnp.repeat(pages[-1:], npad, axis=0)], axis=0)
+        pages3 = pages.reshape(-1, 8, PGW)
+        (V, Thi, Tlo, M, kbase, low, hgh, besta, bestx, lasta,
+         trima, trimx, trimd, trim_wave, trim_slot,
+         alive, fallback, dif) = st
+        aw, alen, bw, blen, minp, maxp = targs
+        sc = jnp.stack(
+            [kbase, low, hgh, besta, bestx, lasta, trima, trimx, trimd,
+             trim_wave, trim_slot, alive.astype(jnp.int32),
+             fallback.astype(jnp.int32), dif,
+             jnp.zeros_like(kbase), jnp.zeros_like(kbase)], axis=1)
+
+        def c2(v):
+            return v[:, None].astype(jnp.int32)
+
+        V2, Thi2, Tlo2, M2, sc2, chlog, bandlog = call(
+            c2(aw), c2(alen), c2(bw), c2(blen), c2(minp), c2(maxp),
+            V, Thi, Tlo, M, sc, pages3)
+        st2 = (V2, Thi2, Tlo2, M2,
+               sc2[:, SC_KBASE], sc2[:, SC_LOW], sc2[:, SC_HGH],
+               sc2[:, SC_BESTA], sc2[:, SC_BESTX], sc2[:, SC_LASTA],
+               sc2[:, SC_TRIMA], sc2[:, SC_TRIMX], sc2[:, SC_TRIMD],
+               sc2[:, SC_TRIMW], sc2[:, SC_TRIMS],
+               sc2[:, SC_ALIVE] > 0, sc2[:, SC_FALL] > 0, sc2[:, SC_DIF])
+        return st2, chlog, bandlog[:, :, :4]
+
+    return jax.jit(chunk_fn)

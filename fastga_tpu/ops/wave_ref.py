@@ -66,6 +66,8 @@ class AlignSpec:
         self.ave_path = int(PATH_LEN * (1.0 - bf * (1.0 - self.ave_corr)))
         mscore = int(FRACTION * bf * (1.0 - self.ave_corr))
         dscore = FRACTION - mscore
+        self.mscore = mscore
+        self.dscore = dscore
         table = np.zeros(TRIM_MASK + 1, dtype=np.int16)
         score = np.zeros(TRIM_MASK + 1, dtype=np.int16)
         # iterative version of the reference's set_table recursion:

@@ -1,0 +1,72 @@
+"""The Pallas in-VMEM chunk stepper must be bit-identical to the XLA
+graph stepper (ops/wave.py), which in turn replays against the scalar
+reference (test_wave_device.py).  Runs in interpret mode on CPU; the
+same kernel compiles via Mosaic on TPU."""
+
+import numpy as np
+import pytest
+
+
+def _mutate(seq, rate, rng):
+    out = []
+    for b in seq:
+        r = rng.random()
+        if r < rate * 0.6:
+            out.append(rng.integers(0, 4))
+        elif r < rate * 0.8:
+            continue
+        else:
+            out.append(b)
+            if r > 1 - rate * 0.2:
+                out.append(rng.integers(0, 4))
+    return np.array(out, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("direction", [+1, -1])
+def test_pallas_chunk_matches_xla(direction):
+    import jax.numpy as jnp
+
+    from fastga_tpu.ops import seqpack, wave as wavek, wave_pallas
+    from fastga_tpu.ops.wave_ref import AlignSpec
+
+    rng = np.random.default_rng(7)
+    A = rng.integers(0, 4, 30000).astype(np.uint8)
+    B = _mutate(A, 0.10, rng)
+    pool = seqpack.SeqPool.build({"a": A, "b": B})
+    spec = AlignSpec(0.7, 100, False, (0.25, 0.25, 0.25, 0.25))
+    cfg = wavek.WaveConfig(n=32, w=256, chunk=24, max_chunks=64)
+
+    w0 = wavek.build_wave0(cfg, direction)
+    xla_chunk, _ = wavek.build_forward_chunk(
+        cfg, spec.ave_path, np.asarray(spec.table), np.asarray(spec.score),
+        direction)
+    pal = wave_pallas.build_chunk_pallas(
+        cfg, spec.ave_path, spec.mscore, spec.dscore, direction,
+        interpret=True)
+
+    pw = jnp.asarray(pool.words)
+    aw, alen = pool.offs["a"]
+    bw, blen = pool.offs["b"]
+    n = cfg.n
+
+    def pad(v, fill=0):
+        x = np.full(n, fill, np.int32)
+        x[:] = v
+        return jnp.asarray(x)
+
+    targs = (pad(aw), pad(alen, 1), pad(bw), pad(blen, 1),
+             pad(-(1 << 30)), pad(1 << 30))
+    # staggered live seeds across all tubes
+    anti = np.asarray([2 * (8000 + 137 * i) for i in range(n)], np.int32)
+    stx, _ = w0(pw, targs, pad(-20), pad(20), jnp.asarray(anti))
+    stp = stx
+    for ch in range(3):
+        stx, cx, bx = xla_chunk(pw, targs, stx)
+        stp, cp, bp = pal(pw, targs, stp)
+        for i, (a_, b_) in enumerate(zip(stx, stp)):
+            assert np.array_equal(np.asarray(a_), np.asarray(b_)), \
+                f"chunk {ch} state[{i}]"
+        assert np.array_equal(np.asarray(cx), np.asarray(cp)), \
+            f"chunk {ch} choice log"
+        assert np.array_equal(np.asarray(bx), np.asarray(bp)), \
+            f"chunk {ch} band log"
