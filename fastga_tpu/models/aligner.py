@@ -65,6 +65,27 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
                          f"(expected 'ref' or 'jax')")
     selfcmp = t2 is t1
     stats = {}
+    spec = wave_ref.AlignSpec(1.0 - params.align_rate, params.tspace,
+                              False, tuple(gdb1.freq))
+    wave_engine = None
+    pool_bucket = 0
+    if engine == "jax":
+        # start loading the device chunk executables now, overlapped with
+        # the host seed/chain phases; pool sizes are pow2-bucketed so the
+        # warmed executables match the real pool's shape
+        from ..ops import wave as wavek
+        _l1 = gdb1.contig_lengths()
+        _l2 = gdb2.contig_lengths()
+
+        def _words(ls):
+            return int(((ls.astype(np.int64) + 15) // 16 + 5).sum())
+
+        ub = 5 + 2 * _words(_l1) + _words(_l2)
+        pool_bucket = 1 << (max(ub, 1024) - 1).bit_length()
+        _cfg = wavek.WaveConfig(n=256, w=256, chunk=96, max_chunks=512)
+        wave_engine = wavek.WaveEngine(spec, _cfg)
+
+        wave_engine.begin_warmup(pool_bucket)
     if selfcmp:
         seeds = mergem.self_adaptamer_seeds(t1, freq=params.freq,
                                             soft_mask=params.soft_mask)
@@ -97,9 +118,6 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
                                chain_min=params.chain_min)
     stats["nhits"] = tubes.n
 
-    spec = wave_ref.AlignSpec(1.0 - params.align_rate, params.tspace,
-                              False, tuple(gdb1.freq))
-
     aln_min = params.align_min - 50
     aln_rate = params.align_rate + 0.05
 
@@ -126,7 +144,8 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
     if engine == "jax":
         groups = _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1,
                                lens2, spec, params, get_a, get_b, stats,
-                               selfcmp)
+                               selfcmp, wave_engine=wave_engine,
+                               pool_bucket=pool_bucket)
         for key, ovls in groups:
             nlas += len(ovls)
             out.extend(dedup_group(ovls))
@@ -389,7 +408,8 @@ def dedup_group(ovls: List[Overlap]) -> List[Overlap]:
 
 
 def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
-                  params, get_a, get_b, stats, selfcmp=False):
+                  params, get_a, get_b, stats, selfcmp=False,
+                  wave_engine=None, pool_bucket=0):
     """Run the tube-tiling loop with the batched device wave engine.
 
     The per-(group, pairing) tube sequence is inherently order-dependent
@@ -422,12 +442,14 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
         seqs.setdefault(("b", br), None)
     for k in list(seqs):
         seqs[k] = get_a(k[1], k[2]) if k[0] == "a" else get_b(k[1])
-    pool = seqpack.SeqPool.build(seqs)
+    pool = seqpack.SeqPool.build(seqs, target_words=pool_bucket)
 
     # fixed batch geometry so the wave kernels compile once per process
     # (and hit the persistent compilation cache across runs)
-    cfg = wavek.WaveConfig(n=256, w=256, chunk=96, max_chunks=512)
-    ba = BatchAligner(spec, pool.words, pool.offs, lambda k: seqs[k], cfg)
+    cfg = (wave_engine.cfg if wave_engine is not None
+           else wavek.WaveConfig(n=256, w=256, chunk=96, max_chunks=512))
+    ba = BatchAligner(spec, pool.words, pool.offs, lambda k: seqs[k], cfg,
+                      engine=wave_engine)
 
     class QState:
         __slots__ = ("key", "tubes", "ti", "alast", "dgmin", "dgmax",

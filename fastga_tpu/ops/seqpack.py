@@ -36,8 +36,13 @@ class SeqPool:
     offs: Dict[Tuple[int, int], Tuple[int, int]]  # (contig_key) -> (woff, len)
 
     @staticmethod
-    def build(seqs: Dict) -> "SeqPool":
-        """seqs: key -> numeric uint8 array."""
+    def build(seqs: Dict, target_words: int = 0) -> "SeqPool":
+        """seqs: key -> numeric uint8 array.
+
+        The pool is padded to a power-of-two word count (at least
+        ``target_words``): device kernels are compiled per pool shape, so
+        bucketing keeps one compile per size class instead of one per
+        genome."""
         # 5 guard words before the first sequence and after every sequence
         # so 5-word (64-base + spill) fetches never cross sequences and
         # negative word indices never clamp onto real data
@@ -51,9 +56,10 @@ class SeqPool:
             offs[k] = (woff, len(s))
             woff += len(w) + 5
         words = np.concatenate(chunks)
-        # pad to a whole number of 512-word half-pages (and >= 1 page): the
-        # pallas wave kernel builds overlapping 1024-word pages at 512 stride
-        target = max(1024, -(-len(words) // 512) * 512)
+        # pow2 bucket (>= 1024: the pallas wave kernel builds overlapping
+        # 1024-word pages at 512 stride and needs a whole page)
+        target = max(1024, int(target_words))
+        target = 1 << (max(len(words), target) - 1).bit_length()
         if len(words) < target:
             words = np.concatenate(
                 [words, np.zeros(target - len(words), dtype=np.uint32)])

@@ -40,15 +40,31 @@ class BatchAligner:
 
     def __init__(self, spec: AlignSpec, pool_words: np.ndarray,
                  offs: Dict, seq_lookup: Callable[[object], np.ndarray],
-                 cfg: wavek.WaveConfig = wavek.WaveConfig()):
-        import jax.numpy as jnp
+                 cfg: wavek.WaveConfig = wavek.WaveConfig(),
+                 engine: Optional[wavek.WaveEngine] = None):
         self.spec = spec
         self.cfg = cfg
-        self.engine = wavek.WaveEngine(spec, cfg)
-        self.pool = jnp.asarray(pool_words)
+        self.engine = engine if engine is not None \
+            else wavek.WaveEngine(spec, cfg)
+        # pool upload is lazy (first .pool use happens inside engine.run,
+        # safely after any background warmup finishes — uploading here
+        # would trace jax ops concurrently with the warmup thread and
+        # perturb compilation-cache keys)
+        self._pool_words = pool_words
+        self._pool = None
         self.offs = offs
         self.seq = seq_lookup
         self.stats = {"fallbacks": 0, "device_waves": 0, "items": 0}
+
+    @property
+    def pool(self):
+        if self._pool is None:
+            import jax.numpy as jnp
+            if self.engine._warm_evt is not None:
+                self.engine._warm_evt.wait()
+            self._pool = jnp.asarray(self._pool_words)
+            self.engine._pool_np = (id(self._pool), self._pool_words)
+        return self._pool
 
     # -- internals -----------------------------------------------------------
 

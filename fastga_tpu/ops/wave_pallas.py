@@ -34,6 +34,7 @@ PGW = 1024      # page size: pages overlap 50% so any <=512-word span fits
                 # entirely in page (start_word >> 9); pages are grouped 8
                 # to a [8, PGW] tile so HBM DMA slices are tile-aligned
 SW = PGW - 8    # refill when an active lane's word index passes this
+NW = 128        # narrowed fetch window words (band spans ~25)
 
 NSC = 16        # scalar-state columns (padded to a nice width)
 (SC_KBASE, SC_LOW, SC_HGH, SC_BESTA, SC_BESTX, SC_LASTA, SC_TRIMA,
@@ -64,11 +65,10 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                V_r, Thi_r, Tlo_r, M_r, sc_r,
                pool_r,
                Vo_r, Thio_r, Tloo_r, Mo_r, sco_r, chlog_r, bandlog_r,
-               awin_r, bwin_r, sem_r):
+               awin_r, bwin_r, awf_r, bwf_r, sem_r):
         BAR = jnp.int32(BARv)
         NP = pool_r.shape[0] * 8          # pages (incl. edge-replica pads)
         wix = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
-        swixp = jax.lax.broadcasted_iota(jnp.int32, (W, PGW), 1)
         big = jnp.int32(1 << 30)
 
         def shl(A, sh, fill):
@@ -111,55 +111,67 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                     dma.wait()
             return newbase
 
-        def fetch64(win_r, base, woff_r, iw, sh):
-            """words iw..iw+4 per lane from the staged [8, PGW] page group:
-            a [1, 8] one-hot row dot picks the page sublane (the group DMA
-            is tile-aligned; which page inside it is dynamic), then five
-            [2, PGW] x [W, PGW] contractions pick per-lane words (the word
-            offset k is folded into the one-hot, never into the data —
-            lane-offset relayouts cannot be concatenated on TPU); returns
-            four assembled (funnel-shifted) uint32 words [BT, W]."""
+        def fetch64(win_r, wf_r, base, woff_r, iw, sh, act):
+            """words iw..iw+4 per lane from the staged [8, PGW] page group.
+
+            Per tube: a dynamic lane roll narrows the group to the NW
+            words around the tube's minimum active index (the band only
+            spans ~25 words, so NW=128 is ample); four [1, 8] one-hot
+            dots pick the page sublane per byte plane; one [4, NW] x
+            [NW, 5W] one-hot contraction picks per-lane words for all
+            five word offsets at once.  Byte-plane values are <= 255 so
+            the dots are exact at the TPU's default single-pass-bf16
+            matmul precision.  Assembly and funnel shifting run batched
+            over tubes.  Returns four uint32 words [BT, W]."""
             loc = jnp.clip(iw - base, 0, PGW - 6)
+            acti = act.astype(jnp.int32).max(axis=1)[:, None]    # [BT,1]
+            m0 = jnp.clip(jnp.where(act, loc, big).min(axis=1)[:, None],
+                          0, PGW - NW)                           # [BT,1]
+            locn = jnp.clip(loc - m0, 0, NW - 5)                 # [BT,W]
             subl = ((base + woff_r[:, :]) >> PGS_LOG) & 7        # [BT,1]
             rix = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-            outs = [[], [], [], []]
+            six = jax.lax.broadcasted_iota(jnp.int32, (NW, 5 * W), 0)
             for t in range(BT):
-                w32g = win_r[t]                                  # [8, PGW]
-                # Mosaic lacks direct u32<->f32 casts; the 16-bit halves
-                # fit int32 exactly so hop through it
-                lo8 = (w32g & jnp.uint32(0xFFFF)).astype(jnp.int32) \
-                    .astype(jnp.float32)
-                hi8 = (w32g >> jnp.uint32(16)).astype(jnp.int32) \
-                    .astype(jnp.float32)
-                ohrow = (rix == subl[t, 0]).astype(jnp.float32)  # [1, 8]
-                lo = jax.lax.dot_general(
-                    ohrow, lo8, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)          # [1, PGW]
-                hi = jax.lax.dot_general(
-                    ohrow, hi8, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-                mat2 = jnp.concatenate([lo, hi], axis=0)         # [2, PGW]
-                loct = loc[t:t + 1, :].reshape(W, 1)             # [W, 1]
-                words5 = []
-                for k in range(5):
-                    ohk = (swixp - k == loct).astype(jnp.float32)  # [W,PGW]
+                # only tubes with an active lane fetch: after the first
+                # snake iteration almost every tube is done, and fully
+                # dead tubes never pay for the dots at all
+                @pl.when(acti[t, 0] > 0)
+                def _():
+                    w32g = win_r[t]                              # [8, PGW]
+                    wn = pltpu.roll(w32g, (-m0[t, 0]) % PGW, 1)[:, :NW]
+                    ohrow = (rix == subl[t, 0]).astype(jnp.float32)
+                    locn5 = jnp.concatenate(
+                        [locn[t:t + 1, :] + k for k in range(5)], axis=1)
+                    oh5 = (six == locn5).astype(jnp.float32)     # [NW,5W]
+                    rows = []
+                    for b in range(4):
+                        # Mosaic lacks direct u32<->f32 casts: hop via i32
+                        pv = ((wn >> jnp.uint32(8 * b))
+                              & jnp.uint32(0xFF)) \
+                            .astype(jnp.int32).astype(jnp.float32)
+                        rows.append(jax.lax.dot_general(
+                            ohrow, pv, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32))  # [1,NW]
+                    mat4 = jnp.concatenate(rows, axis=0)         # [4, NW]
                     g = jax.lax.dot_general(
-                        mat2, ohk, (((1,), (1,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)      # [2, W]
+                        mat4, oh5, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)      # [4, 5W]
                     gi = g.astype(jnp.int32).astype(jnp.uint32)
-                    words5.append(gi[0:1, :]
-                                  | (gi[1:2, :] << jnp.uint32(16)))  # [1,W]
-                shv = sh[t:t + 1, :].astype(jnp.uint32)          # [1, W]
-                for k in range(4):
-                    lo_ = jnp.where(shv > 0, words5[k] >> shv, words5[k])
-                    hi_ = jnp.where(shv > 0,
-                                    words5[k + 1] << (jnp.uint32(32) - shv),
-                                    jnp.uint32(0))
-                    outs[k].append(lo_ | hi_)
-            return [jnp.concatenate(o, axis=0) for o in outs]    # 4x [BT,W]
+                    wf_r[pl.ds(t, 1), :] = (
+                        gi[0:1, :] | (gi[1:2, :] << jnp.uint32(8))
+                        | (gi[2:3, :] << jnp.uint32(16))
+                        | (gi[3:4, :] << jnp.uint32(24)))        # [1, 5W]
+            wordsall = wf_r[:, :]                                # [BT, 5W]
+            words5 = [wordsall[:, k * W:(k + 1) * W] for k in range(5)]
+            shv = sh.astype(jnp.uint32)                          # [BT, W]
+            outs = []
+            for k in range(4):
+                lo_ = jnp.where(shv > 0, words5[k] >> shv, words5[k])
+                hi_ = jnp.where(shv > 0,
+                                words5[k + 1] << (jnp.uint32(32) - shv),
+                                jnp.uint32(0))
+                outs.append(lo_ | hi_)
+            return outs                                          # 4x [BT,W]
 
         def popcount(v):
             v = v - ((v >> 1) & jnp.uint32(0x55555555))
@@ -311,8 +323,8 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                 shb = (sb_ & 15) << 1
                 ab = refill(awin_r, ab_, aw_r, iwa, cont, 0)
                 bb = refill(bwin_r, bb_, bw_r, iwb, cont, 1)
-                was = fetch64(awin_r, ab, aw_r, iwa, sha)
-                wbs = fetch64(bwin_r, bb, bw_r, iwb, shb)
+                was = fetch64(awin_r, awf_r, ab, aw_r, iwa, sha, cont)
+                wbs = fetch64(bwin_r, bwf_r, bb, bw_r, iwb, shb, cont)
                 if not fwd:
                     was = [rev2(w) for w in was][::-1]
                     wbs = [rev2(w) for w in wbs][::-1]
@@ -546,6 +558,8 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
         scratch_shapes=[
             pltpu.VMEM((BT, 8, PGW), jnp.uint32),
             pltpu.VMEM((BT, 8, PGW), jnp.uint32),
+            pltpu.VMEM((BT, 5 * W), jnp.uint32),
+            pltpu.VMEM((BT, 5 * W), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
