@@ -90,6 +90,9 @@ def main():
     g2 = to_gdb("b", pair["B"])
     t_gdb = time.time() - t0
 
+    if engine == "jax":
+        aligner.prewarm(g1, g2)   # overlap executable load with gix build
+
     t0 = time.time()
     t1 = gixm.build_gix(g1)
     t2 = gixm.build_gix(g2)

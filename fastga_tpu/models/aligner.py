@@ -70,22 +70,9 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
     wave_engine = None
     pool_bucket = 0
     if engine == "jax":
-        # start loading the device chunk executables now, overlapped with
-        # the host seed/chain phases; pool sizes are pow2-bucketed so the
-        # warmed executables match the real pool's shape
-        from ..ops import wave as wavek
-        _l1 = gdb1.contig_lengths()
-        _l2 = gdb2.contig_lengths()
-
-        def _words(ls):
-            return int(((ls.astype(np.int64) + 15) // 16 + 5).sum())
-
-        ub = 5 + 2 * _words(_l1) + _words(_l2)
-        pool_bucket = 1 << (max(ub, 1024) - 1).bit_length()
-        _cfg = wavek.WaveConfig(n=256, w=256, chunk=96, max_chunks=512)
-        wave_engine = wavek.WaveEngine(spec, _cfg)
-
-        wave_engine.begin_warmup(pool_bucket)
+        # start loading the device chunk executables now (if prewarm()
+        # didn't already), overlapped with the host seed/chain phases
+        wave_engine, pool_bucket = _get_engine(gdb1, gdb2, spec)
     if selfcmp:
         seeds = mergem.self_adaptamer_seeds(t1, freq=params.freq,
                                             soft_mask=params.soft_mask)
@@ -405,6 +392,47 @@ def dedup_group(ovls: List[Overlap]) -> List[Overlap]:
 
 
 # -- device-engine scheduler --------------------------------------------------
+
+
+_ENGINE_CACHE: Dict[tuple, object] = {}
+
+
+def _pool_bucket(gdb1, gdb2) -> int:
+    """Pow2 word-count bucket the tube pool for this pair fits in
+    (device kernels compile per pool shape; bucketing bounds the number
+    of distinct shapes)."""
+    def _words(ls):
+        return int(((ls.astype(np.int64) + 15) // 16 + 5).sum())
+
+    ub = 5 + 2 * _words(gdb1.contig_lengths()) + _words(
+        gdb2.contig_lengths())
+    return 1 << (max(ub, 1024) - 1).bit_length()
+
+
+def _get_engine(gdb1, gdb2, spec):
+    """Cached WaveEngine for (spec, bucket); starts a background warmup
+    on first creation."""
+    from ..ops import wave as wavek
+    bucket = _pool_bucket(gdb1, gdb2)
+    key = (round(spec.ave_corr, 9), spec.trace_space, tuple(
+        round(f, 12) for f in spec.freq), bucket)
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        cfg = wavek.WaveConfig(n=256, w=256, chunk=96, max_chunks=512)
+        eng = wavek.WaveEngine(spec, cfg)
+        eng.begin_warmup(bucket)
+        _ENGINE_CACHE[key] = eng
+    return eng, bucket
+
+
+def prewarm(gdb1, gdb2, params: FastGAParams = FastGAParams()):
+    """Kick off the one-time device executable load/compile in the
+    background.  Call right after the GDBs exist (before GIX build) so
+    the load overlaps host-side indexing; align_genomes reuses the
+    warmed engine."""
+    spec = wave_ref.AlignSpec(1.0 - params.align_rate, params.tspace,
+                              False, tuple(gdb1.freq))
+    return _get_engine(gdb1, gdb2, spec)[0]
 
 
 def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
