@@ -115,7 +115,21 @@ def chain_tubes(seeds: SeedBatch, amax: int, bmax: int,
     aa = np.concatenate([anti, anti])
     ll = np.concatenate([lcp2, lcp2])
 
-    order = np.lexsort((tag, aa, pairing, gkey_c, gkey_b, gkey_a))
+    # one stable argsort over exact composite keys when ranges permit
+    # (the 6-key lexsort is 6 stable passes over the doubled stream)
+    pmin = int(pairing.min())
+    npair = int(pairing.max()) - pmin + 1
+    na = int(gkey_a.max()) + 1
+    nb = int(gkey_b.max()) + 1
+    hi_range = na * nb * 2 * npair
+    lo_max = int(aa.max()) * 2 + 1 if len(aa) else 0
+    if hi_range < (1 << 52) and lo_max < (1 << 52) and int(aa.min()) >= 0:
+        hi = (((gkey_a * nb + gkey_b) * 2 + gkey_c) * npair
+              + (pairing - pmin)).astype(np.float64)
+        lo = (aa * 2 + tag).astype(np.float64)
+        order = np.argsort(hi + 1j * lo, kind="stable")
+    else:
+        order = np.lexsort((tag, aa, pairing, gkey_c, gkey_b, gkey_a))
     gkey_a, gkey_b, gkey_c = gkey_a[order], gkey_b[order], gkey_c[order]
     pairing, tag, dg, aa, ll = (pairing[order], tag[order], dg[order],
                                 aa[order], ll[order])

@@ -99,7 +99,7 @@ def _merge_chunk(t1: GixTable, t2: GixTable, sel: np.ndarray,
 
     # insertion points of k1 rows into t2's sorted k-mers via one lexsort:
     # concat, sort by (kmer bytes, src) with T1 entries before equal T2.
-    ins = _rank_into(k1, t2.kbytes)
+    ins = _rank_into(k1, t2.kbytes, _table_halves(t2))
 
     # nearest-neighbour lcps
     pred_ok = ins > 0
@@ -346,13 +346,54 @@ def _flip_chunk(t1: GixTable, t2: GixTable, sel: np.ndarray,
             t2.comp[xs])
 
 
-def _rank_into(k1: np.ndarray, k2: np.ndarray) -> np.ndarray:
+def _halves(k: np.ndarray) -> np.ndarray:
+    """Rows of <=10 key bytes -> complex128 (hi 5 bytes, lo 5 bytes).
+    40-bit halves are float64-exact, and numpy compares complex
+    lexicographically (real then imag), so searchsorted over these keys
+    is an exact 80-bit comparison."""
+    n, kb = k.shape
+    hi = np.zeros(n, np.int64)
+    lo = np.zeros(n, np.int64)
+    for i in range(min(kb, 5)):
+        hi <<= 8
+        hi |= k[:, i]
+    hi <<= 8 * max(0, 5 - kb)
+    for i in range(5, min(kb, 10)):
+        lo <<= 8
+        lo |= k[:, i]
+    lo <<= 8 * max(0, 10 - max(kb, 5))
+    out = np.empty(n, np.complex128)
+    out.real = hi
+    out.imag = lo
+    return out
+
+
+def _table_halves(t: GixTable) -> np.ndarray:
+    """Cached complex128 keys for a table's (sorted) k-mer rows."""
+    h = getattr(t, "_khalves", None)
+    if h is None:
+        h = _halves(t.kbytes)
+        try:
+            t._khalves = h
+        except Exception:
+            pass
+    return h
+
+
+def _rank_into(k1: np.ndarray, k2: np.ndarray,
+               k2_halves: Optional[np.ndarray] = None) -> np.ndarray:
     """For each row of k1: number of rows of (sorted) k2 strictly below it
-    ('left' insertion index).  One lexsort over the concatenation."""
+    ('left' insertion index)."""
     m, kb = k1.shape
     n2 = len(k2)
     if n2 == 0:
         return np.zeros(m, dtype=np.int64)
+    if kb <= 10:
+        # exact 80-bit complex keys: one binary search instead of a
+        # (kb+1)-pass lexsort over the concatenation
+        h2 = k2_halves if k2_halves is not None else _halves(k2)
+        return np.searchsorted(h2, _halves(k1),
+                               side="left").astype(np.int64)
     allk = np.concatenate([k1, k2])
     src = np.concatenate([np.zeros(m, np.uint8), np.ones(n2, np.uint8)])
     keys = tuple([src] + [allk[:, c] for c in range(kb - 1, -1, -1)])
