@@ -1,0 +1,598 @@
+/*  Native exact trace reconstruction: the converters' hot path.
+ *
+ *  C implementation of ops/tracerec.py (same algorithms, same outputs):
+ *  banded O(nd) wave between trace points with the reference aligner's
+ *  tie-breaking (align.c iter_np:5584-5903 semantics), the interval loop
+ *  (Compute_Trace_PTS), and affine-style gap consolidation (Gap_Improver).
+ *
+ *  Exposed through ctypes (see native/__init__.py); ops/tracerec.py falls
+ *  back to the pure-Python versions when this library is unavailable.
+ *
+ *  Sequences are int8 arrays of codes 0..3 with no sentinels; the wrapper
+ *  passes full contig arrays and absolute coordinates.  Output trace is
+ *  the signed-indel convention: -(a+1) = A position a deleted (gap in B),
+ *  +(b+1) = B position b inserted (gap in A).
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define GREEDIEST 0
+#define UPPERMOST 1
+#define LOWERMOST 2
+
+#define LONG_SNAKE 50
+#define ORIGIN 3
+
+typedef struct
+  { int64_t *pvf;       /* (dmax+3) x W           */
+    int8_t  *phf;
+    int      rows, W;
+    int32_t *out;       /* trace output buffer    */
+    int      ocap, olen;
+    int     *gf, *gg, *gh;  /* gap_improver arrays */
+    int      gcap, ghcap;
+  } Work;
+
+static int ensure_wave(Work *w, int rows, int W)
+{ if (rows > w->rows || W > w->W)
+    { free(w->pvf); free(w->phf);
+      if (rows < w->rows) rows = w->rows;
+      if (W < w->W) W = w->W;
+      w->pvf = (int64_t *) malloc(sizeof(int64_t)*rows*W);
+      w->phf = (int8_t *) malloc((size_t)rows*W);
+      if (w->pvf == NULL || w->phf == NULL) return (-1);
+      w->rows = rows; w->W = W;
+    }
+  return (0);
+}
+
+static int ensure_out(Work *w, int need)
+{ if (w->olen + need > w->ocap)
+    { int cap = w->ocap*2 + need + 4096;
+      int32_t *n = (int32_t *) realloc(w->out, sizeof(int32_t)*cap);
+      if (n == NULL) return (-1);
+      w->out = n; w->ocap = cap;
+    }
+  return (0);
+}
+
+Work *trw_new(void)
+{ return (Work *) calloc(1, sizeof(Work)); }
+
+void trw_free(Work *w)
+{ if (w == NULL) return;
+  free(w->pvf); free(w->phf); free(w->out);
+  free(w->gf); free(w->gg); free(w->gh);
+  free(w);
+}
+
+static inline int8_t getA(const int8_t *A, int64_t alen, int64_t i)
+{ return (i < 0 || i >= alen) ? 4 : A[i]; }
+
+/* one interval: align A[aoff..aoff+M) vs B[boff..boff+N).
+   Returns diffs, appends signed trace ints to w->out; -1 on error. */
+static int iter_np(Work *w, const int8_t *A, int64_t alen,
+                   const int8_t *B, int64_t blen,
+                   int64_t aoff, int64_t boff, int M, int N,
+                   int dmax, int posl, int posh, int mode)
+{ int delv = M - N;
+  int low0 = delv < 0 ? delv : 0;
+  int hgh0 = delv > 0 ? delv : 0;
+  int half = dmax/2 + 2;
+  int W = (hgh0 - low0) + 2*half + 3;
+  int koff = 1 - (low0 - half);
+  int rows = dmax + 3;
+  int low, hgh, D, k;
+  int64_t *PVF; int8_t *PHF;
+
+  if (ensure_wave(w, rows, W)) return (-1);
+  PVF = w->pvf; PHF = w->phf;
+
+#define VF(d,kk) PVF[(size_t)((d)+2)*w->W + (kk) + koff]
+#define HF(d,kk) PHF[(size_t)((d)+2)*w->W + (kk) + koff]
+
+  { int i;
+    for (i = low0-half; i <= hgh0+half+1; i++)
+      { VF(-2,i) = -2; VF(-1,i) = -2; }
+  }
+  VF(-1,0) = -1;
+
+  low = low0 + 1;
+  hgh = hgh0 - 1;
+
+  for (D = 0; 1; D++)
+    { int64_t j, ap, am, ac;
+      if (D > dmax) return (-1);
+      if ((D & 1) == 0)
+        { if (low > posl) low -= 1;
+          if (hgh < posh) hgh += 1;
+        }
+      VF(D,hgh+1) = VF(D,low-1) = -2;
+
+#define FS_MOVE(kk,mdir,pdir)                                       \
+      { int64_t lim = (N < M-(kk)) ? N : M-(kk);                    \
+        if (ac < am)                                                \
+          { if (ap < am) { HF(D,kk) = mdir; j = am; }               \
+            else         { HF(D,kk) = pdir; j = ap; }               \
+          }                                                         \
+        else                                                        \
+          { if (ap < ac) { HF(D,kk) = 0; j = ac; }                  \
+            else         { HF(D,kk) = pdir; j = ap; }               \
+          }                                                         \
+        while (j < lim &&                                           \
+               getA(B,blen,boff+j) == getA(A,alen,aoff+(kk)+j))     \
+          j += 1;                                                   \
+        VF(D,kk) = j;                                               \
+      }
+
+      j = -2;
+      for (k = hgh; k > delv; k--)
+        { ap = j + 1;
+          am = VF(D-2,k-1);
+          ac = VF(D-1,k) + 1;
+          FS_MOVE(k,-1,4)
+        }
+      j = -2;
+      for (k = low; k < delv; k++)
+        { ap = VF(D-2,k+1) + 1;
+          am = j;
+          ac = VF(D-1,k) + 1;
+          FS_MOVE(k,2,1)
+        }
+      ap = VF(D,delv+1) + 1;
+      am = j;
+      ac = VF(D-1,delv) + 1;
+      FS_MOVE(delv,2,4)
+
+      if (VF(D,delv) >= N)
+        break;
+    }
+
+  /* traceback: reverse predecessor chain in place */
+  { int64_t c = N;
+    int d = D, h, m, e;
+    k = delv;
+    HF(0,0) = ORIGIN;
+    e = HF(d,k);
+    HF(d,k) = ORIGIN;
+
+    if (mode == UPPERMOST)
+      { while (e != ORIGIN)
+          { h = k + e;
+            if (e > 1) h -= 3;
+            else if (e == 0) d -= 1;
+            else d -= 2;
+            if (h < k)
+              { int64_t mm = (k < 0) ? -k : 0;
+                if (VF(d,h) <= c) c = VF(d,h) - 1;
+                while (c >= mm &&
+                       getA(A,alen,aoff+k+c) == getA(B,blen,boff+c))
+                  c -= 1;
+                if (e == -1)
+                  { if (c <= VF(d+2,k+1)) { e = 4; h = k+1; d = d+2; }
+                    else if (c == VF(d+1,k)) { e = 0; h = k; d = d+1; }
+                    else VF(d,h) = c+1;
+                  }
+                else
+                  { int m2 = (k == delv) ? d : d-2;
+                    if (c <= VF(m2,k+1))
+                      { e = (k == delv) ? 4 : 1; h = k+1; d = m2; }
+                    else if (c == VF(d-1,k)) { e = 0; h = k; d = d-1; }
+                    else VF(d,h) = c+1;
+                  }
+              }
+            m = HF(d,h); HF(d,h) = e; e = m; k = h;
+          }
+      }
+    else if (mode == LOWERMOST)
+      { while (e != ORIGIN)
+          { h = k + e;
+            if (e > 1) h -= 3;
+            else if (e == 0) d -= 1;
+            else d -= 2;
+            if (h > k)
+              { int64_t mm = (k < 0) ? -k : 0;
+                if (VF(d,h) < c) c = VF(d,h);
+                while (c >= mm &&
+                       getA(A,alen,aoff+k+c) == getA(B,blen,boff+c))
+                  c -= 1;
+                if (e == 1)
+                  { if (c < VF(d+2,k-1)) { e = 2; h = k-1; d = d+2; }
+                    else if (c == VF(d+1,k)) { e = 0; h = k; d = d+1; }
+                    else { VF(d,h) = c; c -= 1; }
+                  }
+                else
+                  { int m2 = (k == delv) ? d : d-2;
+                    if (c < VF(m2,k-1))
+                      { e = (k == delv) ? 2 : -1; h = k-1; d = m2; }
+                    else if (c == VF(d-1,k)) { e = 0; h = k; d = d-1; }
+                    else { VF(d,h) = c; c -= 1; }
+                  }
+              }
+            m = HF(d,h); HF(d,h) = e; e = m; k = h;
+          }
+      }
+    else
+      { while (e != ORIGIN)
+          { h = k + e;
+            if (e > 1) h -= 3;
+            else if (e == 0) d -= 1;
+            else d -= 2;
+            m = HF(d,h); HF(d,h) = e; e = m; k = h;
+          }
+      }
+
+    /* forward emission */
+    { int64_t ap_base = -aoff - 1;
+      int64_t bp_base = boff + 1;
+      k = 0; d = 0;
+      e = HF(0,0);
+      while (e != ORIGIN)
+        { int64_t cc = VF(d,k);
+          h = k - e;
+          if (e > 1) h += 3;
+          else if (e == 0) d += 1;
+          else d += 2;
+          if (h > k)
+            { if (ensure_out(w,1)) return (-1);
+              w->out[w->olen++] = (int32_t)(bp_base + cc);
+            }
+          else if (h < k)
+            { if (ensure_out(w,1)) return (-1);
+              w->out[w->olen++] = (int32_t)(ap_base - (cc + k));
+            }
+          k = h;
+          e = HF(d,h);
+        }
+    }
+  }
+#undef VF
+#undef HF
+#undef FS_MOVE
+  return D + (delv < 0 ? -delv : delv);
+}
+
+/*  Full reconstruction.  tpts = (diff,badv) pairs, ntp pairs.
+ *  Returns diffs (>=0) or -1; trace placed in w->out (w->olen ints). */
+int trw_compute_trace_pts(Work *w,
+                          const int8_t *A, int64_t alen,
+                          const int8_t *B, int64_t blen,
+                          int64_t abpos, int64_t aepos,
+                          int64_t bbpos, int64_t bepos,
+                          const int32_t *tpts, int ntp,
+                          int tspace, int mode, int selfie)
+{ int dmax = 0, i, d;
+  int64_t ab, ae, bb, be, db;
+  int64_t dlow = -0x3FFFFFFFll, dhgh = 0x3FFFFFFFll;
+  int diffs = 0;
+
+  w->olen = 0;
+  for (i = 0; i < ntp; i++)
+    if (tpts[2*i] > dmax) dmax = tpts[2*i];
+  if (dmax & 1) dmax += 1;
+
+  db = abpos - bbpos;
+  if (selfie)
+    { int64_t de = aepos - bepos;
+      if (db == 0 || de == 0 || (db > 0) != (de > 0)) return (-1);
+      if (db < 0) dhgh = -1; else dlow = 1;
+    }
+
+  ab = abpos;
+  ae = (ab/tspace)*tspace;
+  bb = bbpos;
+  for (i = 0; i < ntp-1; i++)
+    { ae = ae + tspace;
+      be = bb + tpts[2*i+1];
+      if (ae > alen || be > blen) return (-1);
+      db = ab - bb;
+      d = iter_np(w, A, alen, B, blen, ab, bb, (int)(ae-ab), (int)(be-bb),
+                  dmax, (int)(dlow-db) < -0x3FFFFFFF ? -0x3FFFFFFF
+                                                     : (int)(dlow-db),
+                  (int)(dhgh-db) > 0x3FFFFFFF ? 0x3FFFFFFF
+                                              : (int)(dhgh-db), mode);
+      if (d < 0) return (-1);
+      diffs += d;
+      ab = ae; bb = be;
+    }
+  ae = aepos; be = bepos;
+  if (ae > alen || be > blen) return (-1);
+  db = ab - bb;
+  d = iter_np(w, A, alen, B, blen, ab, bb, (int)(ae-ab), (int)(be-bb),
+              dmax, (int)(dlow-db) < -0x3FFFFFFF ? -0x3FFFFFFF
+                                                 : (int)(dlow-db),
+              (int)(dhgh-db) > 0x3FFFFFFF ? 0x3FFFFFFF : (int)(dhgh-db),
+              mode);
+  if (d < 0) return (-1);
+  diffs += d;
+  return diffs;
+}
+
+int32_t *trw_trace(Work *w) { return w->out; }
+int      trw_trace_len(Work *w) { return w->olen; }
+
+/* ---- gap improver ------------------------------------------------------ */
+
+static inline int8_t g1A(const int8_t *A, int64_t alen, int64_t ix)
+{ /* mirrors the Python padded-array convention Ap[ix]: two leading
+     sentinels, so Ap[ix] = element ix-1 (1-based) = A[ix-2] */
+  return (ix < 2 || ix > alen + 1) ? 4 : A[ix-2]; }
+
+static int g_hamming(const int8_t *A, int64_t alen, int64_t ai,
+                     const int8_t *B, int64_t blen, int64_t bi, int64_t n)
+{ int h = 0; int64_t i;
+  for (i = 0; i < n; i++)
+    { int8_t x = g1A(A,alen,ai+1+i);
+      if (x == 4) break;
+      { int8_t y = g1A(B,blen,bi+1+i);
+        if (x != y)
+          { if (y == 4) break;
+            h += 1;
+          }
+      }
+    }
+  return h;
+}
+
+static int64_t g_snake(const int8_t *A, int64_t alen, int64_t ai,
+                       const int8_t *B, int64_t blen, int64_t bi)
+{ int64_t i = 0;
+  while (1)
+    { int8_t x = g1A(A,alen,ai+1+i);
+      if (x == 4 || x != g1A(B,blen,bi+1+i)) break;
+      i += 1;
+    }
+  return i;
+}
+
+static int64_t g_rsnake(const int8_t *A, int64_t alen, int64_t ai,
+                        const int8_t *B, int64_t blen, int64_t bi)
+{ int64_t i = 0;
+  while (1)
+    { int8_t x = g1A(A,alen,ai-i);
+      if (x == 4 || x != g1A(B,blen,bi-i)) break;
+      i += 1;
+    }
+  return i;
+}
+
+static int ensure_gaps(Work *w, int diag, int hgt)
+{ if (diag > w->gcap)
+    { free(w->gf); free(w->gg);
+      w->gcap = diag*2 + 256;
+      w->gf = (int *) malloc(sizeof(int)*w->gcap);
+      w->gg = (int *) malloc(sizeof(int)*w->gcap);
+      if (w->gf == NULL || w->gg == NULL) return (-1);
+    }
+  if (diag*hgt > w->ghcap)
+    { free(w->gh);
+      w->ghcap = diag*hgt*2 + 1024;
+      w->gh = (int *) malloc(sizeof(int)*w->ghcap);
+      if (w->gh == NULL) return (-1);
+    }
+  return (0);
+}
+
+/* in-place trace rewrite; returns diff adjustment or INT32_MIN on error */
+int trw_gap_improver(Work *w,
+                     const int8_t *A, int64_t alen,
+                     const int8_t *B, int64_t blen,
+                     int64_t abpos, int64_t bbpos, int64_t aepos,
+                     int32_t *t, int T)
+{ int cdiff = 0;
+  int64_t d = abpos - bbpos;
+  int x = 0;
+  int32_t q;
+
+  if (T == 0) return 0;
+  q = t[0];
+  while (x < T)
+    { int32_t p = q;
+      int m = x;
+      int64_t Fdag = d;
+      int64_t Fpos = p, Lpos;
+      int Hamm = 0, Gaps = 1, Diag;
+      while (1)
+        { x += 1;
+          q = 0;
+          if (x >= T || (q = t[x]) != p)
+            { m = x - m;
+              if (p < 0)
+                { d -= m;
+                  if (q >= 0) break;
+                  if (p - q >= LONG_SNAKE) break;
+                  Hamm += g_hamming(A,alen,-p, B,blen,-(d+p), p-q);
+                }
+              else
+                { d += m;
+                  if (q <= 0) break;
+                  if (q - p >= LONG_SNAKE) break;
+                  Hamm += g_hamming(A,alen,p+d, B,blen,p, q-p);
+                }
+              Gaps += 1;
+              p = q;
+              m = x;
+            }
+        }
+      if (Gaps == 1) continue;
+      Lpos = p;
+      Diag = (int)((Fdag > d ? Fdag - d : d - Fdag) + 1);
+
+      if (ensure_gaps(w, Diag, Gaps + Hamm + 2)) return INT32_MIN;
+
+      if (Fpos < 0)
+        { int64_t pb;
+          int passes, hn;
+          Fpos = -Fpos; Lpos = -Lpos;
+          if (x < Diag) pb = 0;
+          else { int32_t mm = t[x-Diag];
+                 pb = (mm < 0) ? -mm : mm + Fdag; }
+          while (g1A(A,alen,Fpos) != g1A(B,blen,Fpos-Fdag)
+                 && g1A(A,alen,Fpos) != 4
+                 && g1A(B,blen,Fpos-Fdag) != 4)
+            { if (Fpos <= pb) break;
+              Fpos -= 1;
+            }
+          if (x >= T) pb = alen;
+          else { int32_t mm = t[x];
+                 pb = (mm < 0) ? -mm : mm + d; }
+          while (g1A(A,alen,Lpos+1) != g1A(B,blen,Lpos-d+1)
+                 && g1A(A,alen,Lpos+1) != 4
+                 && g1A(B,blen,Lpos-d+1) != 4)
+            { if (Lpos >= pb) break;
+              Lpos += 1;
+            }
+
+          { int64_t m2;
+            int fi;
+            int *F = w->gf, *G = w->gg, *H = w->gh;
+            int64_t pcur = Fpos + g_snake(A,alen,Fpos,B,blen,Fpos-Fdag);
+            F[0] = (int)pcur;
+            for (fi = 1; fi < Diag; fi++) F[fi] = (int)(Fpos - 2);
+            memset(G, 0, sizeof(int)*Diag);
+            passes = 0;
+            hn = 0;
+            pcur = Fpos;
+            while (pcur < Lpos)
+              { int b = (int)Fpos, c2 = 0;
+                int u = 0x7FFFFFFF;
+                fi = 0;
+                for (m2 = Fdag; m2 >= d; m2--)
+                  { int n = F[fi];
+                    if (n >= b)
+                      { pcur = n + 1;
+                        H[hn++] = 0;
+                        if (n > b)
+                          { c2 = 0; u = G[fi] + 1; b = n; }
+                        else
+                          { if (G[fi] + 1 < u) { c2 = 0; u = G[fi] + 1; }
+                            else c2 += 1;
+                          }
+                      }
+                    else
+                      { n += 1;
+                        pcur = b;
+                        c2 += 1;
+                        if (n == b)
+                          { if (G[fi] < u) H[hn++] = 0;
+                            else { H[hn++] = c2; G[fi] = u; }
+                          }
+                        else { H[hn++] = c2; G[fi] = u; }
+                      }
+                    pcur += g_snake(A,alen,pcur,B,blen,pcur-m2);
+                    F[fi] = (int)pcur;
+                    fi += 1;
+                  }
+                passes += 1;
+              }
+            if (passes < Gaps + Hamm)
+              { int y = x, nham = 0;
+                int hrow = hn;
+                pcur = Lpos;
+                m2 = d;
+                while (hrow > 0)
+                  { int kk;
+                    pcur -= g_rsnake(A,alen,pcur,B,blen,pcur-m2);
+                    if (pcur < Fpos) pcur = Fpos;
+                    hrow -= Diag;
+                    kk = H[hrow + (int)(Fdag - m2)];
+                    if (kk == 0) { pcur -= 1; nham += 1; }
+                    else
+                      { m2 += kk;
+                        for (; kk > 0; kk--) t[--y] = (int32_t)(-pcur);
+                      }
+                  }
+                cdiff += nham - Hamm;
+              }
+          }
+        }
+      else
+        { int64_t pb;
+          int passes, hn;
+          if (x < Diag) pb = 0;
+          else { int32_t mm = t[x-Diag];
+                 pb = (mm < 0) ? -(mm + Fdag) : mm; }
+          while (g1A(B,blen,Fpos) != g1A(A,alen,Fpos+Fdag)
+                 && g1A(B,blen,Fpos) != 4
+                 && g1A(A,alen,Fpos+Fdag) != 4)
+            { if (Fpos <= pb) break;
+              Fpos -= 1;
+            }
+          if (x >= T) pb = blen;
+          else { int32_t mm = t[x];
+                 pb = (mm < 0) ? -(mm + d) : mm; }
+          while (g1A(B,blen,Lpos+1) != g1A(A,alen,Lpos+d+1)
+                 && g1A(B,blen,Lpos+1) != 4
+                 && g1A(A,alen,Lpos+d+1) != 4)
+            { if (Lpos >= pb) break;
+              Lpos += 1;
+            }
+
+          { int64_t m2;
+            int fi;
+            int *F = w->gf, *G = w->gg, *H = w->gh;
+            int64_t pcur = Fpos + g_snake(A,alen,Fpos+Fdag,B,blen,Fpos);
+            F[0] = (int)pcur;
+            for (fi = 1; fi < Diag; fi++) F[fi] = (int)(Fpos - 2);
+            memset(G, 0, sizeof(int)*Diag);
+            passes = 0;
+            hn = 0;
+            pcur = Fpos;
+            while (pcur < Lpos)
+              { int b = (int)Fpos, c2 = 0;
+                int u = 0x7FFFFFFF;
+                fi = 0;
+                for (m2 = Fdag; m2 <= d; m2++)
+                  { int n = F[fi];
+                    if (n >= b)
+                      { pcur = n + 1;
+                        H[hn++] = 0;
+                        if (n > b)
+                          { c2 = 0; u = G[fi] + 1; b = n; }
+                        else
+                          { if (G[fi] + 1 < u) { c2 = 0; u = G[fi] + 1; }
+                            else c2 += 1;
+                          }
+                      }
+                    else
+                      { n += 1;
+                        pcur = b;
+                        c2 += 1;
+                        if (n == b)
+                          { if (G[fi] < u) H[hn++] = 0;
+                            else { H[hn++] = c2; G[fi] = u; }
+                          }
+                        else { H[hn++] = c2; G[fi] = u; }
+                      }
+                    pcur += g_snake(A,alen,m2+pcur,B,blen,pcur);
+                    F[fi] = (int)pcur;
+                    fi += 1;
+                  }
+                passes += 1;
+              }
+            if (passes < Gaps + Hamm)
+              { int y = x, nham = 0;
+                int hrow = hn;
+                pcur = Lpos;
+                m2 = d;
+                while (hrow > 0)
+                  { int kk;
+                    pcur -= g_rsnake(A,alen,pcur+m2,B,blen,pcur);
+                    if (pcur < Fpos) pcur = Fpos;
+                    hrow -= Diag;
+                    kk = H[hrow + (int)(m2 - Fdag)];
+                    if (kk == 0) { pcur -= 1; nham += 1; }
+                    else
+                      { m2 -= kk;
+                        for (; kk > 0; kk--) t[--y] = (int32_t)pcur;
+                      }
+                  }
+                cdiff += nham - Hamm;
+              }
+          }
+        }
+    }
+  return cdiff;
+}

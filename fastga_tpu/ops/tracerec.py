@@ -29,7 +29,9 @@ test requirement, the implementation is fresh):
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+import ctypes
+import threading
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -48,6 +50,73 @@ _ORIGIN = 3
 
 class TraceError(Exception):
     pass
+
+
+# ---- native fast path (fastga_tpu/native/tracerec.c via ctypes) ----------
+
+_nat_lock = threading.Lock()
+_nat_work = None
+
+
+def _i8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+
+
+def _native_compute(A, B, abpos, aepos, bbpos, bepos, tpoints, tspace,
+                    mode, selfie) -> Optional[Tuple[List[int], int]]:
+    """C implementation of the default (band-free) compute_trace_pts
+    path; None means "use the Python implementation" (unavailable, or the
+    C core reported an error the Python path diagnoses properly)."""
+    from .. import native
+    lib = native.get_tracerec()
+    if lib is None or len(tpoints) == 0:
+        return None
+    A8 = np.ascontiguousarray(np.asarray(A, np.int8))
+    B8 = np.ascontiguousarray(np.asarray(B, np.int8))
+    tp = np.ascontiguousarray(np.asarray(tpoints, np.int64)
+                              .astype(np.int32).reshape(-1))
+    global _nat_work
+    with _nat_lock:
+        if _nat_work is None:
+            _nat_work = lib.trw_new()
+        w = _nat_work
+        d = lib.trw_compute_trace_pts(
+            w, _i8p(A8), len(A8), _i8p(B8), len(B8),
+            int(abpos), int(aepos), int(bbpos), int(bepos),
+            tp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(tpoints), int(tspace), int(mode), int(bool(selfie)))
+        if d < 0:
+            return None
+        n = lib.trw_trace_len(w)
+        if n:
+            tr = np.ctypeslib.as_array(lib.trw_trace(w),
+                                       shape=(n,)).tolist()
+        else:
+            tr = []
+    return tr, d
+
+
+def _native_gap(A, B, abpos, bbpos, aepos, alen, blen,
+                trace) -> Optional[Tuple[List[int], int]]:
+    from .. import native
+    lib = native.get_tracerec()
+    if lib is None:
+        return None
+    A8 = np.ascontiguousarray(np.asarray(A, np.int8))
+    B8 = np.ascontiguousarray(np.asarray(B, np.int8))
+    t32 = np.ascontiguousarray(np.asarray(trace, np.int64)
+                               .astype(np.int32))
+    global _nat_work
+    with _nat_lock:
+        if _nat_work is None:
+            _nat_work = lib.trw_new()
+        cd = lib.trw_gap_improver(
+            _nat_work, _i8p(A8), int(alen), _i8p(B8), int(blen),
+            int(abpos), int(bbpos), int(aepos),
+            t32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(t32))
+        if cd == -(1 << 31):
+            return None
+    return t32.tolist(), cd
 
 
 def _pad(seq: np.ndarray) -> np.ndarray:
@@ -296,6 +365,11 @@ def compute_trace_pts(A: np.ndarray, B: np.ndarray, abpos: int, aepos: int,
     space).  ``tpoints`` = [(diffs, b-advance), ...].  Returns
     (signed indel trace, recomputed diffs).
     """
+    if dlow > dhgh and mode in (GREEDIEST, UPPERMOST, LOWERMOST):
+        res = _native_compute(A, B, abpos, aepos, bbpos, bepos, tpoints,
+                              tspace, mode, selfie)
+        if res is not None:
+            return res
     Ap = _pad(np.asarray(A, np.int8))
     Bp = _pad(np.asarray(B, np.int8))
     alen, blen = len(A), len(B)
@@ -404,6 +478,10 @@ def gap_improver(A: np.ndarray, B: np.ndarray, abpos: int, bbpos: int,
     (modified trace, adjusted diffs).  The trace is modified in place and
     also returned.
     """
+    res = _native_gap(A, B, abpos, bbpos, aepos, alen, blen, trace)
+    if res is not None:
+        t2, cdiff = res
+        return t2, diffs + cdiff
     Ap = _pad(np.asarray(A, np.int8))
     Bp = _pad(np.asarray(B, np.int8))
     # 1-based access: element i (1-based) of A is Ap[i+1]
