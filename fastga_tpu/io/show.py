@@ -259,3 +259,86 @@ def print_reference(out, a: Seq1, b: Seq1, trace, abpos, aepos, bbpos,
     """Display with `block` bps of A per row (Print_Reference)."""
     _emit(out, a, b, trace, abpos, aepos, bbpos, bepos, indent, block,
           border, upper, coord, acomp, bcomp, alen, blen, by_block=True)
+
+
+def alignment_cartoon(out, abpos: int, aepos: int, bbpos: int, bepos: int,
+                      alen: int, blen: int, diffs: int, comp: bool,
+                      indent: int, coord: int) -> None:
+    """ASCII overlap cartoon (align.c Alignment_Cartoon 4644-4738),
+    byte-identical to the reference."""
+    from ..utils.fmt import number_digits
+
+    def rep(ch, n):
+        if n > 0:
+            out.write(ch * n)
+
+    out.write("%*s" % (indent, ""))
+    if abpos > 0:
+        out.write("    %*d " % (coord, abpos))
+    else:
+        out.write("%*s" % (coord + 5, ""))
+    if aepos < alen:
+        out.write("%*s%d" % (coord + 8, "", alen - aepos))
+    out.write("\n")
+
+    out.write("%*s" % (indent, ""))
+    if abpos > 0:
+        out.write("A ")
+        w = number_digits(abpos)
+        rep(" ", coord - w)
+        rep("=", w + 3)
+        out.write("+")
+        rep("-", coord + 5)
+    else:
+        out.write("A %*s" % (coord + 4, ""))
+        rep("-", coord + 5)
+    if aepos < alen:
+        out.write("+")
+        w = number_digits(alen - aepos)
+        rep("=", w + 2)
+        out.write(">")
+        rep(" ", w)
+    else:
+        out.write(">")
+        rep(" ", coord + 3)
+    asub = aepos - abpos
+    bsub = bepos - bbpos
+    pct = (200.0 * diffs) / (asub + bsub) if asub + bsub else float("nan")
+    out.write("   dif/(len1+len2) = %d/(%d+%d) = %5.2f%%\n"
+              % (diffs, asub, bsub, pct))
+
+    if comp:
+        sym1p, sym2p, sym1e, sym2e = "<", "-", "<", "="
+    else:
+        sym1p, sym2p, sym1e, sym2e = "-", ">", "=", ">"
+
+    out.write("%*s" % (indent, ""))
+    if bbpos > 0:
+        out.write("B ")
+        w = number_digits(bbpos)
+        rep(" ", coord - w)
+        out.write(sym1e)
+        rep("=", w + 2)
+        out.write("+")
+        rep("-", coord + 5)
+    else:
+        out.write("B ")
+        rep(" ", coord + 3)
+        out.write(sym1p)
+        rep("-", coord + 5)
+    if bepos < blen:
+        out.write("+")
+        w = number_digits(blen - bepos)
+        rep("=", w + 2)
+        out.write("%s\n" % sym2e)
+    else:
+        out.write("%s\n" % sym2p)
+
+    out.write("%*s" % (indent, ""))
+    if bbpos > 0:
+        out.write("    %*d " % (coord, bbpos))
+    else:
+        out.write("%*s" % (coord + 5, ""))
+    if bepos < blen:
+        out.write("%*s%d" % (coord + 8, "", blen - bepos))
+    out.write("\n")

@@ -403,3 +403,76 @@ def _rank_into(k1: np.ndarray, k2: np.ndarray,
     ins = np.empty(m + n2, dtype=np.int64)
     ins[order] = n2_before
     return ins[:m]
+
+
+def adaptamer_kstats(t1: GixTable, t2: GixTable, want_bytes: bool = False):
+    """FastKS statistics: for every T1 index entry, the adaptamer length
+    (longest prefix match into T2's sorted k-mers) plus unique-mer and
+    adapt-mer histograms.
+
+    Semantics follow the reference's intent (FastKS.c:255-346): entries
+    whose 12-base prefix panel is absent from T2 are skipped
+    (FastKS.c:233-243); `histl[p]` counts entries with adaptamer length
+    p; `histu[p]` counts those that are additionally unique on both
+    sides (exactly one T2 position shares the adaptamer, and the T1
+    entry's neighbours share less, FastKS.c:326-345).
+
+    NOTE the reference binary itself mis-strides the current .gix entry
+    layout: Open_Kmer_Stream(<gix>, 2) derives pbyte = kbyte-ibyte+csize
+    = 9 while GIX post entries are 12 bytes (suffix 7 + post 3 + cnt 1 +
+    lcp 1), so its suffix reads drift 3 bytes per entry and its output
+    histograms do not describe the genomes.  This implementation computes
+    the documented statistics from the correctly parsed table; no byte
+    parity with the broken tool is attempted.
+
+    Returns (histu, histl, plen_bytes-or-None); histograms are int64
+    arrays indexed 0..kmer.
+    """
+    kmer = t1.kmer
+    histu = np.zeros(kmer + 1, np.int64)
+    histl = np.zeros(kmer + 1, np.int64)
+    chunks: list = [] if want_bytes else None
+    n1, n2 = t1.n, t2.n
+    if n1 == 0 or n2 == 0:
+        return histu, histl, (b"" if want_bytes else None)
+    l1 = np.minimum(t1.lcp.astype(np.int32), kmer)
+    l2 = np.minimum(t2.lcp.astype(np.int32), kmer)
+    h2 = _table_halves(t2)
+    CH = 1 << 22
+    for lo in range(0, n1, CH):
+        hi_ = min(lo + CH, n1)
+        k1 = t1.kbytes[lo:hi_]
+        m = len(k1)
+        ins = np.searchsorted(h2, _halves(k1), side="left").astype(np.int64)
+        pred_ok = ins > 0
+        succ_ok = ins < n2
+        lcp_pred = np.where(
+            pred_ok, _row_lcp(k1, t2.kbytes[np.clip(ins - 1, 0, n2 - 1)],
+                              kmer), -1)
+        lcp_succ = np.where(
+            succ_ok, _row_lcp(k1, t2.kbytes[np.clip(ins, 0, n2 - 1)],
+                              kmer), -1)
+        plen = np.maximum(lcp_pred, lcp_succ)
+        keep = plen >= 12          # 12-base panel present in T2
+        pk = plen[keep]
+        histl += np.bincount(pk, minlength=kmer + 1)[:kmer + 1]
+        if chunks is not None:
+            chunks.append(pk.astype(np.uint8).tobytes())
+        # two-sided uniqueness: window of T2 entries sharing plen has
+        # size exactly 1, and the T1 entry's neighbours share < plen
+        downc = pred_ok & (lcp_pred >= plen)
+        upc = succ_ok & (lcp_succ >= plen)
+        more_down = (ins - 1 >= 1) & (
+            l2[np.clip(ins - 1, 0, n2 - 1)] >= plen)
+        more_up = (ins + 1 < n2) & (
+            l2[np.clip(ins + 1, 0, n2 - 1)] >= plen)
+        uniq2 = ((downc & ~upc & ~more_down)
+                 | (upc & ~downc & ~more_up))
+        li = l1[lo:hi_]
+        lnext = np.zeros(m, np.int32)
+        tail = min(hi_ + 1, n1) - (lo + 1)
+        lnext[:tail] = l1[lo + 1:min(hi_ + 1, n1)]
+        uniq1 = (li < plen) & (lnext < plen)
+        hu = plen[keep & uniq2 & uniq1]
+        histu += np.bincount(hu, minlength=kmer + 1)[:kmer + 1]
+    return histu, histl, (b"".join(chunks) if chunks is not None else None)

@@ -223,7 +223,7 @@ def iter_np(Ap: np.ndarray, Bp: np.ndarray, aoff: int, boff: int,
     c = N
     k = delv
     d = D
-    e = PHF[d + 2][k + koff]
+    e = int(PHF[d + 2][k + koff])
     PHF[d + 2][k + koff] = _ORIGIN
 
     if mode == UPPERMOST:
@@ -264,7 +264,7 @@ def iter_np(Ap: np.ndarray, Bp: np.ndarray, aoff: int, boff: int,
                         d = d - 1
                     else:
                         PVF[d + 2][h + koff] = c + 1
-            m = PHF[d + 2][h + koff]
+            m = int(PHF[d + 2][h + koff])
             PHF[d + 2][h + koff] = e
             e = m
             k = h
@@ -308,7 +308,7 @@ def iter_np(Ap: np.ndarray, Bp: np.ndarray, aoff: int, boff: int,
                     else:
                         PVF[d + 2][h + koff] = c
                         c -= 1
-            m = PHF[d + 2][h + koff]
+            m = int(PHF[d + 2][h + koff])
             PHF[d + 2][h + koff] = e
             e = m
             k = h
@@ -321,7 +321,7 @@ def iter_np(Ap: np.ndarray, Bp: np.ndarray, aoff: int, boff: int,
                 d -= 1
             else:
                 d -= 2
-            m = PHF[d + 2][h + koff]
+            m = int(PHF[d + 2][h + koff])
             PHF[d + 2][h + koff] = e
             e = m
             k = h
@@ -332,10 +332,10 @@ def iter_np(Ap: np.ndarray, Bp: np.ndarray, aoff: int, boff: int,
     bp_base = boff + 1      # (B - Babs) + 1
     k = 0
     d = 0
-    e = PHF[2][0 + koff]
+    e = int(PHF[2][0 + koff])
     while e != _ORIGIN:
         h = k - e
-        c = PVF[d + 2][k + koff]
+        c = int(PVF[d + 2][k + koff])
         if e > 1:
             h += 3
         elif e == 0:
@@ -347,9 +347,279 @@ def iter_np(Ap: np.ndarray, Bp: np.ndarray, aoff: int, boff: int,
         elif h < k:
             trace.append(ap_base - (c + k))
         k = h
-        e = PHF[d + 2][h + koff]
+        e = int(PHF[d + 2][h + koff])
 
     return trace, D + abs(delv)
+
+
+def middle_np(Ap: np.ndarray, Bp: np.ndarray, aoff: int, boff: int,
+              M: int, N: int, dmax: int, posl: int, posh: int,
+              mode: int = GREEDIEST) -> Tuple[int, int]:
+    """Mid-point of the optimal path for one interval (align.c middle_np
+    5905-6168): runs the same forward wave as iter_np then backtracks
+    only half the edit units (with the UPPERMOST/LOWERMOST gap-sliding
+    adjustments) and returns the absolute (mida, midb)."""
+    delv = M - N
+    if delv >= 0:
+        low, hgh = 0, delv
+    else:
+        low, hgh = delv, 0
+
+    half = dmax // 2 + 2
+    kmin = low - half
+    W = (hgh - low) + 2 * half + 3
+    koff = 1 - kmin
+    PVF = np.full((dmax + 3, W), -2, np.int64)
+    PHF = np.zeros((dmax + 3, W), np.int8)
+    PVF[1][0 + koff] = -1
+
+    ab = aoff + 2
+    bb = boff + 2
+
+    low += 1
+    hgh -= 1
+
+    D = 0
+    while True:
+        if D > dmax:
+            raise TraceError("trace point out of bounds (likely bad .1aln)")
+        F2 = PVF[D]
+        F1 = PVF[D + 1]
+        F0 = PVF[D + 2]
+        HF = PHF[D + 2]
+        if (D & 1) == 0:
+            if low > posl:
+                low -= 1
+            if hgh < posh:
+                hgh += 1
+        F0[hgh + 1 + koff] = F0[low - 1 + koff] = -2
+
+        def fs_move(k, am, ac, ap, mdir, pdir):
+            if ac < am:
+                if ap < am:
+                    HF[k + koff] = mdir
+                    j = am
+                else:
+                    HF[k + koff] = pdir
+                    j = ap
+            else:
+                if ap < ac:
+                    HF[k + koff] = 0
+                    j = ac
+                else:
+                    HF[k + koff] = pdir
+                    j = ap
+            lim = N if N < M - k else M - k
+            while j < lim and Bp[bb + j] == Ap[ab + k + j]:
+                j += 1
+            F0[k + koff] = j
+            return j
+
+        j = -2
+        for k in range(hgh, delv, -1):
+            ap = j + 1
+            am = F2[k - 1 + koff]
+            ac = F1[k + koff] + 1
+            j = fs_move(k, am, ac, ap, -1, 4)
+
+        j = -2
+        for k in range(low, delv):
+            ap = F2[k + 1 + koff] + 1
+            am = j
+            ac = F1[k + koff] + 1
+            j = fs_move(k, am, ac, ap, 2, 1)
+
+        ap = F0[delv + 1 + koff] + 1
+        am = j
+        ac = F1[delv + koff] + 1
+        fs_move(delv, am, ac, ap, 2, 4)
+
+        if F0[delv + koff] >= N:
+            break
+        D += 1
+
+    # ---- backtrack half the edit units -----------------------------------
+    d = D + abs(delv)
+    c = N
+    k = delv
+    f = d // 2
+    if mode == UPPERMOST:
+        while d > f:
+            e = int(PHF[D + 2][k + koff])
+            h = k + e
+            if e > 1:
+                h -= 3
+            elif e == 0:
+                D -= 1
+            else:
+                D -= 2
+            if h < k:
+                m = -k if k < 0 else 0
+                if PVF[D + 2][h + koff] <= c:
+                    c = PVF[D + 2][h + koff] - 1
+                while c >= m and Ap[ab + k + c] == Bp[bb + c]:
+                    c -= 1
+                if e == -1:
+                    if c <= PVF[D + 4][k + 1 + koff]:
+                        e = 4
+                        h = k + 1
+                        D = D + 2
+                    elif c == PVF[D + 3][k + koff]:
+                        e = 0
+                        h = k
+                        D = D + 1
+                    else:
+                        PVF[D + 2][h + koff] = c + 1
+                else:
+                    m2 = D if k == delv else D - 2
+                    if c <= PVF[m2 + 2][k + 1 + koff]:
+                        e = 4 if k == delv else 1
+                        h = k + 1
+                        D = m2
+                    elif c == PVF[D + 1][k + koff]:
+                        e = 0
+                        h = k
+                        D = D - 1
+                    else:
+                        PVF[D + 2][h + koff] = c + 1
+            k = h
+            d -= 1
+    elif mode == LOWERMOST:
+        while d > f:
+            e = int(PHF[D + 2][k + koff])
+            h = k + e
+            if e > 1:
+                h -= 3
+            elif e == 0:
+                D -= 1
+            else:
+                D -= 2
+            if h > k:
+                m = -k if k < 0 else 0
+                if PVF[D + 2][h + koff] < c:
+                    c = PVF[D + 2][h + koff]
+                while c >= m and Ap[ab + k + c] == Bp[bb + c]:
+                    c -= 1
+                if e == 1:
+                    if c < PVF[D + 4][k - 1 + koff]:
+                        e = 2
+                        h = k - 1
+                        D = D + 2
+                    elif c == PVF[D + 3][k + koff]:
+                        e = 0
+                        h = k
+                        D = D + 1
+                    else:
+                        PVF[D + 2][h + koff] = c
+                        c -= 1
+                else:
+                    m2 = D if k == delv else D - 2
+                    if c < PVF[m2 + 2][k - 1 + koff]:
+                        e = 2 if k == delv else -1
+                        h = k - 1
+                        D = m2
+                    elif c == PVF[D + 1][k + koff]:
+                        e = 0
+                        h = k
+                        D = D - 1
+                    else:
+                        PVF[D + 2][h + koff] = c
+                        c -= 1
+            k = h
+            d -= 1
+    else:
+        while d > f:
+            e = int(PHF[D + 2][k + koff])
+            h = k + e
+            if e > 1:
+                h -= 3
+            elif e == 0:
+                D -= 1
+            else:
+                D -= 2
+            k = h
+            d -= 1
+
+    pv = int(PVF[D + 2][k + koff])
+    return aoff + int(k) + pv, boff + pv
+
+
+def compute_trace_mid(A: np.ndarray, B: np.ndarray, abpos: int, aepos: int,
+                      bbpos: int, bepos: int,
+                      tpoints: Sequence[Tuple[int, int]], tspace: int,
+                      mode: int = GREEDIEST,
+                      dlow: int = 1, dhgh: int = -1,
+                      selfie: bool = False) -> Tuple[List[int], int]:
+    """Compute_Trace_MID (align.c:6310-6470): exact alignment stitched at
+    per-interval path mid-points — ~2x slower than compute_trace_pts but
+    nearer-optimal.  Mirrors the reference exactly, including its tail
+    diff accounting (the middle segment's diff count is added twice,
+    align.c:6455-6462).  Returns (signed indel trace, diffs)."""
+    Ap = _pad(np.asarray(A, np.int8))
+    Bp = _pad(np.asarray(B, np.int8))
+    alen, blen = len(A), len(B)
+
+    dmax = 0
+    for dcnt, _ in tpoints:
+        if dcnt > dmax:
+            dmax = dcnt
+    if dmax & 1:
+        dmax += 1
+
+    db = abpos - bbpos
+    de = aepos - bepos
+    if dlow <= dhgh:
+        if db < dlow or db > dhgh or de < dlow or de > dhgh:
+            raise TraceError("alignment endpoints not in band")
+    else:
+        dlow = -0x3FFFFFFF
+        dhgh = 0x3FFFFFFF
+        if selfie:
+            if db == 0 or de == 0 or (db > 0) != (de > 0):
+                raise TraceError("self comparison crosses main diagonal")
+            elif db < 0:
+                dhgh = -1
+            else:
+                dlow = 1
+
+    trace: List[int] = []
+    diffs = 0
+    ab = as_ = abpos
+    ae = (ab // tspace) * tspace
+    bb = bs = bbpos
+    db = ds = ab - bb
+    for dcnt, badv in tpoints[:-1]:
+        ae = ae + tspace
+        be = bb + badv
+        if ae > alen or be > blen:
+            raise TraceError("trace point out of bounds")
+        af, bf = middle_np(Ap, Bp, ab, bb, ae - ab, be - bb, dmax,
+                           dlow - db, dhgh - db, mode)
+        t, d = iter_np(Ap, Bp, as_, bs, af - as_, bf - bs, dmax,
+                       dlow - ds, dhgh - ds, mode)
+        trace.extend(t)
+        diffs += d
+        ab, bb = ae, be
+        as_, bs = af, bf
+        db = ab - bb
+        ds = as_ - bs
+
+    ae, be = aepos, bepos
+    if ae > alen or be > blen:
+        raise TraceError("trace point out of bounds")
+    af, bf = middle_np(Ap, Bp, ab, bb, ae - ab, be - bb, dmax,
+                       dlow - db, dhgh - db, mode)
+    t, d = iter_np(Ap, Bp, as_, bs, af - as_, bf - bs, dmax,
+                   dlow - ds, dhgh - ds, mode)
+    trace.extend(t)
+    diffs += d
+    as_, bs = af, bf
+    ds = as_ - bs
+    t, d2 = iter_np(Ap, Bp, af, bf, ae - as_, be - bs, dmax,
+                    dlow - ds, dhgh - ds, mode)
+    trace.extend(t)
+    diffs += d + d2       # reference adds the mid segment's count twice
+    return trace, diffs
 
 
 def compute_trace_pts(A: np.ndarray, B: np.ndarray, abpos: int, aepos: int,
@@ -844,3 +1114,49 @@ def cigar_x(trace: List[int], A: np.ndarray, B: np.ndarray,
     if blen > 0:
         match_run(k, h, blen)
     return cig, dele
+
+
+def check_trace_points(abpos: int, aepos: int, bbpos: int, bepos: int,
+                       tpoints: Sequence[Tuple[int, int]],
+                       tspace: int) -> bool:
+    """Trace-point consistency check (align.c Check_Trace_Points
+    3962-4004): right point count for the spacing and b-advances summing
+    to the aligned B interval.  With tspace == 0 the pairs are
+    (a-advance, b-advance) and both sums are checked."""
+    if tspace != 0:
+        if ((aepos - 1) // tspace - abpos // tspace + 1) != len(tpoints):
+            return False
+        p = bbpos
+        for _, badv in tpoints:
+            p += badv
+        return p == bepos
+    p, q = bbpos, abpos
+    for aadv, badv in tpoints:
+        q += aadv
+        p += badv
+    return p == bepos and q == aepos
+
+
+def flip_alignment(abpos: int, aepos: int, bbpos: int, bepos: int,
+                   alen: int, blen: int, comp: bool,
+                   trace: Optional[List[int]] = None):
+    """Swap the roles of A and B (align.c Flip_Alignment 4007-4060).
+
+    For comp alignments the coordinates reflect through the complement;
+    a full signed-indel trace (if given) is remapped and, for comp,
+    reversed.  Returns (abpos, aepos, bbpos, bepos, alen, blen, trace).
+    """
+    t = list(trace) if trace is not None else None
+    if comp:
+        nab, nbe = blen - bepos, alen - abpos
+        nae, nbb = blen - bbpos, alen - aepos
+        abpos, aepos, bbpos, bepos = nab, nae, nbb, nbe
+        if t is not None:
+            al2, bl2 = alen + 2, blen + 2
+            t = [(al2 + p) if p < 0 else (p - bl2) for p in t][::-1]
+    else:
+        abpos, bbpos = bbpos, abpos
+        aepos, bepos = bepos, aepos
+        if t is not None:
+            t = [-p for p in t]
+    return abpos, aepos, bbpos, bepos, blen, alen, t

@@ -656,3 +656,31 @@ def local_alignment(spec: AlignSpec, A, B, low, hgh, anti,
         path.trace.reverse()
 
     return path
+
+
+def find_extension(spec: AlignSpec, A, B, diag: int, anti: int,
+                   lbord: int = -1, hbord: int = -1,
+                   prefix: bool = False) -> Path:
+    """Find_Extension (align.c:3774-3858): one-sided local alignment
+    from the point ((anti+diag)/2, (anti-diag)/2).
+
+    ``prefix`` extends left (reverse wave) and fills abpos/bbpos; else
+    right (forward wave) filling aepos/bepos.  The reference's
+    forward/reverse_extend are forward/reverse_wave specialised to a
+    single start diagonal, aoff=0, and reach-mode on (align.c diff
+    2714-3233 vs 352-877), so this delegates to those.
+    """
+    rspec = spec if spec.reach else AlignSpec(
+        spec.ave_corr, spec.trace_space, True, spec.freq)
+    minp = -INT32_MAX if lbord < 0 else diag - lbord
+    maxp = INT32_MAX if hbord < 0 else diag + hbord
+    path = Path()
+    if prefix:
+        reverse_wave(rspec, A, B, diag, diag, anti, minp, maxp, 0, path)
+        path.aepos = (anti + diag) >> 1
+        path.bepos = (anti - diag) >> 1
+    else:
+        forward_wave(rspec, A, B, diag, diag, anti, minp, maxp, 0, path)
+        path.abpos = (anti + diag) >> 1
+        path.bbpos = (anti - diag) >> 1
+    return path
