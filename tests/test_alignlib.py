@@ -77,3 +77,16 @@ def test_check_trace_points():
     # tspace == 0: pairs are (a-advance, b-advance)
     assert check_trace_points(0, 50, 0, 40, [(20, 15), (30, 25)], 0)
     assert not check_trace_points(0, 50, 0, 40, [(20, 15), (31, 25)], 0)
+
+
+def test_wrap_around_alignment(gold):
+    from fastga_tpu.ops import wave_ref as wr
+    spec = wr.AlignSpec(0.7, 100, False, (0.25, 0.25, 0.25, 0.25))
+    for case in gold["wrap"]:
+        A = np.array(case["A"], np.uint8)
+        B = np.array(case["B"], np.uint8)
+        p = wr.wrap_around_alignment(spec, A, B, -5, 5, case["anti"])
+        flat = [v for pr in p.trace for v in pr]
+        assert [p.abpos, p.aepos, p.bbpos, p.bepos,
+                p.diffs] == case["path"]
+        assert flat == case["trace"]
