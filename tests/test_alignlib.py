@@ -90,3 +90,29 @@ def test_wrap_around_alignment(gold):
         assert [p.abpos, p.aepos, p.bbpos, p.bepos,
                 p.diffs] == case["path"]
         assert flat == case["trace"]
+
+
+def test_compute_alignment(gold):
+    from fastga_tpu.ops import exact as ex
+    for case in gold["exact"]:
+        A = np.array(case["A"], np.uint8)
+        B = np.array(case["B"], np.uint8)
+        abpos, aepos, bbpos, bepos = case["box"]
+        task = case["task"]
+        if task == ex.DIFF_ONLY:
+            d, _ = ex.compute_alignment(A, B, abpos, aepos, bbpos, bepos,
+                                        task, 100)
+            assert d == case["diffs"]
+            continue
+        if task in (ex.PLUS_ALIGN, ex.PLUS_TRACE):
+            pd, mid = ex.compute_alignment(A, B, abpos, aepos, bbpos,
+                                           bepos, ex.DIFF_ONLY, 100)
+            d, res = ex.compute_alignment(A, B, abpos, aepos, bbpos,
+                                          bepos, task, 100, mid=mid)
+        else:
+            d, res = ex.compute_alignment(A, B, abpos, aepos, bbpos,
+                                          bepos, task, 100)
+            assert d == case["diffs"]
+        flat = (res if task in (ex.PLUS_ALIGN, ex.DIFF_ALIGN)
+                else [v for pr in res for v in pr])
+        assert flat == case["trace"]
