@@ -342,3 +342,17 @@ def alignment_cartoon(out, abpos: int, aepos: int, bbpos: int, bepos: int,
     if bepos < blen:
         out.write("%*s%d" % (coord + 8, "", blen - bepos))
     out.write("\n")
+
+
+def transmit_alignment(receiver, *args, **kwargs) -> int:
+    """Transmit_Alignment (align.c:4740): Print_Alignment routed through
+    a per-line callback instead of a file (ALNview GUI support)."""
+    import io as _io
+
+    class _Tap(_io.StringIO):
+        def write(self, s):
+            for piece in s.splitlines(keepends=True):
+                receiver(piece)
+            return len(s)
+
+    return print_alignment(_Tap(), *args, **kwargs)

@@ -700,6 +700,63 @@ def compute_trace_pts(A: np.ndarray, B: np.ndarray, abpos: int, aepos: int,
 # ---------------------------------------------------------------------------
 
 
+def compute_trace_irr(A: np.ndarray, B: np.ndarray, abpos: int,
+                      aepos: int, bbpos: int, bepos: int,
+                      tpoints: Sequence[Tuple[int, int]],
+                      mode: int = GREEDIEST,
+                      dlow: int = 1, dhgh: int = -1,
+                      selfie: bool = False) -> Tuple[List[int], int]:
+    """Compute_Trace_IRR (align.c:6472-6610): exact trace for trace
+    points with irregular spacing — each pair is (a-advance, b-advance)
+    rather than (diffs, b-advance).  dmax = min(max a-adv, max b-adv)
+    per the reference's band sizing.  Returns (trace, diffs)."""
+    Ap = _pad(np.asarray(A, np.int8))
+    Bp = _pad(np.asarray(B, np.int8))
+    alen, blen = len(A), len(B)
+
+    mmax = nmax = 0
+    for aadv, badv in tpoints:
+        mmax = max(mmax, aadv)
+        nmax = max(nmax, badv)
+    if len(tpoints) == 0:
+        mmax = aepos - abpos
+        nmax = bepos - bbpos
+    dmax = min(mmax, nmax)
+
+    db = abpos - bbpos
+    de = aepos - bepos
+    if dlow <= dhgh:
+        if db < dlow or db > dhgh or de < dlow or de > dhgh:
+            raise TraceError("alignment endpoints not in band")
+    else:
+        dlow = -0x3FFFFFFF
+        dhgh = 0x3FFFFFFF
+        if selfie:
+            if db == 0 or de == 0 or (db > 0) != (de > 0):
+                raise TraceError("self comparison crosses main diagonal")
+            elif db < 0:
+                dhgh = -1
+            else:
+                dlow = 1
+
+    trace: List[int] = []
+    diffs = 0
+    ab, bb = abpos, bbpos
+    db = ab - bb
+    for aadv, badv in tpoints:
+        ae = ab + aadv
+        be = bb + badv
+        if ae > alen or be > blen:
+            raise TraceError("trace point out of bounds")
+        t, d = iter_np(Ap, Bp, ab, bb, ae - ab, be - bb, dmax,
+                       dlow - db, dhgh - db, mode)
+        trace.extend(t)
+        diffs += d
+        ab, bb = ae, be
+        db = ab - bb
+    return trace, diffs
+
+
 def _hamming(Ap, ai, Bp, bi, n) -> int:
     """Mismatch count over n columns; sentinel (4) on either side ends the
     scan (reference hamming align.c:6621-6638).  ai/bi are 1-based."""

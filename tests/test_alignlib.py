@@ -116,3 +116,39 @@ def test_compute_alignment(gold):
         flat = (res if task in (ex.PLUS_ALIGN, ex.DIFF_ALIGN)
                 else [v for pr in res for v in pr])
         assert flat == case["trace"]
+
+
+def test_compute_trace_irr(gold):
+    from fastga_tpu.ops import tracerec as tr
+    MODES = {0: tr.GREEDIEST, 1: tr.UPPERMOST, -1: tr.LOWERMOST}
+    for case in gold["irr"]:
+        A = np.array(case["A"], np.uint8)
+        B = np.array(case["B"], np.uint8)
+        t, d = tr.compute_trace_irr(A, B, 0, len(A), 0, len(B),
+                                    [tuple(p) for p in case["tpts"]],
+                                    MODES[case["mode"]])
+        assert t == case["trace"]
+        assert d == case["diffs"]
+
+
+def test_transmit_alignment():
+    # same bytes as print_alignment, delivered through the callback
+    import io
+
+    from fastga_tpu.io import show as sh
+    import numpy as np
+    rng = np.random.default_rng(5)
+    A = rng.integers(0, 4, 120).astype(np.uint8)
+    B = A.copy()
+    B[40] = (B[40] + 1) % 4
+    from fastga_tpu.ops import tracerec as tr
+    trc, d = tr.compute_trace_pts(A, B, 0, 120, 0, 120, [(2, 100), (1, 20)],
+                                  100)
+    buf = io.StringIO()
+    a1, b1 = sh.Seq1(A, 0), sh.Seq1(B, 0)
+    sh.print_alignment(buf, a1, b1, trc, 0, 120, 0, 120, 0, 100, 10, False,
+                       5, False)
+    got = []
+    sh.transmit_alignment(got.append, a1, b1, trc, 0, 120, 0, 120, 0, 100,
+                          10, False, 5, False)
+    assert "".join(got) == buf.getvalue()
