@@ -73,23 +73,6 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
         # start loading the device chunk executables now (if prewarm()
         # didn't already), overlapped with the host seed/chain phases
         wave_engine, pool_bucket = _get_engine(gdb1, gdb2, spec)
-    if selfcmp:
-        seeds = mergem.self_adaptamer_seeds(t1, freq=params.freq,
-                                            soft_mask=params.soft_mask)
-    else:
-        seeds = mergem.adaptamer_seeds(t1, t2, freq=params.freq,
-                                       soft_mask=params.soft_mask)
-        if symmetric:
-            extra = mergem.adaptamer_seeds_flip(t1, t2, freq=params.freq,
-                                                soft_mask=params.soft_mask)
-            seeds = mergem.SeedBatch(*[
-                np.concatenate([getattr(seeds, f), getattr(extra, f)])
-                for f in ("plen", "acont", "apost", "bcont", "bpost",
-                          "bcomp")])
-    stats["nseeds"] = seeds.n
-    stats["seed_len_avg"] = (float(seeds.plen.astype(np.float64).mean())
-                             if seeds.n else 0.0)
-
     lens1 = gdb1.contig_lengths()
     lens2 = gdb2.contig_lengths()
     amax = int(lens1.max()) if len(lens1) else 1
@@ -100,9 +83,46 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
     alens_by_rank = np.where(perm1 < len(lens1), lens1[np.minimum(
         perm1, len(lens1) - 1)], t1.kmer)
 
-    tubes = chainm.chain_tubes(seeds, amax, bmax, alens_by_rank,
-                               chain_break=params.chain_break,
-                               chain_min=params.chain_min)
+    tubes = None
+    if (engine == "jax" and not selfcmp and not symmetric
+            and not params.soft_mask
+            and not t1.maskb.any() and not t2.maskb.any()):
+        # full device pipeline: gix arrays + adaptamer merge + chain
+        # sweep on the accelerator; only tube descriptors come back
+        from ..ops import device_pipeline as devp
+        if wave_engine is not None and wave_engine._warm_evt is not None:
+            wave_engine._warm_evt.wait()   # serialize device tracing
+        try:
+            dres = devp.device_tubes(
+                gdb1, gdb2, alens_by_rank, freq=params.freq,
+                chain_break=params.chain_break,
+                chain_min=params.chain_min)
+        except Exception:
+            dres = None
+        if dres is not None:
+            tubes, nseeds, plsum = dres
+            stats["nseeds"] = nseeds
+            stats["seed_len_avg"] = (plsum / nseeds) if nseeds else 0.0
+    if tubes is None:
+        if selfcmp:
+            seeds = mergem.self_adaptamer_seeds(t1, freq=params.freq,
+                                                soft_mask=params.soft_mask)
+        else:
+            seeds = mergem.adaptamer_seeds(t1, t2, freq=params.freq,
+                                           soft_mask=params.soft_mask)
+            if symmetric:
+                extra = mergem.adaptamer_seeds_flip(
+                    t1, t2, freq=params.freq, soft_mask=params.soft_mask)
+                seeds = mergem.SeedBatch(*[
+                    np.concatenate([getattr(seeds, f), getattr(extra, f)])
+                    for f in ("plen", "acont", "apost", "bcont", "bpost",
+                              "bcomp")])
+        stats["nseeds"] = seeds.n
+        stats["seed_len_avg"] = (float(seeds.plen.astype(np.float64)
+                                       .mean()) if seeds.n else 0.0)
+        tubes = chainm.chain_tubes(seeds, amax, bmax, alens_by_rank,
+                                   chain_break=params.chain_break,
+                                   chain_min=params.chain_min)
     stats["nhits"] = tubes.n
 
     aln_min = params.align_min - 50

@@ -1,0 +1,592 @@
+"""Device seed pipeline: GIX build + adaptamer merge + chain sweep on TPU.
+
+The host pipeline (io/gix.build_gix → ops/merge.adaptamer_seeds →
+ops/chain.chain_tubes) is exact but single-threaded numpy; at genome scale
+it dominates end-to-end time.  This module runs the same computation as
+XLA device programs — 2-bit genome upload (tiny), syncmer selection,
+multi-key radix sort, vectorized binary-search adaptamer merge, ragged
+seed expansion, and the bucket-pair chain sweep — downloading only the
+final tube descriptors.  Results are bit-identical to the host pipeline
+(tests/test_device_pipeline.py asserts TubeBatch equality); inputs the
+device path does not cover (soft masks, >int31 coordinates) fall back to
+the host implementation.
+
+All shapes are static: base counts are padded to pow2 buckets so each
+size class compiles once (and hits the persistent compilation cache).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+
+from .constants import COMP, KMER, SMER, SOFF, TMAP, TMER
+
+F = 10  # adaptamer frequency cap (reference -f default; merge window cap)
+
+_I32MAX = np.int32(0x7FFFFFFF)
+
+
+def _jx():
+    import jax
+    import jax.numpy as jnp
+    return jax, jnp
+
+
+# ---------------------------------------------------------------------------
+# Section 1: GIX table arrays on device
+# ---------------------------------------------------------------------------
+
+def gix_arrays(bps, nbases: int, coff, clen, cont_of, invp, ncontig,
+               ecap: int = 0):
+    """Sorted GIX entry arrays for one genome (jit-traceable).
+
+    bps: uint8[ceil(Npad/4)] 2-bit packed bases (base i at bit 2*(i%4));
+    nbases: actual base count (python int — static per trace);
+    coff/clen: int32[Cpad] contig base offsets/lengths (pad rows len 0);
+    cont_of: int32[Npad] contig id per base position (pad big);
+    invp: int32[Cpad] contig id -> length-rank;
+    ncontig: actual contig count.
+
+    Returns (w0, w1, w2, cont, post, comp, lcp, nentries) — entries sorted
+    by (kmer, cont, post, comp), padded to the position cap with all-ones
+    keys.  w0/w1 = kmer bits 79..16 (two uint32), w2 = bits 15..0 << 16.
+    """
+    jax, jnp = _jx()
+    N = cont_of.shape[0]                     # padded base cap (static)
+    kmer = KMER
+    kb = kmer // 4
+
+    i = jnp.arange(N, dtype=jnp.int32)
+    bases = (bps[i >> 2] >> ((i & 3) << 1).astype(jnp.uint8)) & 3
+
+    # n4[p] = big-endian packed 4-mer (garbage across contig seams; all
+    # uses are masked to in-contig windows)
+    b16 = bases.astype(jnp.int32)
+    n4 = ((jnp.roll(b16, 0) << 6) | (jnp.roll(b16, -1) << 4)
+          | (jnp.roll(b16, -2) << 2) | jnp.roll(b16, -3)).astype(jnp.int32)
+
+    tmap = jnp.asarray(TMAP.astype(np.int32))
+    compt = jnp.asarray(COMP.astype(np.int32))
+    tf = tmap[n4]
+    tc = tmap[compt[n4]]
+    v = jnp.minimum((tf << 8) | jnp.roll(tf, -4),
+                    (jnp.roll(tc, -4) << 8) | tc)
+
+    # closed-syncmer selection over valid 12-mer windows
+    m = v
+    for k in range(1, SOFF + 1):
+        m = jnp.minimum(m, jnp.roll(v, -k))
+    sel = (v == m) | (jnp.roll(v, -SOFF) == m)
+    loc = i - coff[jnp.clip(cont_of, 0, len(coff) - 1)]
+    ln = clen[jnp.clip(cont_of, 0, len(coff) - 1)]
+    inctg = (cont_of < ncontig) & (loc + TMER <= ln) & (ln >= kmer)
+    sel = sel & inctg
+
+    fwd_ok = sel & (loc <= ln - kmer)
+    rc_ok = sel & (loc >= kmer - TMER)
+
+    # entry field grids per position (fwd at slot 0, rc at slot 1)
+    def kmer_words(start, rc):
+        offs = jnp.arange(kb, dtype=jnp.int32)
+        if rc:
+            idx = start[:, None] - 4 - 4 * offs[None, :]
+        else:
+            idx = start[:, None] + 4 * offs[None, :]
+        by = n4[jnp.clip(idx, 0, N - 1)]
+        if rc:
+            by = compt[by]
+        w0 = (by[:, 0] << 24) | (by[:, 1] << 16) | (by[:, 2] << 8) | by[:, 3]
+        w1 = (by[:, 4] << 24) | (by[:, 5] << 16) | (by[:, 6] << 8) | by[:, 7]
+        w2 = (by[:, 8] << 24) | (by[:, 9] << 16)
+        return w0, w1, w2
+
+    fw0, fw1, fw2 = kmer_words(i, False)
+    rpost = i + TMER
+    rw0, rw1, rw2 = kmer_words(rpost, True)
+
+    cranks = invp[jnp.clip(cont_of, 0, len(coff) - 1)]
+
+    # compact the two masked entry streams into one cap-N list via a
+    # stable sort on (invalid, slotkey); entry order before the global
+    # sort is irrelevant (the sort key tuple is unique per entry)
+    def compact(ok_f, ok_r):
+        # interleave: 2N candidate slots
+        ok = jnp.stack([ok_f, ok_r], 1).reshape(-1)
+        return ok
+
+    okflat = compact(fwd_ok, rc_ok)
+
+    def inter(af, ar):
+        return jnp.stack([af, ar], 1).reshape(-1)
+
+    w0a = inter(fw0, rw0)
+    w1a = inter(fw1, rw1)
+    w2a = inter(fw2, rw2)
+    conta = inter(cranks, cranks)
+    posta = inter(loc, loc + TMER)
+    compa = inter(jnp.zeros(N, jnp.int32), jnp.ones(N, jnp.int32))
+
+    # sort keys must be unsigned-comparable: int32 with sign bit flipped
+    def u(x):
+        return jnp.bitwise_xor(x, jnp.int32(-0x80000000))
+
+    invalid = ~okflat
+    k0 = jnp.where(invalid, _I32MAX, u(w0a))
+    k1 = jnp.where(invalid, _I32MAX, u(w1a))
+    k2 = jnp.where(invalid, _I32MAX, u(w2a))
+    k3 = jnp.where(invalid, _I32MAX, conta)
+    k4 = jnp.where(invalid, _I32MAX, posta)
+    k5 = jnp.where(invalid, _I32MAX, compa)
+
+    (k0, k1, k2, k3, k4, k5, w0s, w1s, w2s, cs, ps, os, vs) = jax.lax.sort(
+        (k0, k1, k2, k3, k4, k5, w0a, w1a, w2a, conta, posta, compa,
+         okflat.astype(jnp.int32)),
+        num_keys=6)
+
+    nent = jnp.sum(okflat.astype(jnp.int32))
+
+    # adjacent lcp in bases (40 == full match marker)
+    x0 = w0s ^ jnp.roll(w0s, 1)
+    x1 = w1s ^ jnp.roll(w1s, 1)
+    x2 = w2s ^ jnp.roll(w2s, 1)
+
+    def clz32(x):
+        xu = x.astype(jnp.uint32)
+        n_ = jnp.zeros_like(x)
+        y = xu
+        for sh, add in ((16, 16), (8, 8), (4, 4), (2, 2), (1, 1)):
+            big_ = y >= (jnp.uint32(1) << sh)
+            n_ = jnp.where(big_, n_ + add, n_)
+            y = jnp.where(big_, y >> sh, y)
+        # n_ = floor(log2(x)) for x>0; clz = 31 - n_
+        return jnp.where(xu == 0, 32, 31 - n_)
+
+    lz = jnp.where(
+        x0 != 0, clz32(x0),
+        jnp.where(x1 != 0, 32 + clz32(x1), 64 + clz32(x2)))
+    lcp = jnp.minimum(lz >> 1, kmer).astype(jnp.int32)
+    lcp = lcp.at[0].set(0)
+
+    if ecap and ecap < 2 * N:
+        (w0s, w1s, w2s, cs, ps, os, lcp, vs) = (
+            w0s[:ecap], w1s[:ecap], w2s[:ecap], cs[:ecap], ps[:ecap],
+            os[:ecap], lcp[:ecap], vs[:ecap])
+    return (w0s, w1s, w2s, cs, ps, os, lcp, nent, vs)
+
+
+# ---------------------------------------------------------------------------
+# Section 2: adaptamer merge on device
+# ---------------------------------------------------------------------------
+
+def merge_seeds(T1, T2, ns_cap: int, freq: int = F):
+    """Adaptamer seeds between two device tables (jit-traceable).
+
+    Exact port of ops/merge._merge_chunk over forward T1 entries: per
+    entry the insertion rank into T2 (vectorized binary search on the
+    80-bit keys), nearest-neighbour lcps, the freq-capped group window,
+    and ragged expansion of the contiguous T2 window [ins-dn, ins+up).
+    Returns (plen, acont, apost, bcont, bpost, bcomp, e_entry, nseeds)
+    arrays of length ns_cap (padding rows masked by index >= nseeds),
+    in the host's (x, y) emission order.
+    """
+    jax, jnp = _jx()
+    w0a, w1a, w2a, c1, p1, o1, l1, n1, _ = T1
+    w0b, w1b, w2b, c2, p2, o2, l2, n2, _ = T2
+    N1 = w0a.shape[0]
+    N2 = w0b.shape[0]
+    kmer = KMER
+
+    def u(x):
+        return jnp.bitwise_xor(x, jnp.int32(-0x80000000))
+
+    a0, a1v, a2v = u(w0a), u(w1a), u(w2a)
+    b0, b1v, b2v = u(w0b), u(w1b), u(w2b)
+
+    # lower_bound of each T1 key in T2[:n2]
+    lo = jnp.zeros(N1, jnp.int32)
+    hi = jnp.full(N1, 1, jnp.int32) * n2.astype(jnp.int32)
+    for _ in range(int(np.ceil(np.log2(max(N2, 2)))) + 2):
+        mid = (lo + hi) >> 1
+        mc = jnp.clip(mid, 0, N2 - 1)
+        m0, m1, m2 = b0[mc], b1v[mc], b2v[mc]
+        ltb = (m0 < a0) | ((m0 == a0) & ((m1 < a1v)
+                                         | ((m1 == a1v) & (m2 < a2v))))
+        cont_ = lo < hi
+        lo = jnp.where(cont_ & ltb, mid + 1, lo)
+        hi = jnp.where(cont_ & ~ltb, mid, hi)
+    ins = lo
+
+    def row_lcp(i2ok, i2):
+        i2c = jnp.clip(i2, 0, N2 - 1)
+        x0 = w0a ^ w0b[i2c]
+        x1 = w1a ^ w1b[i2c]
+        x2 = w2a ^ w2b[i2c]
+        lz = jnp.where(x0 != 0, _clz32_arr(jnp, x0),
+                       jnp.where(x1 != 0, 32 + _clz32_arr(jnp, x1),
+                                 64 + _clz32_arr(jnp, x2)))
+        return jnp.where(i2ok, jnp.minimum(lz >> 1, kmer), -1)
+
+    pred_ok = ins > 0
+    succ_ok = ins < n2
+    lcp_pred = row_lcp(pred_ok, ins - 1)
+    lcp_succ = row_lcp(succ_ok, ins)
+    plen = jnp.maximum(lcp_pred, lcp_succ)
+    alive = (plen >= 12) & (o1 == 0)        # forward T1 entries drive
+
+    l2c = jnp.minimum(l2, kmer)
+    up_ok = (lcp_succ >= plen) & succ_ok & alive
+    upc = up_ok.astype(jnp.int32)
+    prev_up = up_ok
+    for u_ in range(1, freq):
+        j = ins + u_
+        okj = j < n2
+        lj = l2c[jnp.clip(j, 0, N2 - 1)]
+        prev_up = prev_up & okj & (lj >= plen)
+        upc = upc + prev_up.astype(jnp.int32)
+    dn_ok = (lcp_pred >= plen) & pred_ok & alive
+    dnc = dn_ok.astype(jnp.int32)
+    prev_dn = dn_ok
+    for d_ in range(1, freq):
+        j = ins - d_
+        okj = j - 1 >= 0
+        lj = l2c[jnp.clip(j, 0, N2 - 1)]
+        prev_dn = prev_dn & okj & (lj >= plen)
+        dnc = dnc + prev_dn.astype(jnp.int32)
+
+    count = upc + dnc
+    alive = alive & (count < freq)
+    cnt = jnp.where(alive, count, 0)
+
+    cum = jnp.cumsum(cnt)
+    nseeds = cum[N1 - 1]
+    sidx = jnp.arange(ns_cap, dtype=jnp.int32)
+    e = jnp.searchsorted(cum, sidx, side="right").astype(jnp.int32)
+    ec = jnp.clip(e, 0, N1 - 1)
+    prev = jnp.where(e > 0, cum[jnp.clip(e - 1, 0, N1 - 1)], 0)
+    off_in = sidx - prev
+    y = ins[ec] - dnc[ec] + off_in
+    yc = jnp.clip(y, 0, N2 - 1)
+    return (plen[ec], c1[ec], p1[ec], c2[yc], p2[yc], o2[yc], ec,
+            nseeds)
+
+
+def _clz32_arr(jnp, x):
+    xu = x.astype(jnp.uint32)
+    n_ = jnp.zeros(x.shape, jnp.int32)
+    y = xu
+    for sh, add in ((16, 16), (8, 8), (4, 4), (2, 2), (1, 1)):
+        big_ = y >= (jnp.uint32(1) << sh)
+        n_ = jnp.where(big_, n_ + add, n_)
+        y = jnp.where(big_, y >> sh, y)
+    return jnp.where(xu == 0, 32, 31 - n_)
+
+
+# ---------------------------------------------------------------------------
+# Section 3: chain sweep on device
+# ---------------------------------------------------------------------------
+
+BUCK_SHIFT = 6
+BUCK_WIDTH = 1 << BUCK_SHIFT
+
+
+def _seg_cummax(jax, jnp, x, start):
+    """Cumulative max of x resetting where start is True (exact int32)."""
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, jnp.maximum(va, vb))
+    _, out = jax.lax.associative_scan(comb, (start, x))
+    return out
+
+
+def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
+                    tcap: int, chain_break: int = 2000,
+                    chain_min: int = 170):
+    """Bucket-pair chain sweep (jit-traceable port of
+    ops/chain.chain_tubes).  ``seeds`` = (plen, acont, apost, bcont,
+    bpost, bcomp) device arrays of length NS (valid rows < ns).  Returns
+    fixed-cap tube arrays (acont, bcont, comp, dgmin, dgmax, alow, ahgh,
+    pairing, ntubes) with tubes in the host emission order."""
+    jax, jnp = _jx()
+    plen, acont, apost, bcont, bpost, bcomp = seeds
+    NS = plen.shape[0]
+    M2 = 2 * NS
+    big = jnp.int32(1 << 30)
+
+    ip = apost.astype(jnp.int32)
+    jp = bpost.astype(jnp.int32)
+    maxdag = amax + bmax
+    bc = bcomp.astype(jnp.int32) != 0
+    diag = jnp.where(bc, maxdag - (ip + jp), bmax + (ip - jp))
+    anti = jnp.where(bc, amax - (ip - jp), ip + jp)
+    dbuck = diag >> BUCK_SHIFT
+    drem = diag - (dbuck << BUCK_SHIFT)
+    lcp2 = plen.astype(jnp.int32) << 1
+
+    sidx = jnp.arange(NS, dtype=jnp.int32)
+    svalid = sidx < ns
+
+    def dup(lowv, upv):
+        return jnp.concatenate([lowv, upv])
+
+    gkey_a = dup(acont, acont)
+    gkey_b = dup(bcont, bcont)
+    gkey_c = dup(bc.astype(jnp.int32), bc.astype(jnp.int32))
+    pairing = dup(dbuck, dbuck - 1)
+    tag = dup(jnp.zeros(NS, jnp.int32), jnp.ones(NS, jnp.int32))
+    dg = dup(drem, drem + BUCK_WIDTH)
+    aa = dup(anti, anti)
+    ll = dup(lcp2, lcp2)
+    valid = dup(svalid, svalid)
+    iota = jnp.arange(M2, dtype=jnp.int32)
+
+    inval = ~valid
+    key = lambda v: jnp.where(inval, _I32MAX, v)
+    srt = jax.lax.sort(
+        (key(gkey_a), key(gkey_b), key(gkey_c), key(pairing), key(aa),
+         key(tag), iota, gkey_a, gkey_b, gkey_c, pairing, tag, dg, aa, ll,
+         valid.astype(jnp.int32)),
+        num_keys=7)
+    (gkey_a, gkey_b, gkey_c, pairing, tag, dg, aa, ll, vi) = srt[7:]
+    valid = vi != 0
+
+    ridx = jnp.arange(M2, dtype=jnp.int32)
+    pg_a = jnp.roll(gkey_a, 1)
+    pg_b = jnp.roll(gkey_b, 1)
+    pg_c = jnp.roll(gkey_c, 1)
+    pg_p = jnp.roll(pairing, 1)
+    seg = (ridx == 0) | (gkey_a != pg_a) | (gkey_b != pg_b) \
+        | (gkey_c != pg_c) | (pairing != pg_p)
+    seg_id = jnp.cumsum(seg.astype(jnp.int32)) - 1
+
+    def seg_or(cond):
+        v = jax.ops.segment_max(cond.astype(jnp.int32), seg_id,
+                                num_segments=M2)
+        return v[seg_id] != 0
+
+    has_lower = seg_or(valid & (tag == 0))
+    has_upper = seg_or(valid & (tag == 1))
+
+    same_prev = (ridx > 0) & (gkey_a == pg_a) & (gkey_b == pg_b) \
+        & (gkey_c == pg_c) & (pairing == pg_p + 1)
+    prev_has_lower = jnp.roll(has_lower, 1) & (ridx > 0)
+    prev_adj_row = seg & same_prev & prev_has_lower
+    prev_adjacent = seg_or(prev_adj_row)
+
+    examine = has_lower & (~prev_adjacent | has_upper)
+    new_row = ~prev_adjacent
+    keep_entry = examine & valid
+
+    # stable compaction of kept rows
+    srt2 = jax.lax.sort(
+        ((~keep_entry).astype(jnp.int32), ridx, gkey_a, gkey_b, gkey_c,
+         pairing, tag, dg, aa, ll, seg.astype(jnp.int32),
+         new_row.astype(jnp.int32), keep_entry.astype(jnp.int32)),
+        num_keys=2)
+    (gkey_a, gkey_b, gkey_c, pairing, tag, dg, aa, ll, segi, newi,
+     vi2) = srt2[2:]
+    valid = vi2 != 0
+    nkeep = jnp.sum(vi2)
+    seg = (segi != 0) | (ridx == 0)
+    new_row = newi != 0
+
+    # chain segmentation with two-sided break test + exact fixpoint
+    cps = aa + ll
+    M = _seg_cummax(jax, jnp, cps, seg)
+    Mprev = jnp.roll(M, 1)
+    cps_prev = jnp.roll(cps, 1)
+    inner = (~seg) & valid
+    definite = inner & (aa >= Mprev + chain_break)
+    never = inner & (aa < cps_prev + chain_break)
+    amb = inner & ~definite & ~never
+    brk0 = seg | definite
+
+    def fix_cond(st):
+        return st[1]
+
+    def fix_body(st):
+        brk, _ = st
+        Mc = _seg_cummax(jax, jnp, cps, brk)
+        Mcp = jnp.roll(Mc, 1)
+        nb = brk | (amb & (aa >= Mcp + chain_break))
+        return nb, jnp.any(nb != brk)
+
+    brk, _ = jax.lax.while_loop(fix_cond, fix_body, (brk0, jnp.bool_(True)))
+
+    cid = jnp.cumsum(brk.astype(jnp.int32)) - 1
+    ahgh_run = _seg_cummax(jax, jnp, cps, brk)
+    prev_ahgh = jnp.where(ridx == 0, 0, jnp.roll(ahgh_run, 1))
+    novel = jnp.where(brk, ll,
+                      jnp.clip(jnp.minimum(cps - prev_ahgh, ll), 0, None))
+    novel = jnp.where(valid, novel, 0)
+
+    def segmin(v, fill):
+        return jax.ops.segment_min(jnp.where(valid, v, fill), cid,
+                                   num_segments=M2)
+
+    def segmax(v, fill):
+        return jax.ops.segment_max(jnp.where(valid, v, fill), cid,
+                                   num_segments=M2)
+
+    cov = jax.ops.segment_sum(novel, cid, num_segments=M2)
+    ch_dgmin = segmin(dg, big)
+    ch_dgmax = segmax(dg, -big)
+    ch_alow = segmax(jnp.where(brk, aa, -big), -big)
+    ch_ahgh = segmax(cps, -big)
+    ch_mix_l = segmax((tag == 0).astype(jnp.int32), 0) != 0
+    ch_mix_u = segmax((tag == 1).astype(jnp.int32), 0) != 0
+
+    def first_of(v):
+        return segmax(jnp.where(brk, v, -big), -big)
+
+    ch_ga = first_of(gkey_a)
+    ch_gb = first_of(gkey_b)
+    ch_gc = first_of(gkey_c) != 0
+    ch_pair = first_of(pairing + 1) - 1     # pairing may be -1
+    ch_new = first_of(new_row.astype(jnp.int32)) != 0
+    ch_valid = segmax(valid.astype(jnp.int32), 0) != 0
+
+    keep = ch_valid & (cov >= chain_min) \
+        & (~(ch_mix_l & ~ch_mix_u) | ch_new)
+
+    alen = alens_by_rank[jnp.clip(ch_ga, 0, alens_by_rank.shape[0] - 1)]
+    dgmin = ch_dgmin + (ch_pair << BUCK_SHIFT)
+    dgmax = ch_dgmax + (ch_pair << BUCK_SHIFT)
+    is_c = ch_gc
+    dgmin = jnp.where(is_c, dgmin + (alen - maxdag), dgmin - bmax)
+    dgmax = jnp.where(is_c, dgmax + (alen - maxdag), dgmax - bmax)
+    alow = jnp.where(is_c, ch_alow + (alen - amax), ch_alow)
+    ahgh = jnp.where(is_c, ch_ahgh + (alen - amax), ch_ahgh)
+
+    # compact kept chains (in chain order) to tcap
+    chidx = jnp.arange(M2, dtype=jnp.int32)
+    srt3 = jax.lax.sort(
+        ((~keep).astype(jnp.int32), chidx, ch_ga, ch_gb,
+         ch_gc.astype(jnp.int32), dgmin, dgmax, alow, ahgh, ch_pair,
+         keep.astype(jnp.int32)),
+        num_keys=2)
+    (o_ga, o_gb, o_gc, o_dgmin, o_dgmax, o_alow, o_ahgh, o_pair,
+     o_keep) = srt3[2:]
+    ntubes = jnp.sum(o_keep)
+    sl = lambda v: v[:tcap]
+    return (sl(o_ga), sl(o_gb), sl(o_gc) != 0, sl(o_dgmin), sl(o_dgmax),
+            sl(o_alow), sl(o_ahgh), sl(o_pair), ntubes)
+
+
+# ---------------------------------------------------------------------------
+# Wrapper: GDB pair -> TubeBatch (host fallback when not applicable)
+# ---------------------------------------------------------------------------
+
+_MAX_DEV_BASES = 1 << 26     # beyond this the entry arrays outgrow HBM;
+                             # panel-sharded build is future work
+
+_jit_cache = {}
+
+
+def _prep_genome(gdb, lens):
+    """Host-side input prep for one genome (cheap; packed upload)."""
+    import jax.numpy as jnp
+    coff = np.zeros(len(lens), np.int64)
+    if len(lens) > 1:
+        coff[1:] = np.cumsum(lens)[:-1]
+    total = int(lens.sum())
+    N = 1 << max(12, (total - 1).bit_length())
+    # packed bases: reuse the GDB's .bps (2-bit, 4/byte, contig-aligned
+    # boundaries make direct concat wrong when lengths aren't multiples
+    # of 4, so unpack-repack via get_contig once — still host-cheap)
+    basespad = np.zeros(N, np.uint8)
+    pos = 0
+    for r in range(gdb.ncontig):
+        c = gdb.get_contig(r)
+        basespad[pos:pos + len(c)] = c
+        pos += len(c)
+    from ..utils.dna import compress
+    bps = compress(basespad)
+    cont_of = np.searchsorted(np.cumsum(lens), np.arange(N),
+                              side="right").astype(np.int32)
+    from ..io.gix import _length_perm
+    lens_eff = np.concatenate(
+        [lens, np.full(max(0, 8 - len(lens)), KMER, np.int64)])
+    perm, invp = _length_perm(lens_eff)
+    Cpad = 1 << max(3, (len(lens) - 1).bit_length())
+    coffp = np.zeros(Cpad, np.int32)
+    coffp[:len(lens)] = coff
+    clenp = np.zeros(Cpad, np.int32)
+    clenp[:len(lens)] = lens
+    invpp = np.zeros(Cpad, np.int32)
+    invpp[:len(invp[:len(lens)])] = invp[:len(lens)]
+    return (jnp.asarray(bps), jnp.asarray(coffp), jnp.asarray(clenp),
+            jnp.asarray(cont_of), jnp.asarray(invpp),
+            np.int32(len(lens)), N)
+
+
+def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
+                 chain_break: int = 2000, chain_min: int = 170,
+                 tcap: int = 1 << 15):
+    """TubeBatch for a genome pair via the device pipeline, or None when
+    the device path does not apply (self comparison and soft masks are
+    handled by callers; here: size/caps exceeded)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .chain import TubeBatch
+
+    lens1 = gdb1.contig_lengths()
+    lens2 = gdb2.contig_lengths()
+    tot = int(lens1.sum()) + int(lens2.sum())
+    if tot == 0 or int(lens1.sum()) > _MAX_DEV_BASES \
+            or int(lens2.sum()) > _MAX_DEV_BASES:
+        return None
+    amax, bmax = int(lens1.max()), int(lens2.max())
+    if amax + 2 * bmax >= (1 << 30):
+        return None               # int32 geometry only
+
+    bps1, coff1, clen1, cof1, invp1, nc1, N1 = _prep_genome(gdb1, lens1)
+    bps2, coff2, clen2, cof2, invp2, nc2, N2 = _prep_genome(gdb2, lens2)
+    E1 = max(1 << 12, N1)          # entry cap (2 entries/position bound
+    E2 = max(1 << 12, N2)          # minus syncmer density; checked below)
+    NSCAP = E1
+    key = (N1, N2, len(coff1), len(coff2), E1, E2, NSCAP, tcap, freq,
+           chain_break, chain_min)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        def pipeline(bps1, coff1, clen1, cof1, invp1, nc1,
+                     bps2, coff2, clen2, cof2, invp2, nc2,
+                     amax_, bmax_, alens):
+            T1 = gix_arrays(bps1, 0, coff1, clen1, cof1, invp1, nc1,
+                            ecap=E1)
+            T2 = gix_arrays(bps2, 0, coff2, clen2, cof2, invp2, nc2,
+                            ecap=E2)
+            sd = merge_seeds(T1, T2, NSCAP, freq)
+            (pl, ac, ap, bcn, bp, bo, _e, ns) = sd
+            res = chain_tubes_dev((pl, ac, ap, bcn, bp, bo), ns,
+                                  amax_, bmax_, alens, tcap,
+                                  chain_break, chain_min)
+            sidx = jnp.arange(NSCAP, dtype=jnp.int32)
+            plsum = jnp.sum(jnp.where(sidx < ns, pl, 0).astype(jnp.int64))
+            return res + (T1[7], T2[7], ns, plsum)
+
+        fn = jax.jit(pipeline)
+        _jit_cache[key] = fn
+
+    alens_pad = np.zeros(1 << max(3, (len(alens_by_rank) - 1)
+                                  .bit_length()), np.int32)
+    alens_pad[:len(alens_by_rank)] = alens_by_rank
+    out = fn(bps1, coff1, clen1, cof1, invp1, nc1,
+             bps2, coff2, clen2, cof2, invp2, nc2,
+             np.int32(amax), np.int32(bmax), jnp.asarray(alens_pad))
+    (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt, ne1, ne2, ns,
+     plsum) = [np.asarray(x) for x in out]
+    if int(ne1) > E1 or int(ne2) > E2 or int(ns) > NSCAP \
+            or int(nt) > tcap:
+        return None               # caps exceeded: host fallback
+    n = int(nt)
+    tubes = TubeBatch(
+        acont=ga[:n].astype(np.int32), bcont=gb[:n].astype(np.int32),
+        comp=gc[:n].astype(bool), dgmin=dgmin[:n].astype(np.int32),
+        dgmax=dgmax[:n].astype(np.int32), alow=alow[:n].astype(np.int64),
+        ahgh=ahgh[:n].astype(np.int64), pairing=pair[:n].astype(np.int64))
+    return tubes, int(ns), int(plsum)

@@ -1,0 +1,82 @@
+"""The device seed pipeline (gix arrays + adaptamer merge + chain sweep
+as XLA programs) must produce bit-identical TubeBatches to the host
+numpy pipeline."""
+
+import numpy as np
+
+from fastga_tpu.io import gdb as gdbm
+from fastga_tpu.io import gix as gixm
+from fastga_tpu.ops import chain as chainm
+from fastga_tpu.ops import device_pipeline as dp
+from fastga_tpu.ops import merge as mergem
+from fastga_tpu.utils.dna import compress
+
+
+def _gdb(contigs):
+    g = gdbm.GDB()
+    boff = 0
+    counts = np.zeros(4, np.int64)
+    packs = []
+    for i, c in enumerate(contigs):
+        g.contigs.append(gdbm.Contig(len(c), 0, boff, i))
+        g.scaffolds.append(gdbm.Scaffold(len(c), i, i + 1, f"c{i}"))
+        pk = compress(c)
+        packs.append(pk)
+        boff += len(pk)
+        counts += np.bincount(c, minlength=4)[:4]
+        g.maxctg = max(g.maxctg, len(c))
+    g.seqtot = int(counts.sum())
+    g.freq = counts / g.seqtot
+    g._bps = np.concatenate(packs)
+    return g
+
+
+def _mutate(seq, rate, rng):
+    out = []
+    for b in seq:
+        r = rng.random()
+        if r < rate * 0.6:
+            out.append(rng.integers(0, 4))
+        elif r < rate * 0.8:
+            continue
+        else:
+            out.append(b)
+            if r > 1 - rate * 0.2:
+                out.append(rng.integers(0, 4))
+    return np.array(out, dtype=np.uint8)
+
+
+def test_device_tubes_match_host():
+    rng = np.random.default_rng(23)
+    for rep in range(3):
+        nc = int(rng.integers(3, 8))
+        A = [rng.integers(0, 4, int(rng.integers(1500, 12000)))
+             .astype(np.uint8) for _ in range(nc)]
+        B = []
+        for i, a in enumerate(A):
+            b = _mutate(a, float(rng.uniform(0.02, 0.08)), rng)
+            if i % 3 == 2:
+                q = len(b) // 3
+                b[q:2 * q] = (3 - b[q:2 * q])[::-1]
+            B.append(b)
+        g1, g2 = _gdb(A), _gdb(B)
+        t1h, t2h = gixm.build_gix(g1), gixm.build_gix(g2)
+        seeds_h = mergem.adaptamer_seeds(t1h, t2h, freq=10)
+        lens1 = g1.contig_lengths()
+        lens2 = g2.contig_lengths()
+        perm1 = np.asarray(t1h.perm)
+        alens = np.where(perm1 < len(lens1),
+                         lens1[np.minimum(perm1, len(lens1) - 1)], 40)
+        tubes_h = chainm.chain_tubes(seeds_h, int(lens1.max()),
+                                     int(lens2.max()), alens)
+        dres = dp.device_tubes(g1, g2, alens)
+        assert dres is not None
+        tubes_d, nseeds, plsum = dres
+        assert nseeds == seeds_h.n
+        assert plsum == int(seeds_h.plen.astype(np.int64).sum())
+        assert tubes_d.n == tubes_h.n
+        for f in ("acont", "bcont", "comp", "dgmin", "dgmax", "alow",
+                  "ahgh", "pairing"):
+            assert np.array_equal(
+                np.asarray(getattr(tubes_d, f)).astype(np.int64),
+                np.asarray(getattr(tubes_h, f)).astype(np.int64)), f
