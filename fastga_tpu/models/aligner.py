@@ -84,9 +84,14 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
         perm1, len(lens1) - 1)], t1.kmer)
 
     tubes = None
+    import os as _os
     if (engine == "jax" and not selfcmp and not symmetric
             and not params.soft_mask
+            and _os.environ.get("FASTGA_TPU_DEVPIPE") == "1"
             and not t1.maskb.any() and not t2.maskb.any()):
+        # opt-in: the device pipeline is bit-identical but its current
+        # formulation is gather-bound on TPU (sparse-core rates);
+        # the sort-merge redesign that removes the gathers is pending
         # full device pipeline: gix arrays + adaptamer merge + chain
         # sweep on the accelerator; only tube descriptors come back
         from ..ops import device_pipeline as devp

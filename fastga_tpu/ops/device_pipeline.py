@@ -141,10 +141,16 @@ def gix_arrays(bps, nbases: int, coff, clen, cont_of, invp, ncontig,
     k4 = jnp.where(invalid, _I32MAX, posta)
     k5 = jnp.where(invalid, _I32MAX, compa)
 
-    (k0, k1, k2, k3, k4, k5, w0s, w1s, w2s, cs, ps, os, vs) = jax.lax.sort(
-        (k0, k1, k2, k3, k4, k5, w0a, w1a, w2a, conta, posta, compa,
-         okflat.astype(jnp.int32)),
-        num_keys=6)
+    iota2 = jnp.arange(2 * N, dtype=jnp.int32)
+    srt = jax.lax.sort((k0, k1, k2, k3, k4, k5, iota2), num_keys=6)
+    ordr = srt[6]
+    w0s = w0a[ordr]
+    w1s = w1a[ordr]
+    w2s = w2a[ordr]
+    cs = conta[ordr]
+    ps = posta[ordr]
+    os = compa[ordr]
+    vs = okflat[ordr].astype(jnp.int32)
 
     nent = jnp.sum(okflat.astype(jnp.int32))
 
@@ -234,7 +240,10 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F):
     lcp_pred = row_lcp(pred_ok, ins - 1)
     lcp_succ = row_lcp(succ_ok, ins)
     plen = jnp.maximum(lcp_pred, lcp_succ)
-    alive = (plen >= 12) & (o1 == 0)        # forward T1 entries drive
+    eix = jnp.arange(N1, dtype=jnp.int32)
+    # forward T1 entries drive; rows past the entry count are padding
+    # whose key payloads are garbage
+    alive = (plen >= 12) & (o1 == 0) & (eix < n1)
 
     l2c = jnp.minimum(l2, kmer)
     up_ok = (lcp_succ >= plen) & succ_ok & alive
@@ -293,13 +302,14 @@ BUCK_WIDTH = 1 << BUCK_SHIFT
 
 
 def _seg_cummax(jax, jnp, x, start):
-    """Cumulative max of x resetting where start is True (exact int32)."""
-    def comb(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, jnp.maximum(va, vb))
-    _, out = jax.lax.associative_scan(comb, (start, x))
-    return out
+    """Cumulative max of x resetting where start is True (exact; int64
+    offset trick over the native cummax — far cheaper to compile than an
+    associative_scan pair)."""
+    gid = jnp.cumsum(start.astype(jnp.int64))
+    big = jnp.int64(1) << 33          # |x| < 2^31
+    shifted = x.astype(jnp.int64) + gid * big
+    cm = jax.lax.cummax(shifted, axis=0)
+    return (cm - gid * big).astype(jnp.int32)
 
 
 def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
@@ -347,11 +357,18 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
     key = lambda v: jnp.where(inval, _I32MAX, v)
     srt = jax.lax.sort(
         (key(gkey_a), key(gkey_b), key(gkey_c), key(pairing), key(aa),
-         key(tag), iota, gkey_a, gkey_b, gkey_c, pairing, tag, dg, aa, ll,
-         valid.astype(jnp.int32)),
+         key(tag), iota),
         num_keys=7)
-    (gkey_a, gkey_b, gkey_c, pairing, tag, dg, aa, ll, vi) = srt[7:]
-    valid = vi != 0
+    ordr = srt[6]
+    gkey_a = gkey_a[ordr]
+    gkey_b = gkey_b[ordr]
+    gkey_c = gkey_c[ordr]
+    pairing = pairing[ordr]
+    tag = tag[ordr]
+    dg = dg[ordr]
+    aa = aa[ordr]
+    ll = ll[ordr]
+    valid = valid[ordr]
 
     ridx = jnp.arange(M2, dtype=jnp.int32)
     pg_a = jnp.roll(gkey_a, 1)
@@ -382,16 +399,20 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
 
     # stable compaction of kept rows
     srt2 = jax.lax.sort(
-        ((~keep_entry).astype(jnp.int32), ridx, gkey_a, gkey_b, gkey_c,
-         pairing, tag, dg, aa, ll, seg.astype(jnp.int32),
-         new_row.astype(jnp.int32), keep_entry.astype(jnp.int32)),
-        num_keys=2)
-    (gkey_a, gkey_b, gkey_c, pairing, tag, dg, aa, ll, segi, newi,
-     vi2) = srt2[2:]
-    valid = vi2 != 0
-    nkeep = jnp.sum(vi2)
-    seg = (segi != 0) | (ridx == 0)
-    new_row = newi != 0
+        ((~keep_entry).astype(jnp.int32), ridx), num_keys=2)
+    ord2 = srt2[1]
+    gkey_a = gkey_a[ord2]
+    gkey_b = gkey_b[ord2]
+    gkey_c = gkey_c[ord2]
+    pairing = pairing[ord2]
+    tag = tag[ord2]
+    dg = dg[ord2]
+    aa = aa[ord2]
+    ll = ll[ord2]
+    segi = seg[ord2]
+    new_row = new_row[ord2]
+    valid = keep_entry[ord2]
+    seg = segi | (ridx == 0)
 
     # chain segmentation with two-sided break test + exact fixpoint
     cps = aa + ll
@@ -463,14 +484,17 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
 
     # compact kept chains (in chain order) to tcap
     chidx = jnp.arange(M2, dtype=jnp.int32)
-    srt3 = jax.lax.sort(
-        ((~keep).astype(jnp.int32), chidx, ch_ga, ch_gb,
-         ch_gc.astype(jnp.int32), dgmin, dgmax, alow, ahgh, ch_pair,
-         keep.astype(jnp.int32)),
-        num_keys=2)
-    (o_ga, o_gb, o_gc, o_dgmin, o_dgmax, o_alow, o_ahgh, o_pair,
-     o_keep) = srt3[2:]
-    ntubes = jnp.sum(o_keep)
+    srt3 = jax.lax.sort(((~keep).astype(jnp.int32), chidx), num_keys=2)
+    ord3 = srt3[1]
+    o_ga = ch_ga[ord3]
+    o_gb = ch_gb[ord3]
+    o_gc = ch_gc[ord3].astype(jnp.int32)
+    o_dgmin = dgmin[ord3]
+    o_dgmax = dgmax[ord3]
+    o_alow = alow[ord3]
+    o_ahgh = ahgh[ord3]
+    o_pair = ch_pair[ord3]
+    ntubes = jnp.sum(keep.astype(jnp.int32))
     sl = lambda v: v[:tcap]
     return (sl(o_ga), sl(o_gb), sl(o_gc) != 0, sl(o_dgmin), sl(o_dgmax),
             sl(o_alow), sl(o_ahgh), sl(o_pair), ntubes)
@@ -548,38 +572,81 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
     bps2, coff2, clen2, cof2, invp2, nc2, N2 = _prep_genome(gdb2, lens2)
     E1 = max(1 << 12, N1)          # entry cap (2 entries/position bound
     E2 = max(1 << 12, N2)          # minus syncmer density; checked below)
+    def gix_jit(N, Cpad, ecap):
+        key = ("gix", N, Cpad, ecap)
+        fn = _jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda bps, coff, clen, cof, invp, nc:
+                         gix_arrays(bps, 0, coff, clen, cof, invp, nc,
+                                    ecap=ecap))
+            _jit_cache[key] = fn
+        return fn
+
+    def mg_jit(E1_, E2_):
+        key = ("mg", E1_, E2_, NSCAP, freq)
+        fn = _jit_cache.get(key)
+        if fn is None:
+            def mg(T1, T2):
+                sd = merge_seeds(T1, T2, NSCAP, freq)
+                (pl, ac, ap, bcn, bp, bo, _e, ns) = sd
+                sidx = jnp.arange(NSCAP, dtype=jnp.int32)
+                plsum = jnp.sum(jnp.where(sidx < ns, pl, 0)
+                                .astype(jnp.int32))
+                return pl, ac, ap, bcn, bp, bo, ns, plsum
+
+            fn = jax.jit(mg)
+            _jit_cache[key] = fn
+        return fn
+
+    def ch_jit():
+        key = ("ch", NSCAP, tcap, chain_break, chain_min)
+        fn = _jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda sd, ns, amax_, bmax_, alens:
+                         chain_tubes_dev(sd, ns, amax_, bmax_, alens,
+                                         tcap, chain_break, chain_min))
+            _jit_cache[key] = fn
+        return fn
+
     NSCAP = E1
-    key = (N1, N2, len(coff1), len(coff2), E1, E2, NSCAP, tcap, freq,
-           chain_break, chain_min)
-    fn = _jit_cache.get(key)
-    if fn is None:
-        def pipeline(bps1, coff1, clen1, cof1, invp1, nc1,
-                     bps2, coff2, clen2, cof2, invp2, nc2,
-                     amax_, bmax_, alens):
-            T1 = gix_arrays(bps1, 0, coff1, clen1, cof1, invp1, nc1,
-                            ecap=E1)
-            T2 = gix_arrays(bps2, 0, coff2, clen2, cof2, invp2, nc2,
-                            ecap=E2)
-            sd = merge_seeds(T1, T2, NSCAP, freq)
-            (pl, ac, ap, bcn, bp, bo, _e, ns) = sd
-            res = chain_tubes_dev((pl, ac, ap, bcn, bp, bo), ns,
-                                  amax_, bmax_, alens, tcap,
-                                  chain_break, chain_min)
-            sidx = jnp.arange(NSCAP, dtype=jnp.int32)
-            plsum = jnp.sum(jnp.where(sidx < ns, pl, 0).astype(jnp.int64))
-            return res + (T1[7], T2[7], ns, plsum)
+    import os
+    import time as _time
 
-        fn = jax.jit(pipeline)
-        _jit_cache[key] = fn
+    from jax import enable_x64
+    dbg = os.environ.get("FASTGA_DEVPIPE_DEBUG")
 
-    alens_pad = np.zeros(1 << max(3, (len(alens_by_rank) - 1)
-                                  .bit_length()), np.int32)
-    alens_pad[:len(alens_by_rank)] = alens_by_rank
-    out = fn(bps1, coff1, clen1, cof1, invp1, nc1,
-             bps2, coff2, clen2, cof2, invp2, nc2,
-             np.int32(amax), np.int32(bmax), jnp.asarray(alens_pad))
-    (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt, ne1, ne2, ns,
-     plsum) = [np.asarray(x) for x in out]
+    def _tick(label, t0, *vals):
+        if dbg:
+            jax.block_until_ready(vals)
+            import sys
+            sys.stderr.write(
+                f"devpipe {label}: {_time.time() - t0:.2f}s\n")
+        return _time.time()
+
+    # x64 context: the segmented scans use an int64 offset trick (int32
+    # would silently truncate under the default x64-disabled config)
+    with enable_x64():
+        t0 = _time.time()
+        T1 = gix_jit(N1, len(coff1), E1)(bps1, coff1, clen1, cof1,
+                                         invp1, nc1)
+        t0 = _tick("gix1", t0, T1)
+        T2 = gix_jit(N2, len(coff2), E2)(bps2, coff2, clen2, cof2,
+                                         invp2, nc2)
+        t0 = _tick("gix2", t0, T2)
+        alens_pad = np.zeros(1 << max(3, (len(alens_by_rank) - 1)
+                                      .bit_length()), np.int32)
+        alens_pad[:len(alens_by_rank)] = alens_by_rank
+        (pl, ac, ap, bcn, bp, bo, ns, plsum) = mg_jit(E1, E2)(T1, T2)
+        t0 = _tick("merge", t0, ns)
+        ne1, ne2 = T1[7], T2[7]
+        del T1, T2
+        res = ch_jit()((pl, ac, ap, bcn, bp, bo), ns, np.int32(amax),
+                       np.int32(bmax), jnp.asarray(alens_pad))
+        t0 = _tick("chain", t0, res)
+        out = tuple(res) + (ns, plsum, ne1, ne2)
+    (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt, ns, plsum, ne1,
+     ne2) = [np.asarray(x) for x in out]
+    NSCAP = E1
     if int(ne1) > E1 or int(ne2) > E2 or int(ns) > NSCAP \
             or int(nt) > tcap:
         return None               # caps exceeded: host fallback
