@@ -231,6 +231,30 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
             return (t15 >= 0) & (t30 + s15 >= 0)
 
         def wave_body(wi, carry):
+            anyalive = carry[4][:, SC_ALIVE:SC_ALIVE + 1].max() > 0
+            return jax.lax.cond(anyalive, _wave_live, _wave_dead,
+                                wi, carry)
+
+        def _wave_dead(wi, carry):
+            """No live tube in this block: the XLA stepper still logs
+            CH_NONE rows and commits the band fixed point hgh = low - 1
+            (ops/wave.py one_wave with alive all-False)."""
+            V, Thi, Tlo, M, sc, abase, bbase = carry
+            kbase = sc[:, SC_KBASE:SC_KBASE + 1]
+            low = sc[:, SC_LOW:SC_LOW + 1]
+            hgh = sc[:, SC_HGH:SC_HGH + 1]
+            dif = sc[:, SC_DIF:SC_DIF + 1]
+            chlog_r[pl.ds(wi, 1)] = jnp.full((1, BT, W), CH_NONE,
+                                             jnp.uint8)
+            bandcols = jnp.concatenate(
+                [low, hgh, kbase, dif,
+                 jnp.zeros((BT, 124), jnp.int32)], axis=1)
+            bandlog_r[pl.ds(wi, 1)] = bandcols[None]
+            scix = jax.lax.broadcasted_iota(jnp.int32, (BT, NSC), 1)
+            sc2 = jnp.where(scix == SC_HGH, low - 1, sc)
+            return V, Thi, Tlo, M, sc2, abase, bbase
+
+        def _wave_live(wi, carry):
             V, Thi, Tlo, M, sc, abase, bbase = carry
             kbase = sc[:, SC_KBASE:SC_KBASE + 1]
             low = sc[:, SC_LOW:SC_LOW + 1]
