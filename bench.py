@@ -56,7 +56,7 @@ def main():
     from fastga_tpu.models import aligner
     from fastga_tpu.utils import dna
 
-    ncontig = int(os.environ.get("BENCH_NCONTIG", 64))
+    ncontig = int(os.environ.get("BENCH_NCONTIG", 192))
     clen = int(os.environ.get("BENCH_CLEN", 50_000))
     engine = os.environ.get("BENCH_ENGINE", "jax")
 
