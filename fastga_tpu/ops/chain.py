@@ -122,8 +122,14 @@ def chain_tubes(seeds: SeedBatch, amax: int, bmax: int,
     na = int(gkey_a.max()) + 1
     nb = int(gkey_b.max()) + 1
     hi_range = na * nb * 2 * npair
-    lo_max = int(aa.max()) * 2 + 1 if len(aa) else 0
-    if hi_range < (1 << 52) and lo_max < (1 << 52) and int(aa.min()) >= 0:
+    lo_max = int(aa.max()) * 2 + 2 if len(aa) else 1
+    if hi_range < (1 << 62) // lo_max and int(aa.min()) >= 0:
+        # one int64 composite key: (a, b, c, pairing, aa, tag)
+        hi = ((gkey_a * nb + gkey_b) * 2 + gkey_c) * npair \
+            + (pairing - pmin)
+        order = np.argsort(hi * lo_max + (aa * 2 + tag), kind="stable")
+    elif hi_range < (1 << 52) and lo_max < (1 << 52) \
+            and int(aa.min()) >= 0:
         hi = (((gkey_a * nb + gkey_b) * 2 + gkey_c) * npair
               + (pairing - pmin)).astype(np.float64)
         lo = (aa * 2 + tag).astype(np.float64)
@@ -207,23 +213,16 @@ def chain_tubes(seeds: SeedBatch, amax: int, bmax: int,
     prev_ahgh[1:] = ahgh_run[:-1]
     novel = np.where(brk, ll,
                      np.maximum(np.minimum(cps - prev_ahgh, ll), 0))
-    cov = np.zeros(nch, dtype=np.int64)
-    np.add.at(cov, cid, novel)
-
-    ch_dgmin = np.full(nch, 1 << 30, dtype=np.int64)
-    ch_dgmax = np.full(nch, -(1 << 30), dtype=np.int64)
-    np.minimum.at(ch_dgmin, cid, dg)
-    np.maximum.at(ch_dgmax, cid, dg)
-    ch_alow = np.zeros(nch, dtype=np.int64)
-    ch_alow[cid[brk]] = aa[brk]
-    ch_ahgh = np.zeros(nch, dtype=np.int64)
-    np.maximum.at(ch_ahgh, cid, cps)
-    ch_mix_l = np.zeros(nch, dtype=bool)
-    ch_mix_u = np.zeros(nch, dtype=bool)
-    np.logical_or.at(ch_mix_l, cid, tag == 0)
-    np.logical_or.at(ch_mix_u, cid, tag == 1)
-
     first = np.flatnonzero(brk)
+    # cid is nondecreasing: per-chain reductions via reduceat (the
+    # ufunc.at scatter forms are ~20x slower)
+    cov = np.add.reduceat(novel, first)
+    ch_dgmin = np.minimum.reduceat(dg, first)
+    ch_dgmax = np.maximum.reduceat(dg, first)
+    ch_alow = aa[first]
+    ch_ahgh = np.maximum.reduceat(cps, first)
+    ch_mix_l = np.maximum.reduceat((tag == 0).astype(np.int8), first) != 0
+    ch_mix_u = np.maximum.reduceat((tag == 1).astype(np.int8), first) != 0
     ch_ga = gkey_a[first]
     ch_gb = gkey_b[first]
     ch_gc = gkey_c[first] != 0

@@ -97,9 +97,13 @@ def _merge_chunk(t1: GixTable, t2: GixTable, sel: np.ndarray,
     n2 = t2.n
     k1 = t1.kbytes[sel]
 
-    # insertion points of k1 rows into t2's sorted k-mers via one lexsort:
-    # concat, sort by (kmer bytes, src) with T1 entries before equal T2.
-    ins = _rank_into(k1, t2.kbytes, _table_halves(t2))
+    # insertion points of k1 rows into t2's sorted k-mers: binary search
+    # over cached 80-bit complex keys for both tables
+    if t1.kbytes.shape[1] <= 10:
+        ins = np.searchsorted(_table_halves(t2), _table_halves(t1)[sel],
+                              side="left").astype(np.int64)
+    else:
+        ins = _rank_into(k1, t2.kbytes, _table_halves(t2))
 
     # nearest-neighbour lcps
     pred_ok = ins > 0
