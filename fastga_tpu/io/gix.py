@@ -200,11 +200,25 @@ def build_gix(gdb: GDB, kmer: int = KMER, masks=None,
         comp = np.zeros(0, dtype=bool)
         maskb = np.zeros(0, dtype=np.uint8)
 
-    # global sort by (kmer, cont, post, comp)
+    # global sort by (kmer, cont, post, comp): two stable argsorts — the
+    # tie key (cont, post, comp) packs into int64, then khi+klo as a
+    # second stable pass — instead of a 5-key lexsort
     khi = kbytes[:, :8].copy().view(">u8").reshape(-1)
     klo = (kbytes[:, 8:kb].copy().view(f">u{max(kb-8,1)}").reshape(-1)
            if kb > 8 else np.zeros(len(post), dtype=np.uint8))
-    order = np.lexsort((comp, post, cont, klo, khi))
+    nent = len(post)
+    pmax = int(post.max()) + 1 if nent else 1
+    cmax = int(cont.max()) + 1 if nent else 1
+    if nent and cmax * pmax * 2 < (1 << 62) and kb <= 12:
+        tie = ((cont.astype(np.int64) * pmax + post) << 1) | comp
+        o1 = np.argsort(tie, kind="stable")
+        # second pass: stable by (khi, klo) — pack klo (<= 4 bytes) into
+        # the low bits when khi < 2^48 is not guaranteed, so sort klo
+        # then khi (both stable)
+        o2 = o1[np.argsort(klo[o1].astype(np.uint64), kind="stable")]
+        order = o2[np.argsort(khi[o2], kind="stable")]
+    else:
+        order = np.lexsort((comp, post, cont, klo, khi))
     kbytes = kbytes[order]
     post = post[order]
     cont = cont[order]
