@@ -88,24 +88,25 @@ def gix_arrays(bps, nbases: int, coff, clen, cont_of, invp, ncontig,
     fwd_ok = sel & (loc <= ln - kmer)
     rc_ok = sel & (loc >= kmer - TMER)
 
-    # entry field grids per position (fwd at slot 0, rc at slot 1)
-    def kmer_words(start, rc):
-        offs = jnp.arange(kb, dtype=jnp.int32)
-        if rc:
-            idx = start[:, None] - 4 - 4 * offs[None, :]
-        else:
-            idx = start[:, None] + 4 * offs[None, :]
-        by = n4[jnp.clip(idx, 0, N - 1)]
-        if rc:
-            by = compt[by]
-        w0 = (by[:, 0] << 24) | (by[:, 1] << 16) | (by[:, 2] << 8) | by[:, 3]
-        w1 = (by[:, 4] << 24) | (by[:, 5] << 16) | (by[:, 6] << 8) | by[:, 7]
-        w2 = (by[:, 8] << 24) | (by[:, 9] << 16)
+    # entry field grids per position, via rolls of n4 — never a gather
+    # (fwd entry at i reads n4[i + 4t]; the rc entry ending at i+TMER-1
+    # reads COMP[n4[i + 8 - 4t]], with COMP computable arithmetically:
+    # COMP[b] == rev2bits(~b))
+    def comp_arith(b):
+        inv = (~b) & 0xFF
+        return (((inv & 0x03) << 6) | ((inv & 0x0C) << 2)
+                | ((inv & 0x30) >> 2) | ((inv & 0xC0) >> 6))
+
+    def words_from(bys):
+        w0 = (bys[0] << 24) | (bys[1] << 16) | (bys[2] << 8) | bys[3]
+        w1 = (bys[4] << 24) | (bys[5] << 16) | (bys[6] << 8) | bys[7]
+        w2 = (bys[8] << 24) | (bys[9] << 16)
         return w0, w1, w2
 
-    fw0, fw1, fw2 = kmer_words(i, False)
-    rpost = i + TMER
-    rw0, rw1, rw2 = kmer_words(rpost, True)
+    fw0, fw1, fw2 = words_from([jnp.roll(n4, -4 * t) for t in range(kb)])
+    cn4 = comp_arith(n4)
+    rw0, rw1, rw2 = words_from(
+        [jnp.roll(cn4, -(8 - 4 * t)) for t in range(kb)])
 
     cranks = invp[jnp.clip(cont_of, 0, len(coff) - 1)]
 
@@ -141,16 +142,19 @@ def gix_arrays(bps, nbases: int, coff, clen, cont_of, invp, ncontig,
     k4 = jnp.where(invalid, _I32MAX, posta)
     k5 = jnp.where(invalid, _I32MAX, compa)
 
-    iota2 = jnp.arange(2 * N, dtype=jnp.int32)
-    srt = jax.lax.sort((k0, k1, k2, k3, k4, k5, iota2), num_keys=6)
-    ordr = srt[6]
-    w0s = w0a[ordr]
-    w1s = w1a[ordr]
-    w2s = w2a[ordr]
-    cs = conta[ordr]
-    ps = posta[ordr]
-    os = compa[ordr]
-    vs = okflat[ordr].astype(jnp.int32)
+    # the six sort keys carry all entry data: reconstruct the payloads
+    # from the sorted keys instead of reorder gathers (TPU gathers run on
+    # the sparse core and dominate runtime at tens of millions of rows);
+    # rows at index >= nentries are padding regardless of key value
+    srt = jax.lax.sort((k0, k1, k2, k3, k4, k5), num_keys=6)
+    w0s = u(srt[0])
+    w1s = u(srt[1])
+    w2s = u(srt[2])
+    cs = srt[3]
+    ps = srt[4]
+    os = srt[5]
+    nent0 = jnp.sum(okflat.astype(jnp.int32))
+    vs = (jnp.arange(2 * N, dtype=jnp.int32) < nent0).astype(jnp.int32)
 
     nent = jnp.sum(okflat.astype(jnp.int32))
 
