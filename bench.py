@@ -13,12 +13,19 @@ of avg 1,930 bp in 32.3 s  =>  22.7 Mbp aligned /s
 (EXAMPLE/sample_session:51-55; BASELINE.md).
 """
 
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+faulthandler.register(signal.SIGUSR1)   # kill -USR1 <pid> dumps stacks
+if os.environ.get("BENCH_STALL_DUMP"):
+    faulthandler.dump_traceback_later(
+        int(os.environ["BENCH_STALL_DUMP"]), repeat=True)
 
 
 def make_pair(rng, ncontig, clen, div=0.01):
@@ -117,6 +124,10 @@ def main():
         f"gdb {t_gdb:.1f}s gix {t_gix:.1f}s align {t_aln:.1f}s; "
         f"{len(ovls)} alns, {aligned:,} bp aligned; "
         f"stats={ {k: v for k, v in stats.items() if isinstance(v, (int, float))} }\n")
+    from fastga_tpu.utils import prof
+    if prof.ENABLED:
+        for k, (s, c) in prof.report().items():
+            sys.stderr.write(f"  prof {k}: {s:.2f}s x{c}\n")
     return 0
 
 

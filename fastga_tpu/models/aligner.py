@@ -85,49 +85,69 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
 
     tubes = None
     import os as _os
-    if (engine == "jax" and not selfcmp and not symmetric
-            and not params.soft_mask
-            and _os.environ.get("FASTGA_TPU_DEVPIPE") == "1"
-            and not t1.maskb.any() and not t2.maskb.any()):
-        # opt-in: the device pipeline is bit-identical but its current
-        # formulation is gather-bound on TPU (sparse-core rates);
-        # the sort-merge redesign that removes the gathers is pending
-        # full device pipeline: gix arrays + adaptamer merge + chain
-        # sweep on the accelerator; only tube descriptors come back
+    if (engine == "jax" and not symmetric
+            and _os.environ.get("FASTGA_TPU_NO_DEVPIPE") != "1"):
+        # default path: gix build + adaptamer merge + chain sweep run as
+        # device programs (gather-free sort/scan formulation); only tube
+        # descriptors come back.  Falls back to host numpy when a static
+        # cap or field width is exceeded (device_tubes returns None).
         from ..ops import device_pipeline as devp
+        from ..utils import prof
         if wave_engine is not None and wave_engine._warm_evt is not None:
             wave_engine._warm_evt.wait()   # serialize device tracing
+        has_masks = (params.soft_mask or t1.maskb.any()
+                     or (not selfcmp and t2.maskb.any()))
         try:
-            dres = devp.device_tubes(
-                gdb1, gdb2, alens_by_rank, freq=params.freq,
-                chain_break=params.chain_break,
-                chain_min=params.chain_min)
+            with prof.span("aligner.devpipe"):
+                if has_masks or selfcmp:
+                    dres = devp.device_tubes_tables(
+                        t1, t2, alens_by_rank, amax, bmax,
+                        freq=params.freq,
+                        chain_break=params.chain_break,
+                        chain_min=params.chain_min,
+                        soft_mask=params.soft_mask)
+                else:
+                    dres = devp.device_tubes(
+                        gdb1, gdb2, alens_by_rank, freq=params.freq,
+                        chain_break=params.chain_break,
+                        chain_min=params.chain_min)
         except Exception:
+            if _os.environ.get("FASTGA_TPU_DEVPIPE_STRICT") == "1":
+                raise
+            import sys, traceback
+            sys.stderr.write("fastga_tpu: device seed pipeline failed, "
+                             "falling back to host:\n"
+                             + traceback.format_exc(limit=3))
             dres = None
         if dres is not None:
             tubes, nseeds, plsum = dres
             stats["nseeds"] = nseeds
             stats["seed_len_avg"] = (plsum / nseeds) if nseeds else 0.0
+    from ..utils import prof
     if tubes is None:
-        if selfcmp:
-            seeds = mergem.self_adaptamer_seeds(t1, freq=params.freq,
-                                                soft_mask=params.soft_mask)
-        else:
-            seeds = mergem.adaptamer_seeds(t1, t2, freq=params.freq,
-                                           soft_mask=params.soft_mask)
-            if symmetric:
-                extra = mergem.adaptamer_seeds_flip(
+        with prof.span("aligner.merge"):
+            if selfcmp:
+                seeds = mergem.self_adaptamer_seeds(
+                    t1, freq=params.freq, soft_mask=params.soft_mask)
+            else:
+                seeds = mergem.adaptamer_seeds(
                     t1, t2, freq=params.freq, soft_mask=params.soft_mask)
-                seeds = mergem.SeedBatch(*[
-                    np.concatenate([getattr(seeds, f), getattr(extra, f)])
-                    for f in ("plen", "acont", "apost", "bcont", "bpost",
-                              "bcomp")])
+                if symmetric:
+                    extra = mergem.adaptamer_seeds_flip(
+                        t1, t2, freq=params.freq,
+                        soft_mask=params.soft_mask)
+                    seeds = mergem.SeedBatch(*[
+                        np.concatenate([getattr(seeds, f),
+                                        getattr(extra, f)])
+                        for f in ("plen", "acont", "apost", "bcont",
+                                  "bpost", "bcomp")])
         stats["nseeds"] = seeds.n
         stats["seed_len_avg"] = (float(seeds.plen.astype(np.float64)
                                        .mean()) if seeds.n else 0.0)
-        tubes = chainm.chain_tubes(seeds, amax, bmax, alens_by_rank,
-                                   chain_break=params.chain_break,
-                                   chain_min=params.chain_min)
+        with prof.span("aligner.chain"):
+            tubes = chainm.chain_tubes(seeds, amax, bmax, alens_by_rank,
+                                       chain_break=params.chain_break,
+                                       chain_min=params.chain_min)
     stats["nhits"] = tubes.n
 
     aln_min = params.align_min - 50

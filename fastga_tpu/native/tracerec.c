@@ -38,11 +38,17 @@ typedef struct
 static int ensure_wave(Work *w, int rows, int W)
 { if (rows > w->rows || W > w->W)
     { free(w->pvf); free(w->phf);
+      w->pvf = NULL; w->phf = NULL;
       if (rows < w->rows) rows = w->rows;
       if (W < w->W) W = w->W;
+      w->rows = 0; w->W = 0;   /* committed only when both allocs land */
       w->pvf = (int64_t *) malloc(sizeof(int64_t)*rows*W);
       w->phf = (int8_t *) malloc((size_t)rows*W);
-      if (w->pvf == NULL || w->phf == NULL) return (-1);
+      if (w->pvf == NULL || w->phf == NULL)
+        { free(w->pvf); free(w->phf);
+          w->pvf = NULL; w->phf = NULL;
+          return (-1);
+        }
       w->rows = rows; w->W = W;
     }
   return (0);
@@ -360,17 +366,27 @@ static int64_t g_rsnake(const int8_t *A, int64_t alen, int64_t ai,
 
 static int ensure_gaps(Work *w, int diag, int hgt)
 { if (diag > w->gcap)
-    { free(w->gf); free(w->gg);
-      w->gcap = diag*2 + 256;
-      w->gf = (int *) malloc(sizeof(int)*w->gcap);
-      w->gg = (int *) malloc(sizeof(int)*w->gcap);
-      if (w->gf == NULL || w->gg == NULL) return (-1);
+    { int cap = diag*2 + 256;
+      free(w->gf); free(w->gg);
+      w->gf = w->gg = NULL;
+      w->gcap = 0;   /* committed only when both allocs land */
+      w->gf = (int *) malloc(sizeof(int)*cap);
+      w->gg = (int *) malloc(sizeof(int)*cap);
+      if (w->gf == NULL || w->gg == NULL)
+        { free(w->gf); free(w->gg);
+          w->gf = w->gg = NULL;
+          return (-1);
+        }
+      w->gcap = cap;
     }
   if (diag*hgt > w->ghcap)
-    { free(w->gh);
-      w->ghcap = diag*hgt*2 + 1024;
-      w->gh = (int *) malloc(sizeof(int)*w->ghcap);
+    { int cap = diag*hgt*2 + 1024;
+      free(w->gh);
+      w->gh = NULL;
+      w->ghcap = 0;
+      w->gh = (int *) malloc(sizeof(int)*cap);
       if (w->gh == NULL) return (-1);
+      w->ghcap = cap;
     }
   return (0);
 }

@@ -1,18 +1,28 @@
 """Device seed pipeline: GIX build + adaptamer merge + chain sweep on TPU.
 
-The host pipeline (io/gix.build_gix → ops/merge.adaptamer_seeds →
-ops/chain.chain_tubes) is exact but single-threaded numpy; at genome scale
-it dominates end-to-end time.  This module runs the same computation as
-XLA device programs — 2-bit genome upload (tiny), syncmer selection,
-multi-key radix sort, vectorized binary-search adaptamer merge, ragged
-seed expansion, and the bucket-pair chain sweep — downloading only the
-final tube descriptors.  Results are bit-identical to the host pipeline
-(tests/test_device_pipeline.py asserts TubeBatch equality); inputs the
-device path does not cover (soft masks, >int31 coordinates) fall back to
-the host implementation.
+Gather-free formulation.  TPU gathers/scatters run on the sparse core at
+~25M elem/s, so the v1 pipeline (binary searches + reorder gathers) was
+slower than host numpy.  v2 expresses every join as a combined-stream
+sort whose KEYS carry the payload, and every neighbourhood computation as
+rolls + segmented scans:
 
-All shapes are static: base counts are padded to pow2 buckets so each
-size class compiles once (and hits the persistent compilation cache).
+- per-genome GIX entries: one all-keys `lax.sort` (syncmer candidates per
+  position; payload reconstructed from the sorted keys);
+- adaptamer merge: T1-forward and T2 entries are packed into two int64
+  keys and sorted as ONE stream; insertion ranks are a cumsum, neighbour
+  LCPs are segmented min-scans over adjacent-row LCPs, and the reference's
+  freq-capped group windows come from T2-space rolling minima of the
+  adjacent-LCP array, transported to T1 rows by fill scans (pack the value
+  under a monotone segment tag, cummax, unpack);
+- ragged seed expansion: one scatter of chain starts + cumsum + three
+  final payload gathers (bounded, seed-count sized);
+- chain sweep: the bucket-pair segmentation with payload packed into the
+  sort keys and all per-chain aggregates as stacked segmented scans.
+
+Semantics are bit-identical to the host pipeline (ops/merge.py,
+ops/chain.py); tests/test_device_pipeline.py asserts TubeBatch equality.
+Static shapes throughout: base counts pad to {2^k, 1.5*2^k} buckets so
+each size class compiles once and hits the persistent cache.
 """
 
 from __future__ import annotations
@@ -27,6 +37,12 @@ from .constants import COMP, KMER, SMER, SOFF, TMAP, TMER
 F = 10  # adaptamer frequency cap (reference -f default; merge window cap)
 
 _I32MAX = np.int32(0x7FFFFFFF)
+_I64MAX = np.int64(0x7FFFFFFFFFFFFFFF)
+
+MAX_CONT = 1 << 12        # contig-rank field width (reference envelope:
+MAX_POST = 1 << 28        # "at most several thousand contigs")
+MAX_FREQ = 11             # device freq cap (window-min packing: 6 low
+                          # values/scan + <=4 high); higher -f uses host
 
 
 def _jx():
@@ -50,9 +66,10 @@ def gix_arrays(bps, nbases: int, coff, clen, cont_of, invp, ncontig,
     invp: int32[Cpad] contig id -> length-rank;
     ncontig: actual contig count.
 
-    Returns (w0, w1, w2, cont, post, comp, lcp, nentries) — entries sorted
-    by (kmer, cont, post, comp), padded to the position cap with all-ones
-    keys.  w0/w1 = kmer bits 79..16 (two uint32), w2 = bits 15..0 << 16.
+    Returns (w0, w1, w2, cont, post, comp, lcp, nentries, valid) — entries
+    sorted by (kmer, cont, post, comp), padded to the position cap with
+    all-ones keys.  w0/w1 = kmer bits 79..16 (two int32), w2 = bits
+    15..0 << 16.
     """
     jax, jnp = _jx()
     N = cont_of.shape[0]                     # padded base cap (static)
@@ -110,19 +127,10 @@ def gix_arrays(bps, nbases: int, coff, clen, cont_of, invp, ncontig,
 
     cranks = invp[jnp.clip(cont_of, 0, len(coff) - 1)]
 
-    # compact the two masked entry streams into one cap-N list via a
-    # stable sort on (invalid, slotkey); entry order before the global
-    # sort is irrelevant (the sort key tuple is unique per entry)
-    def compact(ok_f, ok_r):
-        # interleave: 2N candidate slots
-        ok = jnp.stack([ok_f, ok_r], 1).reshape(-1)
-        return ok
-
-    okflat = compact(fwd_ok, rc_ok)
-
     def inter(af, ar):
         return jnp.stack([af, ar], 1).reshape(-1)
 
+    okflat = inter(fwd_ok, rc_ok)
     w0a = inter(fw0, rw0)
     w1a = inter(fw1, rw1)
     w2a = inter(fw2, rw2)
@@ -143,9 +151,8 @@ def gix_arrays(bps, nbases: int, coff, clen, cont_of, invp, ncontig,
     k5 = jnp.where(invalid, _I32MAX, compa)
 
     # the six sort keys carry all entry data: reconstruct the payloads
-    # from the sorted keys instead of reorder gathers (TPU gathers run on
-    # the sparse core and dominate runtime at tens of millions of rows);
-    # rows at index >= nentries are padding regardless of key value
+    # from the sorted keys instead of reorder gathers; rows at index >=
+    # nentries are padding regardless of key value
     srt = jax.lax.sort((k0, k1, k2, k3, k4, k5), num_keys=6)
     w0s = u(srt[0])
     w1s = u(srt[1])
@@ -153,30 +160,19 @@ def gix_arrays(bps, nbases: int, coff, clen, cont_of, invp, ncontig,
     cs = srt[3]
     ps = srt[4]
     os = srt[5]
-    nent0 = jnp.sum(okflat.astype(jnp.int32))
-    vs = (jnp.arange(2 * N, dtype=jnp.int32) < nent0).astype(jnp.int32)
 
     nent = jnp.sum(okflat.astype(jnp.int32))
+    vs = (jnp.arange(2 * N, dtype=jnp.int32) < nent).astype(jnp.int32)
 
     # adjacent lcp in bases (40 == full match marker)
     x0 = w0s ^ jnp.roll(w0s, 1)
     x1 = w1s ^ jnp.roll(w1s, 1)
     x2 = w2s ^ jnp.roll(w2s, 1)
 
-    def clz32(x):
-        xu = x.astype(jnp.uint32)
-        n_ = jnp.zeros_like(x)
-        y = xu
-        for sh, add in ((16, 16), (8, 8), (4, 4), (2, 2), (1, 1)):
-            big_ = y >= (jnp.uint32(1) << sh)
-            n_ = jnp.where(big_, n_ + add, n_)
-            y = jnp.where(big_, y >> sh, y)
-        # n_ = floor(log2(x)) for x>0; clz = 31 - n_
-        return jnp.where(xu == 0, 32, 31 - n_)
-
     lz = jnp.where(
-        x0 != 0, clz32(x0),
-        jnp.where(x1 != 0, 32 + clz32(x1), 64 + clz32(x2)))
+        x0 != 0, _clz32_arr(jnp, x0),
+        jnp.where(x1 != 0, 32 + _clz32_arr(jnp, x1),
+                  64 + _clz32_arr(jnp, x2)))
     lcp = jnp.minimum(lz >> 1, kmer).astype(jnp.int32)
     lcp = lcp.at[0].set(0)
 
@@ -185,105 +181,6 @@ def gix_arrays(bps, nbases: int, coff, clen, cont_of, invp, ncontig,
             w0s[:ecap], w1s[:ecap], w2s[:ecap], cs[:ecap], ps[:ecap],
             os[:ecap], lcp[:ecap], vs[:ecap])
     return (w0s, w1s, w2s, cs, ps, os, lcp, nent, vs)
-
-
-# ---------------------------------------------------------------------------
-# Section 2: adaptamer merge on device
-# ---------------------------------------------------------------------------
-
-def merge_seeds(T1, T2, ns_cap: int, freq: int = F):
-    """Adaptamer seeds between two device tables (jit-traceable).
-
-    Exact port of ops/merge._merge_chunk over forward T1 entries: per
-    entry the insertion rank into T2 (vectorized binary search on the
-    80-bit keys), nearest-neighbour lcps, the freq-capped group window,
-    and ragged expansion of the contiguous T2 window [ins-dn, ins+up).
-    Returns (plen, acont, apost, bcont, bpost, bcomp, e_entry, nseeds)
-    arrays of length ns_cap (padding rows masked by index >= nseeds),
-    in the host's (x, y) emission order.
-    """
-    jax, jnp = _jx()
-    w0a, w1a, w2a, c1, p1, o1, l1, n1, _ = T1
-    w0b, w1b, w2b, c2, p2, o2, l2, n2, _ = T2
-    N1 = w0a.shape[0]
-    N2 = w0b.shape[0]
-    kmer = KMER
-
-    def u(x):
-        return jnp.bitwise_xor(x, jnp.int32(-0x80000000))
-
-    a0, a1v, a2v = u(w0a), u(w1a), u(w2a)
-    b0, b1v, b2v = u(w0b), u(w1b), u(w2b)
-
-    # lower_bound of each T1 key in T2[:n2]
-    lo = jnp.zeros(N1, jnp.int32)
-    hi = jnp.full(N1, 1, jnp.int32) * n2.astype(jnp.int32)
-    for _ in range(int(np.ceil(np.log2(max(N2, 2)))) + 2):
-        mid = (lo + hi) >> 1
-        mc = jnp.clip(mid, 0, N2 - 1)
-        m0, m1, m2 = b0[mc], b1v[mc], b2v[mc]
-        ltb = (m0 < a0) | ((m0 == a0) & ((m1 < a1v)
-                                         | ((m1 == a1v) & (m2 < a2v))))
-        cont_ = lo < hi
-        lo = jnp.where(cont_ & ltb, mid + 1, lo)
-        hi = jnp.where(cont_ & ~ltb, mid, hi)
-    ins = lo
-
-    def row_lcp(i2ok, i2):
-        i2c = jnp.clip(i2, 0, N2 - 1)
-        x0 = w0a ^ w0b[i2c]
-        x1 = w1a ^ w1b[i2c]
-        x2 = w2a ^ w2b[i2c]
-        lz = jnp.where(x0 != 0, _clz32_arr(jnp, x0),
-                       jnp.where(x1 != 0, 32 + _clz32_arr(jnp, x1),
-                                 64 + _clz32_arr(jnp, x2)))
-        return jnp.where(i2ok, jnp.minimum(lz >> 1, kmer), -1)
-
-    pred_ok = ins > 0
-    succ_ok = ins < n2
-    lcp_pred = row_lcp(pred_ok, ins - 1)
-    lcp_succ = row_lcp(succ_ok, ins)
-    plen = jnp.maximum(lcp_pred, lcp_succ)
-    eix = jnp.arange(N1, dtype=jnp.int32)
-    # forward T1 entries drive; rows past the entry count are padding
-    # whose key payloads are garbage
-    alive = (plen >= 12) & (o1 == 0) & (eix < n1)
-
-    l2c = jnp.minimum(l2, kmer)
-    up_ok = (lcp_succ >= plen) & succ_ok & alive
-    upc = up_ok.astype(jnp.int32)
-    prev_up = up_ok
-    for u_ in range(1, freq):
-        j = ins + u_
-        okj = j < n2
-        lj = l2c[jnp.clip(j, 0, N2 - 1)]
-        prev_up = prev_up & okj & (lj >= plen)
-        upc = upc + prev_up.astype(jnp.int32)
-    dn_ok = (lcp_pred >= plen) & pred_ok & alive
-    dnc = dn_ok.astype(jnp.int32)
-    prev_dn = dn_ok
-    for d_ in range(1, freq):
-        j = ins - d_
-        okj = j - 1 >= 0
-        lj = l2c[jnp.clip(j, 0, N2 - 1)]
-        prev_dn = prev_dn & okj & (lj >= plen)
-        dnc = dnc + prev_dn.astype(jnp.int32)
-
-    count = upc + dnc
-    alive = alive & (count < freq)
-    cnt = jnp.where(alive, count, 0)
-
-    cum = jnp.cumsum(cnt)
-    nseeds = cum[N1 - 1]
-    sidx = jnp.arange(ns_cap, dtype=jnp.int32)
-    e = jnp.searchsorted(cum, sidx, side="right").astype(jnp.int32)
-    ec = jnp.clip(e, 0, N1 - 1)
-    prev = jnp.where(e > 0, cum[jnp.clip(e - 1, 0, N1 - 1)], 0)
-    off_in = sidx - prev
-    y = ins[ec] - dnc[ec] + off_in
-    yc = jnp.clip(y, 0, N2 - 1)
-    return (plen[ec], c1[ec], p1[ec], c2[yc], p2[yc], o2[yc], ec,
-            nseeds)
 
 
 def _clz32_arr(jnp, x):
@@ -298,17 +195,17 @@ def _clz32_arr(jnp, x):
 
 
 # ---------------------------------------------------------------------------
-# Section 3: chain sweep on device
+# scan / packing helpers (all int64; callers run under jax.enable_x64)
 # ---------------------------------------------------------------------------
 
-BUCK_SHIFT = 6
-BUCK_WIDTH = 1 << BUCK_SHIFT
+def _u32_64(jnp, x):
+    """int32 -> its unsigned value as int64."""
+    return x.astype(jnp.int64) & 0xFFFFFFFF
 
 
 def _seg_cummax(jax, jnp, x, start):
-    """Cumulative max of x resetting where start is True (exact; int64
-    offset trick over the native cummax — far cheaper to compile than an
-    associative_scan pair)."""
+    """Cumulative max of x resetting where start is True (int64 offset
+    trick over the native cummax)."""
     gid = jnp.cumsum(start.astype(jnp.int64))
     big = jnp.int64(1) << 33          # |x| < 2^31
     shifted = x.astype(jnp.int64) + gid * big
@@ -316,14 +213,440 @@ def _seg_cummax(jax, jnp, x, start):
     return (cm - gid * big).astype(jnp.int32)
 
 
+def _seg_cummax_stack(jax, jnp, X, start):
+    """Rowwise segmented cummax of X [K, M] (one fused scan)."""
+    gid = jnp.cumsum(start.astype(jnp.int64))[None, :]
+    big = jnp.int64(1) << 33
+    cm = jax.lax.cummax(X.astype(jnp.int64) + gid * big, axis=1)
+    return cm - gid * big
+
+
+def _seg_cumsum(jax, jnp, x, start):
+    """Segmented cumulative sum (difference-of-prefix-sums trick).
+    Valid while the global prefix sum stays below 2^36."""
+    c = jnp.cumsum(x.astype(jnp.int64))
+    base = c - x.astype(jnp.int64)
+    gid = jnp.cumsum(start.astype(jnp.int64))
+    bigb = jnp.int64(1) << 36
+    run = jax.lax.cummax(jnp.where(start, gid * bigb + base, jnp.int64(0)))
+    seg_base = run - gid * bigb
+    return c - seg_base
+
+
+def _ffill_tagged(jax, jnp, mark, val, bits):
+    """Fill-forward: out[i] = val at the latest j <= i with mark[j]
+    (0 before any mark).  `val` must fit in `bits` (< 38)."""
+    m = jnp.cumsum(mark.astype(jnp.int64))
+    s = jnp.where(mark, (m << bits) | val.astype(jnp.int64), m << bits)
+    c = jax.lax.cummax(s)
+    return c & ((jnp.int64(1) << bits) - 1)
+
+
+def _bfill_tagged(jax, jnp, mark, val, bits):
+    """Fill-backward: out[i] = val at the earliest j >= i with mark[j]."""
+    rm = jnp.flip(mark)
+    rv = jnp.flip(val)
+    return jnp.flip(_ffill_tagged(jax, jnp, rm, rv, bits))
+
+
+# ---------------------------------------------------------------------------
+# Section 2: adaptamer merge on device (combined-stream sort)
+# ---------------------------------------------------------------------------
+
+def _entry_keys(jnp, T, tag: int):
+    """(k1, k2) int64 sort keys for one table's entries (MAX when
+    invalid).  k1 = 64 kmer bits; k2 = [62:47] kmer bits 15..0,
+    [46] tag, [45:34] cont, [33:6] post, [5] comp."""
+    w0, w1, w2, c, p, o, l, n, _vs = T
+    E = w0.shape[0]
+    eix = jnp.arange(E, dtype=jnp.int32)
+    valid = eix < n
+    w0u = _u32_64(jnp, w0)
+    w1u = _u32_64(jnp, w1)
+    k1 = (w0u - (jnp.int64(1) << 31)) * (jnp.int64(1) << 32) + w1u
+    w2_16 = _u32_64(jnp, w2) >> 16
+    k2 = ((w2_16 << 47) | (jnp.int64(tag) << 46)
+          | (c.astype(jnp.int64) << 34) | (p.astype(jnp.int64) << 6)
+          | (o.astype(jnp.int64) << 5))
+    k1 = jnp.where(valid, k1, _I64MAX)
+    k2 = jnp.where(valid, k2, _I64MAX)
+    return k1, k2, valid
+
+
+def _window_mins(jnp, l2, n2, freq):
+    """T2-space rolling minima of the adjacent-lcp array.
+
+    Returns lists wup[u], wdn[d] for u,d = 1..freq-1 where
+    wup[u][j] = min(l2c[j+1..j+u]) and wdn[d][j] = min(l2c[j-d+1..j])
+    with l2c = min(l2, KMER) masked to 0 outside [0, n2)."""
+    E = l2.shape[0]
+    iota = jnp.arange(E, dtype=jnp.int32)
+    l2c = jnp.where(iota < n2, jnp.minimum(l2, KMER), 0)
+    wup = []
+    wdn = []
+    cur_up = None
+    cur_dn = None
+    for u in range(1, freq):
+        r = jnp.where(iota + u < E, jnp.roll(l2c, -u), 0)
+        cur_up = r if cur_up is None else jnp.minimum(cur_up, r)
+        wup.append(cur_up)
+        rd = jnp.where(iota - (u - 1) >= 0, jnp.roll(l2c, u - 1), 0)
+        cur_dn = rd if cur_dn is None else jnp.minimum(cur_dn, rd)
+        wdn.append(cur_dn)
+    return wup, wdn
+
+
+def _pack6(jnp, vals, lo_count):
+    """Pack a list of 6-bit values into (lo, hi) int64 words."""
+    lo = jnp.int64(0)
+    for i, v in enumerate(vals[:lo_count]):
+        lo = lo | (v.astype(jnp.int64) << (6 * i))
+    hi = jnp.int64(0)
+    for i, v in enumerate(vals[lo_count:]):
+        hi = hi | (v.astype(jnp.int64) << (6 * i))
+    return lo, hi
+
+
+def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
+                soft_mask: bool = False, has_masks: bool = False,
+                maskb1=None, maskb2=None):
+    """Adaptamer seeds between two device tables (jit-traceable).
+
+    Combined-stream port of ops/merge._merge_chunk: T1-forward and T2
+    entries are sorted as one stream; every per-entry quantity comes from
+    cumsums, rolls, and fill scans over that stream (no binary-search or
+    window gathers).  Returns (plen, acont, apost, bcont, bpost, bcomp,
+    nseeds, nalive) with padding rows masked by index >= nseeds, in the
+    host's (x, y) emission order.
+
+    `acap`: cap on alive T1 rows (default E1//2).  When masks are in
+    play pass has_masks=True with per-entry mask bytes; masked-out seeds
+    are compacted away exactly like the host path.
+    """
+    jax, jnp = _jx()
+    E1 = T1[0].shape[0]
+    E2 = T2[0].shape[0]
+    if acap <= 0:
+        acap = max(E1 // 2, 1 << 12)
+    M = E1 + E2
+    kmer = KMER
+    n1 = T1[7]
+    n2 = T2[7]
+
+    k1a, k2a, val1 = _entry_keys(jnp, T1, 0)
+    k1b, k2b, val2 = _entry_keys(jnp, T2, 1)
+    # only forward T1 entries drive the merge
+    drive1 = val1 & (T1[5] == 0)
+    k1a = jnp.where(drive1, k1a, _I64MAX)
+    k2a = jnp.where(drive1, k2a, _I64MAX)
+
+    # T2-space window minima, packed 6 bits each, ride the sort as values
+    wup, wdn = _window_mins(jnp, T2[6], n2, freq)
+    nlo = min(len(wup), 6)
+    up_lo2, up_hi2 = _pack6(jnp, wup, nlo)
+    dn_lo2, dn_hi2 = _pack6(jnp, wdn, nlo)
+    mb1 = (maskb1 if maskb1 is not None
+           else jnp.zeros(E1, jnp.int32)).astype(jnp.int64)
+    mb2 = (maskb2 if maskb2 is not None
+           else jnp.zeros(E2, jnp.int32)).astype(jnp.int64)
+    # value words: [59:54] own mask byte | packed window minima
+    vup = jnp.concatenate([mb1 << 54, (mb2 << 54) | up_lo2])
+    vdn = jnp.concatenate([jnp.zeros(E1, jnp.int64), dn_lo2])
+    vhi = jnp.concatenate([jnp.zeros(E1, jnp.int64),
+                           (up_hi2 << 27) | dn_hi2])
+
+    k1 = jnp.concatenate([k1a, k1b])
+    k2 = jnp.concatenate([k2a, k2b])
+    srt = jax.lax.sort((k1, k2, vup, vdn, vhi), num_keys=2)
+    k1s, k2s, vups, vdns, vhis = srt
+
+    valid = k2s != _I64MAX
+    is2 = ((k2s >> 46) & 1).astype(jnp.bool_) & valid
+    cont = ((k2s >> 34) & (MAX_CONT - 1)).astype(jnp.int32)
+    post = ((k2s >> 6) & (MAX_POST - 1)).astype(jnp.int32)
+    comp = ((k2s >> 5) & 1).astype(jnp.int32)
+    w2_16 = ((k2s >> 47) & 0xFFFF).astype(jnp.int32)
+
+    # adjacent-row lcp over the 80 kmer bits
+    w0u = ((k1s >> 32) + (jnp.int64(1) << 31)).astype(jnp.int64) & 0xFFFFFFFF
+    w1u = k1s & 0xFFFFFFFF
+    x0 = (w0u ^ jnp.roll(w0u, 1)).astype(jnp.uint32).astype(jnp.int32)
+    x1 = (w1u ^ jnp.roll(w1u, 1)).astype(jnp.uint32).astype(jnp.int32)
+    x2 = ((w2_16 ^ jnp.roll(w2_16, 1)) << 16)
+    lz = jnp.where(x0 != 0, _clz32_arr(jnp, x0),
+                   jnp.where(x1 != 0, 32 + _clz32_arr(jnp, x1),
+                             64 + _clz32_arr(jnp, x2)))
+    ridx = jnp.arange(M, dtype=jnp.int32)
+    alcp = jnp.minimum(lz >> 1, kmer)
+    alcp = jnp.where((ridx > 0) & valid & jnp.roll(valid, 1), alcp, 0)
+
+    m2cum = jnp.cumsum(is2.astype(jnp.int64))
+    ins = (m2cum - is2.astype(jnp.int64)).astype(jnp.int32)
+
+    # lcp to nearest preceding / following T2 row: segmented min-scans of
+    # alcp with resets after / before T2 rows (min via negated cummax)
+    startp = (ridx == 0) | jnp.roll(is2, 1)
+    segmin_p = -_seg_cummax(jax, jnp, -alcp, startp)
+    lcp_pred = jnp.where(ins > 0, segmin_p, -1)
+
+    nalcp = jnp.roll(alcp, -1)          # lcp(row i, row i+1)
+    f_is2 = jnp.flip(is2)
+    f_nalcp = jnp.flip(nalcp)
+    f_start = (ridx == 0) | jnp.roll(f_is2, 1)
+    f_min = -_seg_cummax(jax, jnp, -f_nalcp, f_start)
+    segmin_s = jnp.flip(f_min)
+    n2_after = (n2.astype(jnp.int64) - m2cum).astype(jnp.int32)
+    lcp_succ = jnp.where(n2_after > 0, segmin_s, -1)
+
+    plen = jnp.maximum(lcp_pred, lcp_succ)
+    alive0 = (~is2) & valid & (plen >= 12)
+
+    # transport the T2-row window words to T1 rows (predecessor's wdn
+    # fills forward, successor's wup fills backward); the high words
+    # (beyond 6 packed values) ride a 27-bit field each
+    dn_at = _ffill_tagged(jax, jnp, is2,
+                          vdns & ((jnp.int64(1) << 36) - 1), 36)
+    hi_at_p = _ffill_tagged(jax, jnp, is2,
+                            vhis & ((jnp.int64(1) << 27) - 1), 27)
+    up_at = _bfill_tagged(jax, jnp, is2,
+                          vups & ((jnp.int64(1) << 36) - 1), 36)
+    hi_at_s = _bfill_tagged(jax, jnp, is2, vhis >> 27, 27)
+
+    def win_ok_counts(lo, hi):
+        cnt = jnp.zeros(M, jnp.int32)
+        for u in range(1, freq):
+            if u - 1 < nlo:
+                wv = ((lo >> (6 * (u - 1))) & 63).astype(jnp.int32)
+            else:
+                wv = ((hi >> (6 * (u - 1 - nlo))) & 63).astype(jnp.int32)
+            cnt = cnt + (wv >= plen).astype(jnp.int32)
+        return cnt
+
+    up0 = (lcp_succ >= plen) & (n2_after > 0) & alive0
+    dn0 = (lcp_pred >= plen) & (ins > 0) & alive0
+    upc = jnp.where(up0, 1 + win_ok_counts(up_at, hi_at_s), 0)
+    dnc = jnp.where(dn0, 1 + win_ok_counts(dn_at, hi_at_p), 0)
+
+    count = upc + dnc
+    alive = alive0 & (count < freq)
+    mb_own = ((vups >> 54) & 63).astype(jnp.int32)
+    mlen = jnp.where(soft_mask, plen, kmer + 1) if has_masks \
+        else jnp.full(M, kmer + 1, jnp.int32)
+    if has_masks:
+        alive = alive & (mb_own < mlen)
+    cnt = jnp.where(alive, count, 0)
+
+    # compact alive T1 rows (stable); payload packed into sort values
+    v1 = ((plen.astype(jnp.int64) << 40) | (cont.astype(jnp.int64) << 28)
+          | post.astype(jnp.int64))
+    y0 = ins - dnc
+    v2 = (y0.astype(jnp.int64) << 8) | cnt.astype(jnp.int64)
+    kc = jnp.where(alive, jnp.int64(0), jnp.int64(1) << 58) \
+        | ridx.astype(jnp.int64)
+    csrt = jax.lax.sort((kc, jnp.where(alive, v1, 0),
+                         jnp.where(alive, v2, 0)), num_keys=1)
+    v1c = csrt[1][:acap]
+    v2c = csrt[2][:acap]
+    nalive = jnp.sum(alive.astype(jnp.int32))
+
+    # ragged expansion: scatter chain starts, cumsum, bounded gathers
+    cntc = (v2c & 0xFF).astype(jnp.int32)
+    aix = jnp.arange(acap, dtype=jnp.int32)
+    alive_c = aix < nalive
+    cum_incl = jnp.cumsum(cntc)
+    cum_excl = cum_incl - cntc
+    nseeds = cum_incl[acap - 1]
+    starts = jnp.where(alive_c, cum_excl, ns_cap)
+    marks = jnp.zeros(ns_cap, jnp.int32).at[starts].add(
+        1, mode="drop")
+    e = jnp.cumsum(marks) - 1
+    v3c = (cum_excl.astype(jnp.int64) << 28) | (v2c >> 8)
+    sidx = jnp.arange(ns_cap, dtype=jnp.int32)
+    ec = jnp.clip(e, 0, acap - 1)
+    g1 = v1c[ec]
+    g3 = v3c[ec]
+    y = ((g3 & (MAX_POST - 1)) + (sidx - (g3 >> 28))).astype(jnp.int32)
+    yc = jnp.clip(y, 0, E2 - 1)
+
+    t2pack = ((T2[4].astype(jnp.int64) << 19)
+              | (T2[3].astype(jnp.int64) << 7)
+              | (T2[5].astype(jnp.int64) << 6) | mb2)
+    tg = t2pack[yc]
+
+    pl = (g1 >> 40).astype(jnp.int32)
+    ac = ((g1 >> 28) & (MAX_CONT - 1)).astype(jnp.int32)
+    ap = (g1 & (MAX_POST - 1)).astype(jnp.int32)
+    bp = (tg >> 19).astype(jnp.int32)
+    bc = ((tg >> 7) & (MAX_CONT - 1)).astype(jnp.int32)
+    bo = ((tg >> 6) & 1).astype(jnp.int32)
+    valid_slot = sidx < nseeds
+
+    if has_masks:
+        mby = (tg & 63).astype(jnp.int32)
+        mlen_y = jnp.where(soft_mask, pl, kmer + 1)
+        keep = valid_slot & (mby < mlen_y)
+        s1 = ((pl.astype(jnp.int64) << 40) | (ac.astype(jnp.int64) << 28)
+              | ap.astype(jnp.int64))
+        s2 = ((bc.astype(jnp.int64) << 29) | (bp.astype(jnp.int64) << 1)
+              | bo.astype(jnp.int64))
+        kk = jnp.where(keep, jnp.int64(0), jnp.int64(1) << 58) \
+            | sidx.astype(jnp.int64)
+        ms = jax.lax.sort((kk, jnp.where(keep, s1, 0),
+                           jnp.where(keep, s2, 0)), num_keys=1)
+        s1s, s2s = ms[1], ms[2]
+        pl = (s1s >> 40).astype(jnp.int32)
+        ac = ((s1s >> 28) & (MAX_CONT - 1)).astype(jnp.int32)
+        ap = (s1s & (MAX_POST - 1)).astype(jnp.int32)
+        bc = (s2s >> 29).astype(jnp.int32)
+        bp = ((s2s >> 1) & (MAX_POST - 1)).astype(jnp.int32)
+        bo = (s2s & 1).astype(jnp.int32)
+        nseeds = jnp.sum(keep.astype(jnp.int32))
+
+    return pl, ac, ap, bc, bp, bo, nseeds, nalive
+
+
+def self_seeds(T1, ns_cap: int, freq: int = F, acap: int = 0,
+               soft_mask: bool = False, has_masks: bool = False,
+               maskb1=None):
+    """Self-comparison adaptamer seeds within one table (jit-traceable
+    port of ops/merge.self_adaptamer_seeds): every entry (either
+    orientation) pairs with the other members of its own-lcp group.
+    All window logic lives in the table's own index space (rolls only).
+    """
+    jax, jnp = _jx()
+    w0, w1, w2, c1, p1, o1, l1, n1, _vs = T1
+    E1 = w0.shape[0]
+    if acap <= 0:
+        acap = max(E1 // 2, 1 << 12)
+    kmer = KMER
+    iota = jnp.arange(E1, dtype=jnp.int32)
+    valid = iota < n1
+
+    # adj[i] = lcp(entry i-1, entry i) (0 at i=0 and beyond n1)
+    adj = jnp.where(valid & (iota > 0), jnp.minimum(l1, kmer), 0)
+    adj_next = jnp.where(iota + 1 < E1, jnp.roll(adj, -1), 0)
+    plen = jnp.maximum(adj, adj_next)
+    alive0 = valid & (plen >= 12)
+
+    # group windows over the table's own adjacent-lcp array:
+    # wup[u][i] = min(adj[i+1..i+u+1])... i.e. the chain for member
+    # i+1+u; wdn[u][i] = min(adj[i-u..i]) for member i-1-u.  The host
+    # window spans freq members each side, so freq window values.
+    wup, wdn = _window_mins(jnp, jnp.where(iota > 0, l1, 0), n1,
+                            freq + 1)
+    upc = jnp.zeros(E1, jnp.int32)
+    dnc = jnp.zeros(E1, jnp.int32)
+    for u in range(1, freq + 1):
+        upc = upc + (wup[u - 1] >= plen).astype(jnp.int32)
+        dnc = dnc + (wdn[u - 1] >= plen).astype(jnp.int32)
+    upc = jnp.where(alive0, upc, 0)
+    dnc = jnp.where(alive0, dnc, 0)
+
+    count = 1 + upc + dnc
+    alive = alive0 & (count < freq)
+    if has_masks:
+        mb1v = maskb1.astype(jnp.int32)
+        mlen = jnp.where(soft_mask, plen, kmer + 1)
+        alive = alive & (mb1v < mlen)
+    cnt = jnp.where(alive, upc + dnc, 0)
+
+    v1 = ((plen.astype(jnp.int64) << 40) | (c1.astype(jnp.int64) << 28)
+          | p1.astype(jnp.int64))
+    y0 = iota - dnc
+    v2 = ((y0.astype(jnp.int64) << 16) | (dnc.astype(jnp.int64) << 8)
+          | cnt.astype(jnp.int64))
+    kc = jnp.where(alive, jnp.int64(0), jnp.int64(1) << 58) \
+        | iota.astype(jnp.int64)
+    vown = (o1.astype(jnp.int64) << 28) | iota.astype(jnp.int64)
+    csrt = jax.lax.sort((kc, jnp.where(alive, v1, 0),
+                         jnp.where(alive, v2, 0),
+                         jnp.where(alive, vown, 0)), num_keys=1)
+    v1c, v2c, vognc = csrt[1][:acap], csrt[2][:acap], csrt[3][:acap]
+    nalive = jnp.sum(alive.astype(jnp.int32))
+
+    cntc = (v2c & 0xFF).astype(jnp.int32)
+    aix = jnp.arange(acap, dtype=jnp.int32)
+    alive_c = aix < nalive
+    cum_incl = jnp.cumsum(cntc)
+    cum_excl = cum_incl - cntc
+    nseeds = cum_incl[acap - 1]
+    starts = jnp.where(alive_c & (cntc > 0), cum_excl, ns_cap)
+    marks = jnp.zeros(ns_cap, jnp.int32).at[starts].add(1, mode="drop")
+    e = jnp.cumsum(marks) - 1
+    sidx = jnp.arange(ns_cap, dtype=jnp.int32)
+    ec = jnp.clip(e, 0, acap - 1)
+    g1 = v1c[ec]
+    g2 = v2c[ec]
+    gown = vognc[ec]
+    xcomp = (gown >> 28).astype(jnp.int32)
+    start_slot = _ffill_tagged(
+        jax, jnp, marks > 0,
+        jnp.where(marks > 0, sidx.astype(jnp.int64), 0), 34
+    ).astype(jnp.int32)
+    off = sidx - start_slot
+    y0g = (g2 >> 16).astype(jnp.int32)
+    dncg = ((g2 >> 8) & 0xFF).astype(jnp.int32)
+    # window rows skip x itself: offsets [0, dnc) map below x, the rest
+    # one past it
+    y = jnp.where(off < dncg, y0g + off, y0g + off + 1).astype(jnp.int32)
+    yc = jnp.clip(y, 0, E1 - 1)
+    mb1v = (maskb1.astype(jnp.int64) if has_masks and maskb1 is not None
+            else jnp.zeros(E1, jnp.int64))
+    tpack = ((p1.astype(jnp.int64) << 19) | (c1.astype(jnp.int64) << 7)
+             | (o1.astype(jnp.int64) << 6) | mb1v)
+    tg = tpack[yc]
+
+    pl = (g1 >> 40).astype(jnp.int32)
+    ac = ((g1 >> 28) & (MAX_CONT - 1)).astype(jnp.int32)
+    ap = (g1 & (MAX_POST - 1)).astype(jnp.int32)
+    bp = (tg >> 19).astype(jnp.int32)
+    bc = ((tg >> 7) & (MAX_CONT - 1)).astype(jnp.int32)
+    ycomp = ((tg >> 6) & 1).astype(jnp.int32)
+    bo = (xcomp ^ ycomp).astype(jnp.int32)
+    valid_slot = sidx < nseeds
+
+    if has_masks:
+        mby = (tg & 63).astype(jnp.int32)
+        mlen_y = jnp.where(soft_mask, pl, kmer + 1)
+        keep = valid_slot & (mby < mlen_y)
+        s1 = ((pl.astype(jnp.int64) << 40) | (ac.astype(jnp.int64) << 28)
+              | ap.astype(jnp.int64))
+        s2 = ((bc.astype(jnp.int64) << 29) | (bp.astype(jnp.int64) << 1)
+              | bo.astype(jnp.int64))
+        kk = jnp.where(keep, jnp.int64(0), jnp.int64(1) << 58) \
+            | sidx.astype(jnp.int64)
+        ms = jax.lax.sort((kk, jnp.where(keep, s1, 0),
+                           jnp.where(keep, s2, 0)), num_keys=1)
+        s1s, s2s = ms[1], ms[2]
+        pl = (s1s >> 40).astype(jnp.int32)
+        ac = ((s1s >> 28) & (MAX_CONT - 1)).astype(jnp.int32)
+        ap = (s1s & (MAX_POST - 1)).astype(jnp.int32)
+        bc = (s2s >> 29).astype(jnp.int32)
+        bp = ((s2s >> 1) & (MAX_POST - 1)).astype(jnp.int32)
+        bo = (s2s & 1).astype(jnp.int32)
+        nseeds = jnp.sum(keep.astype(jnp.int32))
+
+    return pl, ac, ap, bc, bp, bo, nseeds, nalive
+
+
+# ---------------------------------------------------------------------------
+# Section 3: chain sweep on device (payload-in-keys, scan aggregates)
+# ---------------------------------------------------------------------------
+
+BUCK_SHIFT = 6
+BUCK_WIDTH = 1 << BUCK_SHIFT
+
+_POFF = np.int64(1) << 25      # pairing field offset (pairing >= -1)
+
+
 def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
                     tcap: int, chain_break: int = 2000,
                     chain_min: int = 170):
     """Bucket-pair chain sweep (jit-traceable port of
-    ops/chain.chain_tubes).  ``seeds`` = (plen, acont, apost, bcont,
-    bpost, bcomp) device arrays of length NS (valid rows < ns).  Returns
-    fixed-cap tube arrays (acont, bcont, comp, dgmin, dgmax, alow, ahgh,
-    pairing, ntubes) with tubes in the host emission order."""
+    ops/chain.chain_tubes, gather-free).  ``seeds`` = (plen, acont,
+    apost, bcont, bpost, bcomp) device arrays of length NS (valid rows
+    < ns).  Returns fixed-cap tube arrays (acont, bcont, comp, dgmin,
+    dgmax, alow, ahgh, pairing, ntubes) in host emission order."""
     jax, jnp = _jx()
     plen, acont, apost, bcont, bpost, bcomp = seeds
     NS = plen.shape[0]
@@ -333,9 +656,9 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
     ip = apost.astype(jnp.int32)
     jp = bpost.astype(jnp.int32)
     maxdag = amax + bmax
-    bc = bcomp.astype(jnp.int32) != 0
-    diag = jnp.where(bc, maxdag - (ip + jp), bmax + (ip - jp))
-    anti = jnp.where(bc, amax - (ip - jp), ip + jp)
+    bcf = bcomp.astype(jnp.int32) != 0
+    diag = jnp.where(bcf, maxdag - (ip + jp), bmax + (ip - jp))
+    anti = jnp.where(bcf, amax - (ip - jp), ip + jp)
     dbuck = diag >> BUCK_SHIFT
     drem = diag - (dbuck << BUCK_SHIFT)
     lcp2 = plen.astype(jnp.int32) << 1
@@ -346,82 +669,96 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
     def dup(lowv, upv):
         return jnp.concatenate([lowv, upv])
 
-    gkey_a = dup(acont, acont)
-    gkey_b = dup(bcont, bcont)
-    gkey_c = dup(bc.astype(jnp.int32), bc.astype(jnp.int32))
-    pairing = dup(dbuck, dbuck - 1)
-    tag = dup(jnp.zeros(NS, jnp.int32), jnp.ones(NS, jnp.int32))
-    dg = dup(drem, drem + BUCK_WIDTH)
-    aa = dup(anti, anti)
-    ll = dup(lcp2, lcp2)
+    ga = dup(acont, acont).astype(jnp.int64)
+    gb = dup(bcont, bcont).astype(jnp.int64)
+    gc = dup(bcf, bcf).astype(jnp.int64)
+    pairing = dup(dbuck, dbuck - 1).astype(jnp.int64) + _POFF
+    tag = dup(jnp.zeros(NS, jnp.int64), jnp.ones(NS, jnp.int64))
+    dg = dup(drem, drem + BUCK_WIDTH).astype(jnp.int64)
+    aa = dup(anti, anti).astype(jnp.int64)
+    ll = dup(lcp2, lcp2).astype(jnp.int64)
     valid = dup(svalid, svalid)
-    iota = jnp.arange(M2, dtype=jnp.int32)
+    iota = jnp.arange(M2, dtype=jnp.int64)
 
-    inval = ~valid
-    key = lambda v: jnp.where(inval, _I32MAX, v)
-    srt = jax.lax.sort(
-        (key(gkey_a), key(gkey_b), key(gkey_c), key(pairing), key(aa),
-         key(tag), iota),
-        num_keys=7)
-    ordr = srt[6]
-    gkey_a = gkey_a[ordr]
-    gkey_b = gkey_b[ordr]
-    gkey_c = gkey_c[ordr]
-    pairing = pairing[ordr]
-    tag = tag[ordr]
-    dg = dg[ordr]
-    aa = aa[ordr]
-    ll = ll[ordr]
-    valid = valid[ordr]
+    k1 = (ga << 39) | (gb << 27) | (gc << 26) | pairing
+    k2 = (aa << 28) | (tag << 27) | iota
+    vB = (dg << 8) | ll
+    k1 = jnp.where(valid, k1, _I64MAX)
+    k2 = jnp.where(valid, k2, _I64MAX)
+    srt = jax.lax.sort((k1, k2, jnp.where(valid, vB, 0)), num_keys=2)
+    k1s, k2s, vBs = srt
+
+    valid = k1s != _I64MAX
+    ga = ((k1s >> 39) & (MAX_CONT - 1)).astype(jnp.int32)
+    gb = ((k1s >> 27) & (MAX_CONT - 1)).astype(jnp.int32)
+    gc = ((k1s >> 26) & 1).astype(jnp.int32)
+    pairing = ((k1s & (_POFF * 2 - 1)) - _POFF).astype(jnp.int32)
+    aa = jnp.where(valid, k2s >> 28, 0).astype(jnp.int32)
+    tag = ((k2s >> 27) & 1).astype(jnp.int32)
+    dg = ((vBs >> 8) & 0xFF).astype(jnp.int32)
+    ll = (vBs & 0xFF).astype(jnp.int32)
 
     ridx = jnp.arange(M2, dtype=jnp.int32)
-    pg_a = jnp.roll(gkey_a, 1)
-    pg_b = jnp.roll(gkey_b, 1)
-    pg_c = jnp.roll(gkey_c, 1)
-    pg_p = jnp.roll(pairing, 1)
-    seg = (ridx == 0) | (gkey_a != pg_a) | (gkey_b != pg_b) \
-        | (gkey_c != pg_c) | (pairing != pg_p)
-    seg_id = jnp.cumsum(seg.astype(jnp.int32)) - 1
+    pk1 = jnp.roll(k1s, 1)
+    gmask = (jnp.int64(-1) << 26) & ~(jnp.int64(1) << 63)
+    same_g = (k1s & gmask) == (pk1 & gmask)
+    seg = (ridx == 0) | (k1s != pk1)
+    # group+pairing segment = full-k1 segment (k1 embeds pairing)
 
-    def seg_or(cond):
-        v = jax.ops.segment_max(cond.astype(jnp.int32), seg_id,
-                                num_segments=M2)
-        return v[seg_id] != 0
+    # per-segment flags, broadcast to every row (scan fwd, bfill back)
+    seg_end = jnp.roll(seg, -1) | (ridx == M2 - 1)
+    flags = jnp.stack([
+        (valid & (tag == 0)).astype(jnp.int32),
+        (valid & (tag == 1)).astype(jnp.int32)])
+    run = _seg_cummax_stack(jax, jnp, flags, seg)
+    ends = jnp.where(seg_end[None, :], run, -1)
+    bf = jnp.flip(
+        _seg_cummax_stack(jax, jnp, jnp.flip(ends, 1), jnp.flip(seg_end)),
+        1).astype(jnp.int32)
+    has_lower = bf[0] != 0
+    has_upper = bf[1] != 0
 
-    has_lower = seg_or(valid & (tag == 0))
-    has_upper = seg_or(valid & (tag == 1))
-
-    same_prev = (ridx > 0) & (gkey_a == pg_a) & (gkey_b == pg_b) \
-        & (gkey_c == pg_c) & (pairing == pg_p + 1)
+    same_prev = (ridx > 0) & same_g & (k1s == pk1 + 1)
     prev_has_lower = jnp.roll(has_lower, 1) & (ridx > 0)
-    prev_adj_row = seg & same_prev & prev_has_lower
-    prev_adjacent = seg_or(prev_adj_row)
+    prev_adj_row = (seg & same_prev & prev_has_lower).astype(jnp.int32)
+    run2 = _seg_cummax_stack(jax, jnp, prev_adj_row[None], seg)
+    ends2 = jnp.where(seg_end[None, :], run2, -1)
+    prev_adjacent = jnp.flip(
+        _seg_cummax_stack(jax, jnp, jnp.flip(ends2, 1),
+                          jnp.flip(seg_end)), 1)[0] != 0
 
     examine = has_lower & (~prev_adjacent | has_upper)
-    new_row = ~prev_adjacent
+    new_row = (~prev_adjacent).astype(jnp.int32)
     keep_entry = examine & valid
 
-    # stable compaction of kept rows
-    srt2 = jax.lax.sort(
-        ((~keep_entry).astype(jnp.int32), ridx), num_keys=2)
-    ord2 = srt2[1]
-    gkey_a = gkey_a[ord2]
-    gkey_b = gkey_b[ord2]
-    gkey_c = gkey_c[ord2]
-    pairing = pairing[ord2]
-    tag = tag[ord2]
-    dg = dg[ord2]
-    aa = aa[ord2]
-    ll = ll[ord2]
-    segi = seg[ord2]
-    new_row = new_row[ord2]
-    valid = keep_entry[ord2]
+    # stable compaction of kept rows; payload packed into the values
+    kcomp = jnp.where(keep_entry, jnp.int64(0), jnp.int64(1) << 58) \
+        | ridx.astype(jnp.int64)
+    vA = k1s & ((jnp.int64(1) << 52) - 1)       # ga|gb|gc|pairing'
+    vB2 = ((aa.astype(jnp.int64) << 20) | (dg.astype(jnp.int64) << 12)
+           | (ll.astype(jnp.int64) << 4) | (seg.astype(jnp.int64) << 3)
+           | (new_row.astype(jnp.int64) << 2) | (tag.astype(jnp.int64) << 1)
+           | keep_entry.astype(jnp.int64))
+    c2s = jax.lax.sort((kcomp, jnp.where(keep_entry, vA, 0),
+                        jnp.where(keep_entry, vB2, 0)), num_keys=1)
+    vAc, vBc = c2s[1], c2s[2]
+    ga = ((vAc >> 39) & (MAX_CONT - 1)).astype(jnp.int32)
+    gb = ((vAc >> 27) & (MAX_CONT - 1)).astype(jnp.int32)
+    gc = ((vAc >> 26) & 1).astype(jnp.int32)
+    pairing = ((vAc & (_POFF * 2 - 1)) - _POFF).astype(jnp.int32)
+    aa = (vBc >> 20).astype(jnp.int32)
+    dg = ((vBc >> 12) & 0xFF).astype(jnp.int32)
+    ll = ((vBc >> 4) & 0xFF).astype(jnp.int32)
+    segi = ((vBc >> 3) & 1).astype(jnp.bool_)
+    new_row = ((vBc >> 2) & 1).astype(jnp.int32)
+    tag = ((vBc >> 1) & 1).astype(jnp.int32)
+    valid = (vBc & 1).astype(jnp.bool_)
     seg = segi | (ridx == 0)
 
     # chain segmentation with two-sided break test + exact fixpoint
     cps = aa + ll
-    M = _seg_cummax(jax, jnp, cps, seg)
-    Mprev = jnp.roll(M, 1)
+    Mx = _seg_cummax(jax, jnp, cps, seg)
+    Mprev = jnp.roll(Mx, 1)
     cps_prev = jnp.roll(cps, 1)
     inner = (~seg) & valid
     definite = inner & (aa >= Mprev + chain_break)
@@ -441,67 +778,81 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
 
     brk, _ = jax.lax.while_loop(fix_cond, fix_body, (brk0, jnp.bool_(True)))
 
-    cid = jnp.cumsum(brk.astype(jnp.int32)) - 1
     ahgh_run = _seg_cummax(jax, jnp, cps, brk)
     prev_ahgh = jnp.where(ridx == 0, 0, jnp.roll(ahgh_run, 1))
     novel = jnp.where(brk, ll,
                       jnp.clip(jnp.minimum(cps - prev_ahgh, ll), 0, None))
     novel = jnp.where(valid, novel, 0)
 
-    def segmin(v, fill):
-        return jax.ops.segment_min(jnp.where(valid, v, fill), cid,
-                                   num_segments=M2)
+    # per-chain aggregates: stacked forward scans, values at chain ends
+    ch_end = jnp.roll(brk, -1) | (ridx == M2 - 1)
+    aggs = jnp.stack([
+        jnp.where(valid, dg, big),            # min via negate below
+        jnp.where(valid, dg, -big),
+        jnp.where(valid, cps, -big),
+        jnp.where(valid & (tag == 0), 1, 0),
+        jnp.where(valid & (tag == 1), 1, 0),
+        valid.astype(jnp.int32)])
+    aggs = aggs.at[0].set(-aggs[0])
+    run = _seg_cummax_stack(jax, jnp, aggs, brk)
+    cov_run = _seg_cumsum(jax, jnp, novel, brk)
+    # first-of values: direct at brk rows, fill forward to the end row
+    firsts = jnp.stack([ga, gb, gc, pairing + (1 << 25), new_row, aa])
+    f_run = _seg_cummax_stack(
+        jax, jnp, jnp.where(brk[None, :], firsts, -1), brk)
 
-    def segmax(v, fill):
-        return jax.ops.segment_max(jnp.where(valid, v, fill), cid,
-                                   num_segments=M2)
-
-    cov = jax.ops.segment_sum(novel, cid, num_segments=M2)
-    ch_dgmin = segmin(dg, big)
-    ch_dgmax = segmax(dg, -big)
-    ch_alow = segmax(jnp.where(brk, aa, -big), -big)
-    ch_ahgh = segmax(cps, -big)
-    ch_mix_l = segmax((tag == 0).astype(jnp.int32), 0) != 0
-    ch_mix_u = segmax((tag == 1).astype(jnp.int32), 0) != 0
-
-    def first_of(v):
-        return segmax(jnp.where(brk, v, -big), -big)
-
-    ch_ga = first_of(gkey_a)
-    ch_gb = first_of(gkey_b)
-    ch_gc = first_of(gkey_c) != 0
-    ch_pair = first_of(pairing + 1) - 1     # pairing may be -1
-    ch_new = first_of(new_row.astype(jnp.int32)) != 0
-    ch_valid = segmax(valid.astype(jnp.int32), 0) != 0
+    ch_dgmin = (-run[0]).astype(jnp.int32)
+    ch_dgmax = run[1].astype(jnp.int32)
+    ch_ahgh = run[2].astype(jnp.int32)
+    ch_mix_l = run[3] != 0
+    ch_mix_u = run[4] != 0
+    ch_valid = run[5] != 0
+    cov = cov_run
+    ch_ga = f_run[0].astype(jnp.int32)
+    ch_gb = f_run[1].astype(jnp.int32)
+    ch_gc = f_run[2].astype(jnp.int32)
+    ch_pair = (f_run[3] - (1 << 25)).astype(jnp.int32)
+    ch_new = f_run[4] != 0
+    ch_alow = f_run[5].astype(jnp.int32)
 
     keep = ch_valid & (cov >= chain_min) \
-        & (~(ch_mix_l & ~ch_mix_u) | ch_new)
+        & (~(ch_mix_l & ~ch_mix_u) | ch_new) & ch_end
 
-    alen = alens_by_rank[jnp.clip(ch_ga, 0, alens_by_rank.shape[0] - 1)]
-    dgmin = ch_dgmin + (ch_pair << BUCK_SHIFT)
-    dgmax = ch_dgmax + (ch_pair << BUCK_SHIFT)
-    is_c = ch_gc
+    # compact kept chains (in chain order) to tcap; raw tuples packed
+    c1 = ((ch_ga.astype(jnp.int64) << 39) | (ch_gb.astype(jnp.int64) << 27)
+          | (ch_gc.astype(jnp.int64) << 26)
+          | (ch_pair.astype(jnp.int64) + _POFF))
+    c2 = ((ch_alow.astype(jnp.int64) << 15)
+          | (ch_dgmax.astype(jnp.int64) << 7) | ch_dgmin.astype(jnp.int64))
+    c3 = ch_ahgh.astype(jnp.int64)
+    kk = jnp.where(keep, jnp.int64(0), jnp.int64(1) << 58) \
+        | ridx.astype(jnp.int64)
+    osrt = jax.lax.sort((kk, jnp.where(keep, c1, 0),
+                         jnp.where(keep, c2, 0),
+                         jnp.where(keep, c3, 0)), num_keys=1)
+    c1o, c2o, c3o = osrt[1][:tcap], osrt[2][:tcap], osrt[3][:tcap]
+    ntubes = jnp.sum(keep.astype(jnp.int32))
+
+    o_ga = ((c1o >> 39) & (MAX_CONT - 1)).astype(jnp.int32)
+    o_gb = ((c1o >> 27) & (MAX_CONT - 1)).astype(jnp.int32)
+    o_gc = ((c1o >> 26) & 1).astype(jnp.int32)
+    o_pair = ((c1o & (_POFF * 2 - 1)) - _POFF).astype(jnp.int32)
+    o_alow = (c2o >> 15).astype(jnp.int32)
+    o_dgmax = ((c2o >> 7) & 0xFF).astype(jnp.int32)
+    o_dgmin = (c2o & 0x7F).astype(jnp.int32)
+    o_ahgh = c3o.astype(jnp.int32)
+
+    # contig-coordinate conversion (tcap-sized gather of the tiny table)
+    alen = alens_by_rank[jnp.clip(o_ga, 0, alens_by_rank.shape[0] - 1)]
+    dgmin = o_dgmin + (o_pair << BUCK_SHIFT)
+    dgmax = o_dgmax + (o_pair << BUCK_SHIFT)
+    is_c = o_gc != 0
     dgmin = jnp.where(is_c, dgmin + (alen - maxdag), dgmin - bmax)
     dgmax = jnp.where(is_c, dgmax + (alen - maxdag), dgmax - bmax)
-    alow = jnp.where(is_c, ch_alow + (alen - amax), ch_alow)
-    ahgh = jnp.where(is_c, ch_ahgh + (alen - amax), ch_ahgh)
+    alow = jnp.where(is_c, o_alow + (alen - amax), o_alow)
+    ahgh = jnp.where(is_c, o_ahgh + (alen - amax), o_ahgh)
 
-    # compact kept chains (in chain order) to tcap
-    chidx = jnp.arange(M2, dtype=jnp.int32)
-    srt3 = jax.lax.sort(((~keep).astype(jnp.int32), chidx), num_keys=2)
-    ord3 = srt3[1]
-    o_ga = ch_ga[ord3]
-    o_gb = ch_gb[ord3]
-    o_gc = ch_gc[ord3].astype(jnp.int32)
-    o_dgmin = dgmin[ord3]
-    o_dgmax = dgmax[ord3]
-    o_alow = alow[ord3]
-    o_ahgh = ahgh[ord3]
-    o_pair = ch_pair[ord3]
-    ntubes = jnp.sum(keep.astype(jnp.int32))
-    sl = lambda v: v[:tcap]
-    return (sl(o_ga), sl(o_gb), sl(o_gc) != 0, sl(o_dgmin), sl(o_dgmax),
-            sl(o_alow), sl(o_ahgh), sl(o_pair), ntubes)
+    return (o_ga, o_gb, is_c, dgmin, dgmax, alow, ahgh, o_pair, ntubes)
 
 
 # ---------------------------------------------------------------------------
@@ -514,6 +865,16 @@ _MAX_DEV_BASES = 1 << 26     # beyond this the entry arrays outgrow HBM;
 _jit_cache = {}
 
 
+def _pad_bucket(n: int) -> int:
+    """Smallest cap >= n from {2^k, 1.5*2^k} (fewer wasted slots than
+    pure pow2 while keeping the compile-shape count small)."""
+    n = max(int(n), 1 << 12)
+    p = 1 << (n - 1).bit_length()
+    if n <= (p >> 1) + (p >> 2):
+        return (p >> 1) + (p >> 2)
+    return p
+
+
 def _prep_genome(gdb, lens):
     """Host-side input prep for one genome (cheap; packed upload)."""
     import jax.numpy as jnp
@@ -521,10 +882,9 @@ def _prep_genome(gdb, lens):
     if len(lens) > 1:
         coff[1:] = np.cumsum(lens)[:-1]
     total = int(lens.sum())
-    N = 1 << max(12, (total - 1).bit_length())
-    # packed bases: reuse the GDB's .bps (2-bit, 4/byte, contig-aligned
-    # boundaries make direct concat wrong when lengths aren't multiples
-    # of 4, so unpack-repack via get_contig once — still host-cheap)
+    N = _pad_bucket(total)
+    # packed bases: unpack-repack via get_contig once (contig boundaries
+    # are not byte-aligned in .bps) — still host-cheap
     basespad = np.zeros(N, np.uint8)
     pos = 0
     for r in range(gdb.ncontig):
@@ -551,12 +911,168 @@ def _prep_genome(gdb, lens):
             np.int32(len(lens)), N)
 
 
+def _gix_jit(N, Cpad, ecap):
+    import jax
+    key = ("gix", N, Cpad, ecap)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda bps, coff, clen, cof, invp, nc:
+                     gix_arrays(bps, 0, coff, clen, cof, invp, nc,
+                                ecap=ecap))
+        _jit_cache[key] = fn
+    return fn
+
+
+def _merge_jit(E1, E2, nscap, acap, freq, soft, masks):
+    import jax
+    import jax.numpy as jnp
+    key = ("mg2", E1, E2, nscap, acap, freq, soft, masks)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        def mg(T1, T2, mb1, mb2):
+            out = merge_seeds(T1, T2, nscap, freq, acap, soft, masks,
+                              mb1, mb2)
+            pl, ac, ap, bcn, bp, bo, ns, nalive = out
+            sidx = jnp.arange(nscap, dtype=jnp.int32)
+            plsum = jnp.sum(jnp.where(sidx < ns, pl, 0))
+            return pl, ac, ap, bcn, bp, bo, ns, nalive, plsum
+
+        fn = jax.jit(mg)
+        _jit_cache[key] = fn
+    return fn
+
+
+def _chain_jit(nscap, tcap, chain_break, chain_min):
+    import jax
+    key = ("ch2", nscap, tcap, chain_break, chain_min)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda sd, ns, amax_, bmax_, alens:
+                     chain_tubes_dev(sd, ns, amax_, bmax_, alens,
+                                     tcap, chain_break, chain_min))
+        _jit_cache[key] = fn
+    return fn
+
+
+def _upload_table(t):
+    """Host GixTable -> device entry arrays (for masked tables, where
+    the mask bytes only exist host-side).  Returns (T tuple, maskb, E)."""
+    import jax.numpy as jnp
+    E = _pad_bucket(t.n)
+    khi, klo = t.khi_klo()
+
+    def pad32(x, fill=0):
+        a = np.full(E, fill, np.int32)
+        a[:len(x)] = x
+        return jnp.asarray(a)
+
+    w0 = pad32((khi >> np.uint64(32)).astype(np.uint32).view(np.int32))
+    w1 = pad32((khi & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+               .view(np.int32))
+    w2 = pad32((klo.astype(np.uint32) << 16).view(np.int32))
+    T = (w0, w1, w2, pad32(t.cont), pad32(t.post),
+         pad32(t.comp.astype(np.int32)), pad32(np.minimum(t.lcp, KMER)),
+         np.int32(t.n), None)
+    return T, pad32(t.maskb), E
+
+
+def _run_chain(tubeify, seeds_out, nscap, tcap, chain_break, chain_min,
+               amax, bmax, alens_by_rank):
+    import jax.numpy as jnp
+    (pl, ac, ap, bcn, bp, bo, ns, nalive, plsum) = seeds_out
+    alens_pad = np.zeros(1 << max(3, (len(alens_by_rank) - 1)
+                                  .bit_length()), np.int32)
+    alens_pad[:len(alens_by_rank)] = alens_by_rank
+    res = _chain_jit(nscap, tcap, chain_break, chain_min)(
+        (pl, ac, ap, bcn, bp, bo), ns, np.int32(amax), np.int32(bmax),
+        jnp.asarray(alens_pad))
+    return res, ns, nalive, plsum
+
+
+def _finish_tubes(res, ns, nalive, plsum, nscap, acap, tcap, extra_checks):
+    from .chain import TubeBatch
+    (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt) = \
+        [np.asarray(x) for x in res]
+    ns, nalive, plsum = int(ns), int(nalive), int(plsum)
+    if ns > nscap or nalive > acap or int(nt) > tcap or extra_checks():
+        return None
+    n = int(nt)
+    tubes = TubeBatch(
+        acont=ga[:n].astype(np.int32), bcont=gb[:n].astype(np.int32),
+        comp=np.asarray(gc[:n]).astype(bool),
+        dgmin=dgmin[:n].astype(np.int32),
+        dgmax=dgmax[:n].astype(np.int32), alow=alow[:n].astype(np.int64),
+        ahgh=ahgh[:n].astype(np.int64), pairing=pair[:n].astype(np.int64))
+    return tubes, ns, plsum
+
+
+def _self_jit(E1, nscap, acap, freq, soft, masks):
+    import jax
+    import jax.numpy as jnp
+    key = ("self2", E1, nscap, acap, freq, soft, masks)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        def sf(T1, mb1):
+            out = self_seeds(T1, nscap, freq, acap, soft, masks, mb1)
+            pl, ac, ap, bcn, bp, bo, ns, nalive = out
+            sidx = jnp.arange(nscap, dtype=jnp.int32)
+            plsum = jnp.sum(jnp.where(sidx < ns, pl, 0))
+            return pl, ac, ap, bcn, bp, bo, ns, nalive, plsum
+
+        fn = jax.jit(sf)
+        _jit_cache[key] = fn
+    return fn
+
+
+def device_tubes_tables(t1, t2, alens_by_rank, amax: int, bmax: int,
+                        freq: int = 10, chain_break: int = 2000,
+                        chain_min: int = 170, tcap: int = 1 << 15,
+                        soft_mask: bool = False):
+    """TubeBatch from host GixTables uploaded to the device (pair when
+    t2 is not t1, else self comparison).  Used when mask bytes are in
+    play (they only exist on host tables); returns None when caps or
+    field widths are exceeded."""
+    from jax import enable_x64
+
+    selfish = t2 is t1
+    if freq > MAX_FREQ or t1.n >= (1 << 26) \
+            or (not selfish and t2.n >= (1 << 26)):
+        return None
+    if len(t1.perm) >= MAX_CONT or len(t2.perm) >= MAX_CONT:
+        return None
+    if amax + 2 * bmax >= (1 << 30) or max(amax, bmax) >= MAX_POST:
+        return None
+
+    has_masks = bool(t1.maskb.any()) or bool(t2.maskb.any()) or soft_mask
+
+    with enable_x64():
+        T1, mb1, E1 = _upload_table(t1)
+        NSCAP = max(E1 * 2, 1 << 13)
+        ACAP = max(E1, 1 << 12)
+        if selfish:
+            sfn = _self_jit(E1, NSCAP, ACAP, freq, soft_mask, has_masks)
+            out = sfn(T1, mb1)
+        else:
+            T2, mb2, E2 = _upload_table(t2)
+            mfn = _merge_jit(E1, E2, NSCAP, ACAP, freq, soft_mask,
+                             has_masks)
+            out = mfn(T1, T2, mb1, mb2)
+        res, ns, nalive, plsum = _run_chain(
+            None, out, NSCAP, tcap, chain_break, chain_min, amax, bmax,
+            alens_by_rank)
+        out2 = tuple(np.asarray(x) for x in res) + (
+            np.asarray(ns), np.asarray(nalive), np.asarray(plsum))
+    res, ns, nalive, plsum = out2[:9], out2[9], out2[10], out2[11]
+    return _finish_tubes(res, ns, nalive, plsum, NSCAP, ACAP, tcap,
+                         lambda: False)
+
+
 def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
                  chain_break: int = 2000, chain_min: int = 170,
-                 tcap: int = 1 << 15):
+                 tcap: int = 1 << 15, verbose: bool = False):
     """TubeBatch for a genome pair via the device pipeline, or None when
-    the device path does not apply (self comparison and soft masks are
-    handled by callers; here: size/caps exceeded)."""
+    the device path does not apply (self comparison and masked tables
+    are handled by the table-upload variant; here: size/caps exceeded)."""
     import jax
     import jax.numpy as jnp
 
@@ -568,56 +1084,27 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
     if tot == 0 or int(lens1.sum()) > _MAX_DEV_BASES \
             or int(lens2.sum()) > _MAX_DEV_BASES:
         return None
+    if len(lens1) >= MAX_CONT or len(lens2) >= MAX_CONT:
+        return None
     amax, bmax = int(lens1.max()), int(lens2.max())
-    if amax + 2 * bmax >= (1 << 30):
+    if amax + 2 * bmax >= (1 << 30) or max(amax, bmax) >= MAX_POST:
         return None               # int32 geometry only
+    if freq > MAX_FREQ:
+        return None
 
     bps1, coff1, clen1, cof1, invp1, nc1, N1 = _prep_genome(gdb1, lens1)
     bps2, coff2, clen2, cof2, invp2, nc2, N2 = _prep_genome(gdb2, lens2)
-    E1 = max(1 << 12, N1)          # entry cap (2 entries/position bound
-    E2 = max(1 << 12, N2)          # minus syncmer density; checked below)
-    def gix_jit(N, Cpad, ecap):
-        key = ("gix", N, Cpad, ecap)
-        fn = _jit_cache.get(key)
-        if fn is None:
-            fn = jax.jit(lambda bps, coff, clen, cof, invp, nc:
-                         gix_arrays(bps, 0, coff, clen, cof, invp, nc,
-                                    ecap=ecap))
-            _jit_cache[key] = fn
-        return fn
+    E1 = max(1 << 12, N1)
+    E2 = max(1 << 12, N2)
+    NSCAP = max(E1, 1 << 13)
+    ACAP = max(E1 // 2, 1 << 12)
 
-    def mg_jit(E1_, E2_):
-        key = ("mg", E1_, E2_, NSCAP, freq)
-        fn = _jit_cache.get(key)
-        if fn is None:
-            def mg(T1, T2):
-                sd = merge_seeds(T1, T2, NSCAP, freq)
-                (pl, ac, ap, bcn, bp, bo, _e, ns) = sd
-                sidx = jnp.arange(NSCAP, dtype=jnp.int32)
-                plsum = jnp.sum(jnp.where(sidx < ns, pl, 0)
-                                .astype(jnp.int32))
-                return pl, ac, ap, bcn, bp, bo, ns, plsum
-
-            fn = jax.jit(mg)
-            _jit_cache[key] = fn
-        return fn
-
-    def ch_jit():
-        key = ("ch", NSCAP, tcap, chain_break, chain_min)
-        fn = _jit_cache.get(key)
-        if fn is None:
-            fn = jax.jit(lambda sd, ns, amax_, bmax_, alens:
-                         chain_tubes_dev(sd, ns, amax_, bmax_, alens,
-                                         tcap, chain_break, chain_min))
-            _jit_cache[key] = fn
-        return fn
-
-    NSCAP = E1
     import os
     import time as _time
 
     from jax import enable_x64
-    dbg = os.environ.get("FASTGA_DEVPIPE_DEBUG")
+    dbg = os.environ.get("FASTGA_DEVPIPE_DEBUG") or (
+        "1" if verbose else "")
 
     def _tick(label, t0, *vals):
         if dbg:
@@ -627,32 +1114,33 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
                 f"devpipe {label}: {_time.time() - t0:.2f}s\n")
         return _time.time()
 
-    # x64 context: the segmented scans use an int64 offset trick (int32
-    # would silently truncate under the default x64-disabled config)
+    # x64 context: the packed keys / fill scans are int64 (int32 would
+    # silently truncate under the default x64-disabled config)
     with enable_x64():
         t0 = _time.time()
-        T1 = gix_jit(N1, len(coff1), E1)(bps1, coff1, clen1, cof1,
-                                         invp1, nc1)
+        T1 = _gix_jit(N1, len(coff1), E1)(bps1, coff1, clen1, cof1,
+                                          invp1, nc1)
         t0 = _tick("gix1", t0, T1)
-        T2 = gix_jit(N2, len(coff2), E2)(bps2, coff2, clen2, cof2,
-                                         invp2, nc2)
+        T2 = _gix_jit(N2, len(coff2), E2)(bps2, coff2, clen2, cof2,
+                                          invp2, nc2)
         t0 = _tick("gix2", t0, T2)
         alens_pad = np.zeros(1 << max(3, (len(alens_by_rank) - 1)
                                       .bit_length()), np.int32)
         alens_pad[:len(alens_by_rank)] = alens_by_rank
-        (pl, ac, ap, bcn, bp, bo, ns, plsum) = mg_jit(E1, E2)(T1, T2)
+        (pl, ac, ap, bcn, bp, bo, ns, nalive, plsum) = _merge_jit(
+            E1, E2, NSCAP, ACAP, freq, False, False)(T1, T2, None, None)
         t0 = _tick("merge", t0, ns)
         ne1, ne2 = T1[7], T2[7]
         del T1, T2
-        res = ch_jit()((pl, ac, ap, bcn, bp, bo), ns, np.int32(amax),
-                       np.int32(bmax), jnp.asarray(alens_pad))
+        res = _chain_jit(NSCAP, tcap, chain_break, chain_min)(
+            (pl, ac, ap, bcn, bp, bo), ns, np.int32(amax),
+            np.int32(bmax), jnp.asarray(alens_pad))
         t0 = _tick("chain", t0, res)
-        out = tuple(res) + (ns, plsum, ne1, ne2)
-    (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt, ns, plsum, ne1,
-     ne2) = [np.asarray(x) for x in out]
-    NSCAP = E1
+        out = tuple(res) + (ns, nalive, plsum, ne1, ne2)
+    (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt, ns, nalive, plsum,
+     ne1, ne2) = [np.asarray(x) for x in out]
     if int(ne1) > E1 or int(ne2) > E2 or int(ns) > NSCAP \
-            or int(nt) > tcap:
+            or int(nalive) > ACAP or int(nt) > tcap:
         return None               # caps exceeded: host fallback
     n = int(nt)
     tubes = TubeBatch(

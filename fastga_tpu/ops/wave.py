@@ -785,12 +785,13 @@ class WaveEngine:
         import threading
         evt = threading.Event()
         self._warm_evt = evt
+        self._warm_exc = None
 
         def _go():
             try:
                 self.warmup(pool_len)
-            except Exception:
-                pass
+            except Exception as e:   # surfaced by run() after the wait
+                self._warm_exc = e
             finally:
                 evt.set()
 
@@ -815,10 +816,11 @@ class WaveEngine:
             jax.block_until_ready(self._pack_fn()(chlog))
 
     def _pool_host(self, pool):
-        """Host copy of the device pool, cached per pool object."""
-        key = id(pool)
-        if self._pool_np is None or self._pool_np[0] != key:
-            self._pool_np = (key, np.asarray(pool))
+        """Host copy of the device pool, cached per pool object (a strong
+        reference to the pool is kept so id() cannot be reused by a new
+        object while the cache entry lives)."""
+        if self._pool_np is None or self._pool_np[0] is not pool:
+            self._pool_np = (pool, np.asarray(pool))
         return self._pool_np[1]
 
     def _pack_fn(self):
@@ -847,6 +849,9 @@ class WaveEngine:
         # persistent-cache key and forcing cold compiles
         if self._warm_evt is not None:
             self._warm_evt.wait()
+            if getattr(self, "_warm_exc", None) is not None:
+                exc, self._warm_exc = self._warm_exc, None
+                raise RuntimeError("wave engine warmup failed") from exc
         cfg = self.cfg
         n = len(tubes["aw"])
         assert n <= cfg.n
@@ -863,9 +868,11 @@ class WaveEngine:
         chunk = self.fwd_chunk if direction > 0 else self.rev_chunk
         # wave 0 runs on the host (a single wave; the jitted version cost
         # seconds per call and an uncacheable multi-minute TPU compile)
-        st_np, kbase0 = host_wave0(
-            self._pool_host(pool), targs_np, padn(tubes["dgmin"]),
-            padn(tubes["dgmax"]), padn(tubes["anti"]), cfg, direction)
+        from ..utils import prof
+        with prof.span("wave.wave0"):
+            st_np, kbase0 = host_wave0(
+                self._pool_host(pool), targs_np, padn(tubes["dgmin"]),
+                padn(tubes["dgmax"]), padn(tubes["anti"]), cfg, direction)
         kbase0 = jnp.asarray(kbase0)
         # padding rows: deactivate
         alive0 = st_np[15].copy()
@@ -876,15 +883,23 @@ class WaveEngine:
         pack = self._pack_fn()
         unsh = (2 * np.arange(16, dtype=np.uint32))
 
+        from ..utils import prof
         logs = []
         for _ in range(cfg.max_chunks):
-            if not bool(np.asarray(st[15]).any()):
+            with prof.span("wave.alive_sync"):
+                any_alive = bool(np.asarray(st[15]).any())
+            if not any_alive:
                 break
-            st, chlog, bandlog = chunk(pool, targs, st)
-            pk = np.asarray(pack(chlog))                # [CW,N,W/16] u32
-            ch = ((pk[..., None] >> unsh) & 3).astype(np.uint8) \
-                .reshape(cfg.chunk, cfg.n, cfg.w)
-            logs.append((ch, np.asarray(bandlog)))
+            with prof.span("wave.chunk_dispatch"):
+                st, chlog, bandlog = chunk(pool, targs, st)
+                pkd = pack(chlog)
+            with prof.span("wave.log_xfer"):
+                pk = np.asarray(pkd)                    # [CW,N,W/16] u32
+                bl = np.asarray(bandlog)
+            with prof.span("wave.log_unpack"):
+                ch = ((pk[..., None] >> unsh) & 3).astype(np.uint8) \
+                    .reshape(cfg.chunk, cfg.n, cfg.w)
+            logs.append((ch, bl))
 
         alive = np.asarray(st[15])
         fallback = np.asarray(st[16]) | alive   # budget exceeded

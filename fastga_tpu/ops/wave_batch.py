@@ -63,7 +63,7 @@ class BatchAligner:
             if self.engine._warm_evt is not None:
                 self.engine._warm_evt.wait()
             self._pool = jnp.asarray(self._pool_words)
-            self.engine._pool_np = (id(self._pool), self._pool_words)
+            self.engine._pool_np = (self._pool, self._pool_words)
         return self._pool
 
     # -- internals -----------------------------------------------------------
@@ -92,7 +92,11 @@ class BatchAligner:
                 maxp=np.array([self._maxp(items[i], dgmax[i]) for i in sel],
                               np.int32),
             )
-            res, batch_logs = self.engine.run(self.pool, tubes, direction)
+            from ..utils import prof
+            with prof.span("batch.engine_run"):
+                res, batch_logs = self.engine.run(self.pool, tubes,
+                                                  direction)
+            prof.count("batch.tubes", len(sel))
             self.stats["device_waves"] += int(res.nwaves.sum())
             for j, i in enumerate(sel):
                 rows[i] = tuple(int(f[j]) for f in res)
@@ -134,24 +138,27 @@ class BatchAligner:
                 hgh[i] -= 1
 
         host = np.zeros(n, dtype=bool)   # exact-host fallback set
+        from ..utils import prof
 
         # ---- forward pass ----
         rows, logs, fall = self._run_dir(items, low, hgh, anti, +1)
         host |= fall
         seam = np.zeros(n, np.int64)
-        for i in range(n):
-            if host[i]:
-                continue
-            (trima, trimx, trimd, twave, tslot, kb0, nw, fb) = rows[i]
-            A = self.seq(items[i].akey)
-            Bs = self.seq(items[i].bkey)
-            try:
-                seam[i] = wrep.replay_forward(
-                    A, Bs, int(anti[i]), int(aoff[i]), kb0, tslot, twave,
-                    trima, trimx, trimd, logs[i], paths[i], tspace)
-            except AssertionError:
-                host[i] = True
-                paths[i] = Path()
+        with prof.span("batch.replay_fwd"):
+            for i in range(n):
+                if host[i]:
+                    continue
+                (trima, trimx, trimd, twave, tslot, kb0, nw, fb) = rows[i]
+                A = self.seq(items[i].akey)
+                Bs = self.seq(items[i].bkey)
+                try:
+                    seam[i] = wrep.replay_forward(
+                        A, Bs, int(anti[i]), int(aoff[i]), kb0, tslot,
+                        twave, trima, trimx, trimd, logs[i], paths[i],
+                        tspace)
+                except AssertionError:
+                    host[i] = True
+                    paths[i] = Path()
 
         fshort = np.array([(p.aepos + p.bepos) - anti[i] < DUB_TRIM
                            for i, p in enumerate(paths)])
@@ -159,19 +166,20 @@ class BatchAligner:
         # ---- reverse pass (from the forward seam diagonal) ----
         rows, logs, fall = self._run_dir(items, seam, seam, anti, -1)
         host |= fall
-        for i in range(n):
-            if host[i]:
-                continue
-            (trima, trimx, trimd, twave, tslot, kb0, nw, fb) = rows[i]
-            A = self.seq(items[i].akey)
-            Bs = self.seq(items[i].bkey)
-            try:
-                wrep.replay_reverse(
-                    A, Bs, int(anti[i]), int(aoff[i]), tslot, twave,
-                    trima, trimx, trimd, logs[i], paths[i], tspace)
-            except AssertionError:
-                host[i] = True
-                paths[i] = Path()
+        with prof.span("batch.replay_rev"):
+            for i in range(n):
+                if host[i]:
+                    continue
+                (trima, trimx, trimd, twave, tslot, kb0, nw, fb) = rows[i]
+                A = self.seq(items[i].akey)
+                Bs = self.seq(items[i].bkey)
+                try:
+                    wrep.replay_reverse(
+                        A, Bs, int(anti[i]), int(aoff[i]), tslot, twave,
+                        trima, trimx, trimd, logs[i], paths[i], tspace)
+                except AssertionError:
+                    host[i] = True
+                    paths[i] = Path()
 
         rshort = np.array([anti[i] - (p.abpos + p.bbpos) < DUB_TRIM
                            for i, p in enumerate(paths)])
@@ -239,15 +247,17 @@ class BatchAligner:
                     paths[i] = Path()
 
         # ---- exact-host fallback ----
-        for i in np.flatnonzero(host):
-            self.stats["fallbacks"] += 1
-            it = items[i]
-            paths[i] = local_alignment(
-                self.spec, self.seq(it.akey), self.seq(it.bkey),
-                it.dgmin, it.dgmax, it.anti, it.lbord, it.hbord,
-                selfie=it.selfie, acomp=it.acomp, alen=it.alen, blen=it.blen)
-            # host path includes the acomp flip; skip the flip below
-            host[i] = True
+        with prof.span("batch.host_fallback"):
+            for i in np.flatnonzero(host):
+                self.stats["fallbacks"] += 1
+                it = items[i]
+                paths[i] = local_alignment(
+                    self.spec, self.seq(it.akey), self.seq(it.bkey),
+                    it.dgmin, it.dgmax, it.anti, it.lbord, it.hbord,
+                    selfie=it.selfie, acomp=it.acomp, alen=it.alen,
+                    blen=it.blen)
+                # host path includes the acomp flip; skip the flip below
+                host[i] = True
 
         # ---- A-complement reflection (align.c:1534-1557) ----
         for i in range(n):

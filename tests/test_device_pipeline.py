@@ -46,6 +46,73 @@ def _mutate(seq, rate, rng):
     return np.array(out, dtype=np.uint8)
 
 
+def _tube_eq(tubes_d, tubes_h):
+    assert tubes_d.n == tubes_h.n
+    for f in ("acont", "bcont", "comp", "dgmin", "dgmax", "alow",
+              "ahgh", "pairing"):
+        assert np.array_equal(
+            np.asarray(getattr(tubes_d, f)).astype(np.int64),
+            np.asarray(getattr(tubes_h, f)).astype(np.int64)), f
+
+
+def test_device_tubes_self_match_host():
+    rng = np.random.default_rng(31)
+    for rep in range(2):
+        nc = int(rng.integers(2, 5))
+        A = []
+        for _ in range(nc):
+            base = rng.integers(0, 4, int(rng.integers(2000, 8000))
+                                ).astype(np.uint8)
+            # add an internal repeat so self-seeds exist
+            rep_seg = base[:len(base) // 3]
+            A.append(np.concatenate([base, _mutate(rep_seg, 0.03, rng)]))
+        g1 = _gdb(A)
+        t1 = gixm.build_gix(g1)
+        seeds_h = mergem.self_adaptamer_seeds(t1, freq=10)
+        lens1 = g1.contig_lengths()
+        perm1 = np.asarray(t1.perm)
+        alens = np.where(perm1 < len(lens1),
+                         lens1[np.minimum(perm1, len(lens1) - 1)], 40)
+        amax = int(lens1.max())
+        tubes_h = chainm.chain_tubes(seeds_h, amax, amax, alens)
+        dres = dp.device_tubes_tables(t1, t1, alens, amax, amax)
+        assert dres is not None
+        tubes_d, nseeds, plsum = dres
+        assert nseeds == seeds_h.n
+        assert plsum == int(seeds_h.plen.astype(np.int64).sum())
+        _tube_eq(tubes_d, tubes_h)
+
+
+def test_device_tubes_masked_match_host():
+    rng = np.random.default_rng(47)
+    for soft in (False, True):
+        nc = 3
+        A = [rng.integers(0, 4, int(rng.integers(3000, 9000)))
+             .astype(np.uint8) for _ in range(nc)]
+        B = [_mutate(a, 0.04, rng) for a in A]
+        g1, g2 = _gdb(A), _gdb(B)
+        masks1 = [gdbm.MaskIval(0, 100, 1200),
+                  gdbm.MaskIval(2, 0, len(A[2]) // 2)]
+        masks2 = [gdbm.MaskIval(1, 500, 2500)]
+        t1 = gixm.build_gix(g1, masks=masks1)
+        t2 = gixm.build_gix(g2, masks=masks2)
+        seeds_h = mergem.adaptamer_seeds(t1, t2, freq=10, soft_mask=soft)
+        lens1 = g1.contig_lengths()
+        lens2 = g2.contig_lengths()
+        perm1 = np.asarray(t1.perm)
+        alens = np.where(perm1 < len(lens1),
+                         lens1[np.minimum(perm1, len(lens1) - 1)], 40)
+        amax, bmax = int(lens1.max()), int(lens2.max())
+        tubes_h = chainm.chain_tubes(seeds_h, amax, bmax, alens)
+        dres = dp.device_tubes_tables(t1, t2, alens, amax, bmax,
+                                      soft_mask=soft)
+        assert dres is not None
+        tubes_d, nseeds, plsum = dres
+        assert nseeds == seeds_h.n, (nseeds, seeds_h.n, soft)
+        assert plsum == int(seeds_h.plen.astype(np.int64).sum())
+        _tube_eq(tubes_d, tubes_h)
+
+
 def test_device_tubes_match_host():
     rng = np.random.default_rng(23)
     for rep in range(3):
