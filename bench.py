@@ -100,14 +100,22 @@ def main():
     if engine == "jax":
         aligner.prewarm(g1, g2)   # overlap executable load with gix build
 
+    # cold pass: includes one-time per-process costs (kernel trace/lower,
+    # compile-cache load over the axon tunnel, device upload).  The GIX
+    # is built on device inside align_genomes (host tables stay unbuilt
+    # unless the device pipeline declines and falls back).
     t0 = time.time()
-    t1 = gixm.build_gix(g1)
-    t2 = gixm.build_gix(g2)
-    t_gix = time.time() - t0
+    ovls, stats = aligner.align_genomes(g1, g2, engine=engine)
+    t_cold = time.time() - t0
 
-    t0 = time.time()
-    ovls, stats = aligner.align_genomes(g1, g2, t1, t2, engine=engine)
-    t_aln = time.time() - t0
+    # steady pass: executables resident — the serving-regime rate (the
+    # reference baseline number is likewise steady-state C with no JIT).
+    runs = int(os.environ.get("BENCH_RUNS", 1))
+    t_aln = t_cold
+    for _ in range(runs):
+        t0 = time.time()
+        ovls, stats = aligner.align_genomes(g1, g2, engine=engine)
+        t_aln = time.time() - t0
 
     aligned = sum(o.aepos - o.abpos for o in ovls)
     rate = aligned / t_aln if t_aln > 0 else 0.0
@@ -121,7 +129,7 @@ def main():
     }))
     sys.stderr.write(
         f"bench detail: genomes {ncontig}x{clen}bp, engine={engine}; "
-        f"gdb {t_gdb:.1f}s gix {t_gix:.1f}s align {t_aln:.1f}s; "
+        f"gdb {t_gdb:.1f}s cold {t_cold:.1f}s steady {t_aln:.1f}s; "
         f"{len(ovls)} alns, {aligned:,} bp aligned; "
         f"stats={ {k: v for k, v in stats.items() if isinstance(v, (int, float))} }\n")
     from fastga_tpu.utils import prof

@@ -104,14 +104,23 @@ def infer_source(path: str) -> Tuple[str, Path]:
 
 
 def resolve_genome(path: str, nthreads: int = 8, keep: bool = False,
-                   verbose: bool = False):
-    """Input -> (GDB, GixTable), building whatever is missing.
+                   verbose: bool = False, mask_files=None,
+                   soft_mask: bool = False, lazy: bool = False):
+    """Input -> (GDB, GixTable-or-None), building whatever is missing.
 
     Mirrors FastGA's precursor resolution (FastGA.c:4646-4775): a .gix input
     loads the index from disk; a .1gdb builds the index in memory; a FASTA
     builds both.  With ``keep`` the built artifacts are persisted next to
     the source like -k.
+
+    ``mask_files``: FastGA `#<mask>` arguments for this genome — .1ano
+    paths whose union becomes the index's soft-mask bytes (the reference
+    forwards them to GIXmake, FastGA.c:4739-4775).  ``soft_mask`` (-M)
+    pulls the implicit `.1ano` even without explicit # args.  With
+    ``lazy`` and no masking in play, FASTA/GDB inputs return table=None
+    so the caller's device pipeline can build the index on-chip.
     """
+    from ..io import ano as anom
     from ..io import gdb as gdbm
     from ..io import gix as gixm
 
@@ -129,14 +138,34 @@ def resolve_genome(path: str, nthreads: int = 8, keep: bool = False,
             sys.stderr.write(f"  Creating genome data base (GDB) {root}.1gdb"
                              f"{' (in memory)' if not keep else ''}\n")
         gdb, masks = gdbm.create_gdb(p, target=root if keep else None)
+        if keep and masks:
+            # FAtoGDB persists the implicit case-mask (FAtoGDB.c:115-125)
+            anom.write_ano(str(root) + ".1ano", gdb, masks)
+
+    gix_masks = None
+    if mask_files:
+        lists = []
+        for m in mask_files:
+            mp = m if m else str(root) + ".1ano"
+            lists.append(anom.read_ano(mp, gdb))
+        gix_masks = anom.ano_union(lists)
+    elif soft_mask:
+        ano_file = Path(str(root) + ".1ano")
+        if ano_file.exists():
+            gix_masks = anom.read_ano(ano_file, gdb)
+        elif masks:
+            gix_masks = masks
+
     gixp = Path(str(root) + ".gix")
-    if gixp.exists():
+    if gixp.exists() and not gix_masks:
         table = gixm.read_gix(root)
+    elif lazy and not keep and not gix_masks:
+        table = None       # device pipeline builds the index on-chip
     else:
         if verbose:
             sys.stderr.write(f"  Creating genome index (GIX) {root}.gix"
                              f"{' (in memory)' if not keep else ''}\n")
-        table = gixm.build_gix(gdb, nthreads=nthreads, masks=masks)
+        table = gixm.build_gix(gdb, nthreads=nthreads, masks=gix_masks)
         if keep:
             gixm.write_gix(table, root, nthreads=nthreads)
     return gdb, table

@@ -47,7 +47,9 @@ class FastGAParams:
     soft_mask: bool = False   # -M
 
 
-def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
+def align_genomes(gdb1: GDB, gdb2: GDB,
+                  t1: Optional[GixTable] = None,
+                  t2: Optional[GixTable] = None,
                   params: FastGAParams = FastGAParams(),
                   engine: str = "ref",
                   verbose: bool = False,
@@ -59,11 +61,15 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
     same-contig forward tubes exclude the main diagonal
     (FastGA.c:3030-3033, 3245-3262).  ``symmetric`` adds the -S second
     merge pass with G2 driving (FastGA.c:2410-2470).
+
+    ``t1``/``t2`` may be None with engine="jax": the GIX is then built on
+    device inside the seed pipeline, and host tables are only constructed
+    lazily if the run falls back to the host path.
     """
     if engine not in ("ref", "jax"):
         raise ValueError(f"unknown wave engine '{engine}' "
                          f"(expected 'ref' or 'jax')")
-    selfcmp = t2 is t1
+    selfcmp = (t2 is t1 and t1 is not None) or gdb2 is gdb1
     stats = {}
     spec = wave_ref.AlignSpec(1.0 - params.align_rate, params.tspace,
                               False, tuple(gdb1.freq))
@@ -77,11 +83,33 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
     lens2 = gdb2.contig_lengths()
     amax = int(lens1.max()) if len(lens1) else 1
     bmax = int(lens2.max()) if len(lens2) else 1
-    perm1 = np.asarray(t1.perm)
-    perm2 = np.asarray(t2.perm)
+
+    def _host_tables():
+        """Host GixTables, built lazily when not supplied."""
+        nonlocal t1, t2
+        from ..io import gix as _gixm
+        if t1 is None:
+            t1 = _gixm.build_gix(gdb1)
+        if t2 is None:
+            t2 = t1 if selfcmp else _gixm.build_gix(gdb2)
+        return t1, t2
+
+    from ..io.gix import _length_perm
+    from ..ops.constants import KMER as _KMER
+    kmer0 = t1.kmer if t1 is not None else _KMER
+
+    def _perm_of(t, lens):
+        if t is not None:
+            return np.asarray(t.perm)
+        lens_eff = np.concatenate(
+            [lens, np.full(max(0, 8 - len(lens)), kmer0, np.int64)])
+        return np.asarray(_length_perm(lens_eff)[0])
+
+    perm1 = _perm_of(t1, lens1)
+    perm2 = perm1 if selfcmp else _perm_of(t2, lens2)
     # rank -> length (fake short-fix ranks map to their KMER length)
     alens_by_rank = np.where(perm1 < len(lens1), lens1[np.minimum(
-        perm1, len(lens1) - 1)], t1.kmer)
+        perm1, len(lens1) - 1)], kmer0)
 
     tubes = None
     import os as _os
@@ -95,17 +123,32 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
         from ..utils import prof
         if wave_engine is not None and wave_engine._warm_evt is not None:
             wave_engine._warm_evt.wait()   # serialize device tracing
-        has_masks = (params.soft_mask or t1.maskb.any()
-                     or (not selfcmp and t2.maskb.any()))
+        has_masks = (params.soft_mask
+                     or (t1 is not None and t1.maskb.any())
+                     or (t2 is not None and not selfcmp
+                         and t2.maskb.any()))
         try:
             with prof.span("aligner.devpipe"):
-                if has_masks or selfcmp:
+                if has_masks:
+                    ht1, ht2 = _host_tables()
                     dres = devp.device_tubes_tables(
-                        t1, t2, alens_by_rank, amax, bmax,
+                        ht1, ht2, alens_by_rank, amax, bmax,
                         freq=params.freq,
                         chain_break=params.chain_break,
                         chain_min=params.chain_min,
                         soft_mask=params.soft_mask)
+                elif selfcmp:
+                    if t1 is not None:
+                        dres = devp.device_tubes_tables(
+                            t1, t1, alens_by_rank, amax, bmax,
+                            freq=params.freq,
+                            chain_break=params.chain_break,
+                            chain_min=params.chain_min)
+                    else:
+                        dres = devp.device_tubes_self(
+                            gdb1, alens_by_rank, freq=params.freq,
+                            chain_break=params.chain_break,
+                            chain_min=params.chain_min)
                 else:
                     dres = devp.device_tubes(
                         gdb1, gdb2, alens_by_rank, freq=params.freq,
@@ -125,6 +168,7 @@ def align_genomes(gdb1: GDB, gdb2: GDB, t1: GixTable, t2: GixTable,
             stats["seed_len_avg"] = (plsum / nseeds) if nseeds else 0.0
     from ..utils import prof
     if tubes is None:
+        t1, t2 = _host_tables()
         with prof.span("aligner.merge"):
             if selfcmp:
                 seeds = mergem.self_adaptamer_seeds(

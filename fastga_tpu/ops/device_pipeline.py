@@ -1067,6 +1067,46 @@ def device_tubes_tables(t1, t2, alens_by_rank, amax: int, bmax: int,
                          lambda: False)
 
 
+def device_tubes_self(gdb1, alens_by_rank, freq: int = 10,
+                      chain_break: int = 2000, chain_min: int = 170,
+                      tcap: int = 1 << 15):
+    """Self-comparison TubeBatch with the GIX built on device (unmasked
+    genomes; masked tables go through device_tubes_tables)."""
+    from jax import enable_x64
+
+    lens1 = gdb1.contig_lengths()
+    if int(lens1.sum()) == 0 or int(lens1.sum()) > _MAX_DEV_BASES:
+        return None
+    if len(lens1) >= MAX_CONT or freq > MAX_FREQ:
+        return None
+    amax = int(lens1.max())
+    if 3 * amax >= (1 << 30) or amax >= MAX_POST:
+        return None
+
+    bps1, coff1, clen1, cof1, invp1, nc1, N1 = _prep_genome(gdb1, lens1)
+    E1 = max(1 << 12, N1)
+    NSCAP = max(E1 * 2, 1 << 13)
+    ACAP = max(E1, 1 << 12)
+
+    with enable_x64():
+        T1 = _gix_jit(N1, len(coff1), E1)(bps1, coff1, clen1, cof1,
+                                          invp1, nc1)
+        sfn = _self_jit(E1, NSCAP, ACAP, freq, False, False)
+        out = sfn(T1, None)
+        ne1 = T1[7]
+        del T1
+        res, ns, nalive, plsum = _run_chain(
+            None, out, NSCAP, tcap, chain_break, chain_min, amax, amax,
+            alens_by_rank)
+        out2 = tuple(np.asarray(x) for x in res) + (
+            np.asarray(ns), np.asarray(nalive), np.asarray(plsum),
+            np.asarray(ne1))
+    res, ns, nalive, plsum, ne1 = out2[:9], out2[9], out2[10], \
+        out2[11], out2[12]
+    return _finish_tubes(res, ns, nalive, plsum, NSCAP, ACAP, tcap,
+                         lambda: int(ne1) > E1)
+
+
 def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
                  chain_break: int = 2000, chain_min: int = 170,
                  tcap: int = 1 << 15, verbose: bool = False):
