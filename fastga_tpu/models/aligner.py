@@ -53,7 +53,8 @@ def align_genomes(gdb1: GDB, gdb2: GDB,
                   params: FastGAParams = FastGAParams(),
                   engine: str = "ref",
                   verbose: bool = False,
-                  symmetric: bool = False) -> Tuple[List[Overlap], dict]:
+                  symmetric: bool = False,
+                  mesh=None) -> Tuple[List[Overlap], dict]:
     """Full FastGA comparison; returns (overlaps in output order, stats).
 
     Pass the same gdb/table twice (identical objects) for self-comparison
@@ -129,7 +130,17 @@ def align_genomes(gdb1: GDB, gdb2: GDB,
                          and t2.maskb.any()))
         try:
             with prof.span("aligner.devpipe"):
-                if has_masks:
+                if (mesh is not None and not has_masks and not selfcmp):
+                    # multi-device: the P1-P4/P7 sharded pipeline
+                    from ..parallel import sharded as shardm
+                    dres = shardm.sharded_tubes(
+                        gdb1, gdb2, alens_by_rank, mesh,
+                        freq=params.freq,
+                        chain_break=params.chain_break,
+                        chain_min=params.chain_min)
+                    if dres is not None:
+                        stats["sharded"] = int(mesh.devices.size)
+                elif has_masks:
                     ht1, ht2 = _host_tables()
                     dres = devp.device_tubes_tables(
                         ht1, ht2, alens_by_rank, amax, bmax,

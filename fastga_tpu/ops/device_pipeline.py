@@ -41,8 +41,9 @@ _I64MAX = np.int64(0x7FFFFFFFFFFFFFFF)
 
 MAX_CONT = 1 << 12        # contig-rank field width (reference envelope:
 MAX_POST = 1 << 28        # "at most several thousand contigs")
-MAX_FREQ = 11             # device freq cap (window-min packing: 6 low
-                          # values/scan + <=4 high); higher -f uses host
+MAX_FREQ = 10             # device freq cap (window-min packing: 6+3
+                          # six-bit values per value word); higher -f
+                          # falls back to the host merge
 
 
 def _jx():
@@ -55,32 +56,24 @@ def _jx():
 # Section 1: GIX table arrays on device
 # ---------------------------------------------------------------------------
 
-def gix_arrays(bps, nbases: int, coff, clen, cont_of, invp, ncontig,
-               ecap: int = 0):
-    """Sorted GIX entry arrays for one genome (jit-traceable).
+def entry_candidates(jnp, bases, loc, ln, cranks, in_block):
+    """Syncmer entry candidates for a run of positions (jit-traceable).
 
-    bps: uint8[ceil(Npad/4)] 2-bit packed bases (base i at bit 2*(i%4));
-    nbases: actual base count (python int — static per trace);
-    coff/clen: int32[Cpad] contig base offsets/lengths (pad rows len 0);
-    cont_of: int32[Npad] contig id per base position (pad big);
-    invp: int32[Cpad] contig id -> length-rank;
-    ncontig: actual contig count.
+    bases: int32[L] base codes (garbage across contig seams is fine —
+    uses are masked to in-contig windows); loc/ln: contig-relative
+    position and contig length per position; cranks: contig length-rank
+    per position; in_block: positions this caller owns (sharded blocks
+    exclude their halo).
 
-    Returns (w0, w1, w2, cont, post, comp, lcp, nentries, valid) — entries
-    sorted by (kmer, cont, post, comp), padded to the position cap with
-    all-ones keys.  w0/w1 = kmer bits 79..16 (two int32), w2 = bits
-    15..0 << 16.
+    Returns interleaved per-slot arrays of length 2L (slot 2i = forward
+    candidate at position i, slot 2i+1 = its reverse complement):
+    (ok, w0, w1, w2, cont, post, comp).
     """
-    jax, jnp = _jx()
-    N = cont_of.shape[0]                     # padded base cap (static)
+    L = bases.shape[0]
     kmer = KMER
     kb = kmer // 4
 
-    i = jnp.arange(N, dtype=jnp.int32)
-    bases = (bps[i >> 2] >> ((i & 3) << 1).astype(jnp.uint8)) & 3
-
-    # n4[p] = big-endian packed 4-mer (garbage across contig seams; all
-    # uses are masked to in-contig windows)
+    # n4[p] = big-endian packed 4-mer
     b16 = bases.astype(jnp.int32)
     n4 = ((jnp.roll(b16, 0) << 6) | (jnp.roll(b16, -1) << 4)
           | (jnp.roll(b16, -2) << 2) | jnp.roll(b16, -3)).astype(jnp.int32)
@@ -97,9 +90,7 @@ def gix_arrays(bps, nbases: int, coff, clen, cont_of, invp, ncontig,
     for k in range(1, SOFF + 1):
         m = jnp.minimum(m, jnp.roll(v, -k))
     sel = (v == m) | (jnp.roll(v, -SOFF) == m)
-    loc = i - coff[jnp.clip(cont_of, 0, len(coff) - 1)]
-    ln = clen[jnp.clip(cont_of, 0, len(coff) - 1)]
-    inctg = (cont_of < ncontig) & (loc + TMER <= ln) & (ln >= kmer)
+    inctg = in_block & (loc + TMER <= ln) & (ln >= kmer)
     sel = sel & inctg
 
     fwd_ok = sel & (loc <= ln - kmer)
@@ -125,8 +116,6 @@ def gix_arrays(bps, nbases: int, coff, clen, cont_of, invp, ncontig,
     rw0, rw1, rw2 = words_from(
         [jnp.roll(cn4, -(8 - 4 * t)) for t in range(kb)])
 
-    cranks = invp[jnp.clip(cont_of, 0, len(coff) - 1)]
-
     def inter(af, ar):
         return jnp.stack([af, ar], 1).reshape(-1)
 
@@ -136,51 +125,101 @@ def gix_arrays(bps, nbases: int, coff, clen, cont_of, invp, ncontig,
     w2a = inter(fw2, rw2)
     conta = inter(cranks, cranks)
     posta = inter(loc, loc + TMER)
-    compa = inter(jnp.zeros(N, jnp.int32), jnp.ones(N, jnp.int32))
+    compa = inter(jnp.zeros(L, jnp.int32), jnp.ones(L, jnp.int32))
+    return okflat, w0a, w1a, w2a, conta, posta, compa
 
-    # sort keys must be unsigned-comparable: int32 with sign bit flipped
-    def u(x):
-        return jnp.bitwise_xor(x, jnp.int32(-0x80000000))
 
-    invalid = ~okflat
-    k0 = jnp.where(invalid, _I32MAX, u(w0a))
-    k1 = jnp.where(invalid, _I32MAX, u(w1a))
-    k2 = jnp.where(invalid, _I32MAX, u(w2a))
-    k3 = jnp.where(invalid, _I32MAX, conta)
-    k4 = jnp.where(invalid, _I32MAX, posta)
-    k5 = jnp.where(invalid, _I32MAX, compa)
+def gix_arrays(bps, nbases: int, coff, clen, cont_of, invp, ncontig,
+               ecap: int = 0):
+    """Sorted GIX entry arrays for one genome (jit-traceable).
 
-    # the six sort keys carry all entry data: reconstruct the payloads
-    # from the sorted keys instead of reorder gathers; rows at index >=
-    # nentries are padding regardless of key value
-    srt = jax.lax.sort((k0, k1, k2, k3, k4, k5), num_keys=6)
-    w0s = u(srt[0])
-    w1s = u(srt[1])
-    w2s = u(srt[2])
-    cs = srt[3]
-    ps = srt[4]
-    os = srt[5]
+    bps: uint8[ceil(Npad/4)] 2-bit packed bases (base i at bit 2*(i%4));
+    nbases: actual base count (python int — static per trace);
+    coff/clen: int32[Cpad] contig base offsets/lengths (pad rows len 0);
+    cont_of: int32[Npad] contig id per base position (pad big);
+    invp: int32[Cpad] contig id -> length-rank;
+    ncontig: actual contig count.
+
+    Returns (w0, w1, w2, cont, post, comp, lcp, nentries, valid) — entries
+    sorted by (kmer, cont, post, comp), padded to the position cap with
+    all-ones keys.  w0/w1 = kmer bits 79..16 (two int32), w2 = bits
+    15..0 << 16.
+    """
+    jax, jnp = _jx()
+    N = cont_of.shape[0]                     # padded base cap (static)
+    kmer = KMER
+    kb = kmer // 4
+
+    i = jnp.arange(N, dtype=jnp.int32)
+    bases = (bps[i >> 2] >> ((i & 3) << 1).astype(jnp.uint8)) & 3
+    loc = i - coff[jnp.clip(cont_of, 0, len(coff) - 1)]
+    ln = clen[jnp.clip(cont_of, 0, len(coff) - 1)]
+    cranks = invp[jnp.clip(cont_of, 0, len(coff) - 1)]
+    in_block = cont_of < ncontig
+    (okflat, w0a, w1a, w2a, conta, posta, compa) = entry_candidates(
+        jnp, bases, loc, ln, cranks, in_block)
+
+    # two packed int64 sort keys carry all entry data; payloads are
+    # reconstructed from the sorted keys instead of reorder gathers;
+    # rows at index >= nentries are padding regardless of key value
+    ka, kb_ = pack_entry_keys(jnp, okflat, w0a, w1a, w2a, conta, posta,
+                              compa)
+    srt = jax.lax.sort((ka, kb_), num_keys=2)
+    w0s, w1s, w2s, cs, ps, os = unpack_entry_keys(jnp, srt[0], srt[1])
 
     nent = jnp.sum(okflat.astype(jnp.int32))
     vs = (jnp.arange(2 * N, dtype=jnp.int32) < nent).astype(jnp.int32)
-
-    # adjacent lcp in bases (40 == full match marker)
-    x0 = w0s ^ jnp.roll(w0s, 1)
-    x1 = w1s ^ jnp.roll(w1s, 1)
-    x2 = w2s ^ jnp.roll(w2s, 1)
-
-    lz = jnp.where(
-        x0 != 0, _clz32_arr(jnp, x0),
-        jnp.where(x1 != 0, 32 + _clz32_arr(jnp, x1),
-                  64 + _clz32_arr(jnp, x2)))
-    lcp = jnp.minimum(lz >> 1, kmer).astype(jnp.int32)
-    lcp = lcp.at[0].set(0)
+    lcp = adjacent_lcp(jnp, w0s, w1s, w2s)
 
     if ecap and ecap < 2 * N:
         (w0s, w1s, w2s, cs, ps, os, lcp, vs) = (
             w0s[:ecap], w1s[:ecap], w2s[:ecap], cs[:ecap], ps[:ecap],
             os[:ecap], lcp[:ecap], vs[:ecap])
     return (w0s, w1s, w2s, cs, ps, os, lcp, nent, vs)
+
+
+def pack_entry_keys(jnp, ok, w0a, w1a, w2a, conta, posta, compa):
+    """Entry fields -> two int64 sort keys (MAX for invalid slots):
+    ka = unsigned 64 kmer bits (sign-centered), kb = [56:41] kmer bits
+    15..0, [40:29] cont, [28:1] post, [0] comp."""
+    invalid = ~ok
+    w0u = w0a.astype(jnp.uint32).astype(jnp.int64)
+    w1u = w1a.astype(jnp.uint32).astype(jnp.int64)
+    w2_16 = w2a.astype(jnp.uint32).astype(jnp.int64) >> 16
+    ka = (w0u - (jnp.int64(1) << 31)) * (jnp.int64(1) << 32) + w1u
+    kb = ((w2_16 << 41) | (conta.astype(jnp.int64) << 29)
+          | (posta.astype(jnp.int64) << 1) | compa.astype(jnp.int64))
+    return (jnp.where(invalid, _I64MAX, ka),
+            jnp.where(invalid, _I64MAX, kb))
+
+
+def unpack_entry_keys(jnp, kas, kbs):
+    """Inverse of pack_entry_keys -> (w0, w1, w2, cont, post, comp)."""
+    def to_i32(x64):
+        # uint32 value held in int64 -> same bit pattern as int32
+        return (x64 - ((x64 >> 31) << 32)).astype(jnp.int32)
+
+    w0s = to_i32(((kas >> 32) + (jnp.int64(1) << 31)) & 0xFFFFFFFF)
+    w1s = to_i32(kas & 0xFFFFFFFF)
+    w2s = to_i32(((kbs >> 41) & 0xFFFF) << 16)
+    cs = ((kbs >> 29) & 0xFFF).astype(jnp.int32)
+    ps = ((kbs >> 1) & ((1 << 28) - 1)).astype(jnp.int32)
+    os = (kbs & 1).astype(jnp.int32)
+    return w0s, w1s, w2s, cs, ps, os
+
+
+def adjacent_lcp(jnp, w0s, w1s, w2s):
+    """lcp[i] = base-lcp(row i-1, row i) over sorted 80-bit kmer words,
+    capped at KMER; lcp[0] = 0."""
+    x0 = w0s ^ jnp.roll(w0s, 1)
+    x1 = w1s ^ jnp.roll(w1s, 1)
+    x2 = w2s ^ jnp.roll(w2s, 1)
+    lz = jnp.where(
+        x0 != 0, _clz32_arr(jnp, x0),
+        jnp.where(x1 != 0, 32 + _clz32_arr(jnp, x1),
+                  64 + _clz32_arr(jnp, x2)))
+    lcp = jnp.minimum(lz >> 1, KMER).astype(jnp.int32)
+    return lcp.at[0].set(0)
 
 
 def _clz32_arr(jnp, x):
@@ -341,6 +380,7 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
     k2a = jnp.where(drive1, k2a, _I64MAX)
 
     # T2-space window minima, packed 6 bits each, ride the sort as values
+    # (lo = 6 values, hi = up to 3 more above bit 36; maskb at bit 54)
     wup, wdn = _window_mins(jnp, T2[6], n2, freq)
     nlo = min(len(wup), 6)
     up_lo2, up_hi2 = _pack6(jnp, wup, nlo)
@@ -349,16 +389,15 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
            else jnp.zeros(E1, jnp.int32)).astype(jnp.int64)
     mb2 = (maskb2 if maskb2 is not None
            else jnp.zeros(E2, jnp.int32)).astype(jnp.int64)
-    # value words: [59:54] own mask byte | packed window minima
-    vup = jnp.concatenate([mb1 << 54, (mb2 << 54) | up_lo2])
-    vdn = jnp.concatenate([jnp.zeros(E1, jnp.int64), dn_lo2])
-    vhi = jnp.concatenate([jnp.zeros(E1, jnp.int64),
-                           (up_hi2 << 27) | dn_hi2])
+    vup = jnp.concatenate([mb1 << 54,
+                           (mb2 << 54) | (up_hi2 << 36) | up_lo2])
+    vdn = jnp.concatenate([jnp.zeros(E1, jnp.int64),
+                           (dn_hi2 << 36) | dn_lo2])
 
     k1 = jnp.concatenate([k1a, k1b])
     k2 = jnp.concatenate([k2a, k2b])
-    srt = jax.lax.sort((k1, k2, vup, vdn, vhi), num_keys=2)
-    k1s, k2s, vups, vdns, vhis = srt
+    srt = jax.lax.sort((k1, k2, vup, vdn), num_keys=2)
+    k1s, k2s, vups, vdns = srt
 
     valid = k2s != _I64MAX
     is2 = ((k2s >> 46) & 1).astype(jnp.bool_) & valid
@@ -402,15 +441,13 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
     alive0 = (~is2) & valid & (plen >= 12)
 
     # transport the T2-row window words to T1 rows (predecessor's wdn
-    # fills forward, successor's wup fills backward); the high words
-    # (beyond 6 packed values) ride a 27-bit field each
-    dn_at = _ffill_tagged(jax, jnp, is2,
-                          vdns & ((jnp.int64(1) << 36) - 1), 36)
-    hi_at_p = _ffill_tagged(jax, jnp, is2,
-                            vhis & ((jnp.int64(1) << 27) - 1), 27)
-    up_at = _bfill_tagged(jax, jnp, is2,
-                          vups & ((jnp.int64(1) << 36) - 1), 36)
-    hi_at_s = _bfill_tagged(jax, jnp, is2, vhis >> 27, 27)
+    # fills forward, successor's wup fills backward); high values
+    # (beyond 6 packed) travel as an 18-bit field
+    m36 = (jnp.int64(1) << 36) - 1
+    dn_at = _ffill_tagged(jax, jnp, is2, vdns & m36, 36)
+    hi_at_p = _ffill_tagged(jax, jnp, is2, (vdns >> 36) & 0x3FFFF, 18)
+    up_at = _bfill_tagged(jax, jnp, is2, vups & m36, 36)
+    hi_at_s = _bfill_tagged(jax, jnp, is2, (vups >> 36) & 0x3FFFF, 18)
 
     def win_ok_counts(lo, hi):
         cnt = jnp.zeros(M, jnp.int32)
@@ -883,18 +920,30 @@ def _prep_genome(gdb, lens):
         coff[1:] = np.cumsum(lens)[:-1]
     total = int(lens.sum())
     N = _pad_bucket(total)
-    # packed bases: unpack-repack via get_contig once (contig boundaries
-    # are not byte-aligned in .bps) — still host-cheap
-    basespad = np.zeros(N, np.uint8)
-    pos = 0
-    for r in range(gdb.ncontig):
-        c = gdb.get_contig(r)
-        basespad[pos:pos + len(c)] = c
-        pos += len(c)
     from ..utils.dna import compress
-    bps = compress(basespad)
-    cont_of = np.searchsorted(np.cumsum(lens), np.arange(N),
-                              side="right").astype(np.int32)
+    if (np.asarray(lens) % 4 == 0).all() and N % 4 == 0:
+        # byte-aligned contigs: concatenate .bps slices directly
+        packed_all = gdb._packed()
+        bps = np.zeros(N // 4, np.uint8)
+        o = 0
+        for c in gdb.contigs:
+            nb = c.clen // 4
+            bps[o:o + nb] = packed_all[c.boff:c.boff + nb]
+            o += nb
+    else:
+        # unpack-repack via get_contig (contig boundaries not
+        # byte-aligned in .bps) — still host-cheap
+        basespad = np.zeros(N, np.uint8)
+        pos = 0
+        for r in range(gdb.ncontig):
+            c = gdb.get_contig(r)
+            basespad[pos:pos + len(c)] = c
+            pos += len(c)
+        bps = compress(basespad)
+    cont_of = np.zeros(N, np.int32)
+    cont_of[:total] = np.repeat(
+        np.arange(gdb.ncontig, dtype=np.int32), lens)
+    cont_of[total:] = gdb.ncontig + 1
     from ..io.gix import _length_perm
     lens_eff = np.concatenate(
         [lens, np.full(max(0, 8 - len(lens)), KMER, np.int64)])
@@ -983,6 +1032,15 @@ def _run_chain(tubeify, seeds_out, nscap, tcap, chain_break, chain_min,
     alens_pad = np.zeros(1 << max(3, (len(alens_by_rank) - 1)
                                   .bit_length()), np.int32)
     alens_pad[:len(alens_by_rank)] = alens_by_rank
+    # adaptive sizing: the seed caps are worst-case (~2 entries/bp) but
+    # real seed counts are far smaller — slice to the tight bucket so
+    # the chain sorts run on 2*bucket rows instead of 2*nscap
+    ns_host = int(np.asarray(ns))
+    cap = _pad_bucket(max(ns_host, 1 << 13))
+    if cap < nscap:
+        pl, ac, ap, bcn, bp, bo = (
+            x[:cap] for x in (pl, ac, ap, bcn, bp, bo))
+        nscap = cap
     res = _chain_jit(nscap, tcap, chain_break, chain_min)(
         (pl, ac, ap, bcn, bp, bo), ns, np.int32(amax), np.int32(bmax),
         jnp.asarray(alens_pad))
@@ -1164,17 +1222,15 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
         T2 = _gix_jit(N2, len(coff2), E2)(bps2, coff2, clen2, cof2,
                                           invp2, nc2)
         t0 = _tick("gix2", t0, T2)
-        alens_pad = np.zeros(1 << max(3, (len(alens_by_rank) - 1)
-                                      .bit_length()), np.int32)
-        alens_pad[:len(alens_by_rank)] = alens_by_rank
-        (pl, ac, ap, bcn, bp, bo, ns, nalive, plsum) = _merge_jit(
-            E1, E2, NSCAP, ACAP, freq, False, False)(T1, T2, None, None)
+        mout = _merge_jit(E1, E2, NSCAP, ACAP, freq, False, False)(
+            T1, T2, None, None)
+        (pl, ac, ap, bcn, bp, bo, ns, nalive, plsum) = mout
         t0 = _tick("merge", t0, ns)
         ne1, ne2 = T1[7], T2[7]
         del T1, T2
-        res = _chain_jit(NSCAP, tcap, chain_break, chain_min)(
-            (pl, ac, ap, bcn, bp, bo), ns, np.int32(amax),
-            np.int32(bmax), jnp.asarray(alens_pad))
+        res, ns, nalive, plsum = _run_chain(
+            None, mout, NSCAP, tcap, chain_break, chain_min, amax, bmax,
+            alens_by_rank)
         t0 = _tick("chain", t0, res)
         out = tuple(res) + (ns, nalive, plsum, ne1, ne2)
     (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt, ns, nalive, plsum,

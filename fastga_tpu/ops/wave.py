@@ -812,8 +812,9 @@ class WaveEngine:
               + (z > 1, z > 1, z))
         targs = tuple(z for _ in range(6))
         for chunk in (self.fwd_chunk, self.rev_chunk):
-            st2, chlog, _ = chunk(pool, targs, st)
-            jax.block_until_ready(self._pack_fn()(chlog))
+            st2, chlog, bandlog = chunk(pool, targs, st)
+            jax.block_until_ready(self._backtrack_fn(1)(
+                [chlog], [bandlog[:, :, 2]], st2[14], st2[13]))
 
     def _pool_host(self, pool):
         """Host copy of the device pool, cached per pool object (a strong
@@ -838,6 +839,48 @@ class WaveEngine:
 
             self._pack = jax.jit(pack)
         return self._pack
+
+    def _backtrack_fn(self, k: int):
+        """Device path-walk over k chunks of logs: from each tube's trim
+        point, follow the per-wave predecessor choices back to wave 0 and
+        emit the path diagonal per wave.  Replaces the host choice walk
+        and shrinks the per-run transfer from ~2 MB/chunk of packed
+        choices to one [waves+1, N] diagonal array."""
+        key = ("bt", k)
+        fn = getattr(self, "_bt_cache", None)
+        if fn is None:
+            self._bt_cache = {}
+        fn = self._bt_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        import jax.numpy as jnp
+        CW, N, W = self.cfg.chunk, self.cfg.n, self.cfg.w
+
+        def bt(chs, kbs, trim_diag, trim_wave):
+            ch = jnp.concatenate(chs, axis=0)        # [k*CW, N, W]
+            kb = jnp.concatenate(kbs, axis=0)        # [k*CW, N]
+            rows = jnp.arange(N)
+
+            def body(diag, w):
+                wv = w + 1
+                active = wv <= trim_wave
+                slot = jnp.clip(diag - kb[w], 0, W - 1)
+                cc = ch[w, rows, slot]
+                nd = jnp.where(active & (cc == CH_LOW), diag - 1,
+                               jnp.where(active & (cc == CH_HIGH),
+                                         diag + 1, diag))
+                return nd, diag                      # emit diag AT wave wv
+
+            d0, Ds = jax.lax.scan(
+                body, trim_diag,
+                jnp.arange(k * CW - 1, -1, -1, dtype=jnp.int32))
+            # Ds[j] = diag at wave k*CW - j; prepend wave-0 diag
+            return jnp.concatenate([d0[None], jnp.flip(Ds, 0)], axis=0)
+
+        fn = jax.jit(bt)
+        self._bt_cache[key] = fn
+        return fn
 
     def run(self, pool, tubes: dict, direction: int):
         """tubes: dict of int32 [n<=N] arrays: aw, alen, bw, blen, dgmin,
@@ -880,34 +923,58 @@ class WaveEngine:
         st = tuple(jnp.asarray(a)
                    for a in (st_np[:15] + (alive0,) + st_np[16:]))
         targs = tuple(jnp.asarray(t) for t in targs_np)
-        pack = self._pack_fn()
-        unsh = (2 * np.arange(16, dtype=np.uint32))
 
         from ..utils import prof
-        logs = []
-        for _ in range(cfg.max_chunks):
-            with prof.span("wave.alive_sync"):
-                any_alive = bool(np.asarray(st[15]).any())
-            if not any_alive:
-                break
+        # pipelined chunk loop: chunk i+1 is dispatched (async) before
+        # chunk i's aliveness is read, so the host<->device round trip
+        # overlaps compute; logs stay on device for the backtrack
+        chs = []
+        kbs = []
+        if bool(np.asarray(st[15]).any()):
             with prof.span("wave.chunk_dispatch"):
                 st, chlog, bandlog = chunk(pool, targs, st)
-                pkd = pack(chlog)
-            with prof.span("wave.log_xfer"):
-                pk = np.asarray(pkd)                    # [CW,N,W/16] u32
-                bl = np.asarray(bandlog)
-            with prof.span("wave.log_unpack"):
-                ch = ((pk[..., None] >> unsh) & 3).astype(np.uint8) \
-                    .reshape(cfg.chunk, cfg.n, cfg.w)
-            logs.append((ch, bl))
+            chs.append(chlog)
+            kbs.append(bandlog[:, :, 2])
+            for _ in range(cfg.max_chunks - 1):
+                with prof.span("wave.chunk_dispatch"):
+                    st2, chlog, bandlog = chunk(pool, targs, st)
+                with prof.span("wave.alive_sync"):
+                    any_alive = bool(np.asarray(st[15]).any())
+                if not any_alive:
+                    break           # st2 was speculative; identical on
+                                    # dead tubes for every output field
+                st = st2
+                chs.append(chlog)
+                kbs.append(bandlog[:, :, 2])
+            else:
+                pass
 
-        alive = np.asarray(st[15])
-        fallback = np.asarray(st[16]) | alive   # budget exceeded
+        with prof.span("wave.result_xfer"):
+            # one stacked transfer instead of eight tunnel round trips
+            packed = np.asarray(jnp.stack(
+                [st[10], st[11], st[12], st[13], st[14],
+                 st[15].astype(jnp.int32), st[16].astype(jnp.int32),
+                 st[17]]))
+        alive = packed[5] != 0
+        fallback = (packed[6] != 0) | alive   # budget exceeded
         res = WaveResult(
-            trima=np.asarray(st[10])[:n], trimx=np.asarray(st[11])[:n],
-            trimd=np.asarray(st[12])[:n], trim_wave=np.asarray(st[13])[:n],
-            trim_slot=np.asarray(st[14])[:n],
+            trima=packed[0][:n], trimx=packed[1][:n],
+            trimd=packed[2][:n], trim_wave=packed[3][:n],
+            trim_slot=packed[4][:n],
             kbase0=np.asarray(kbase0)[:n],
-            nwaves=np.asarray(st[17])[:n],
+            nwaves=packed[7][:n],
             fallback=fallback[:n])
-        return res, logs
+        if chs:
+            # pad the chunk count to a power of two so the backtrack
+            # compiles for O(log) distinct shapes only (waves beyond a
+            # tube's trim point are inactive in the walk)
+            kpad = 1 << (len(chs) - 1).bit_length()
+            while len(chs) < kpad:
+                chs.append(jnp.zeros_like(chs[0]))
+                kbs.append(jnp.zeros_like(kbs[0]))
+            with prof.span("wave.backtrack"):
+                D = self._backtrack_fn(kpad)(chs, kbs, st[14], st[13])
+                diags = np.asarray(D)           # [k*CW+1, N] int32
+        else:
+            diags = np.asarray(st[14])[None]    # all trimmed at wave 0
+        return res, diags

@@ -71,7 +71,7 @@ class BatchAligner:
     def _run_dir(self, items: Sequence[WorkItem], dgmin, dgmax, anti,
                  direction: int):
         """One direction over all items (auto-batched); returns per-item
-        (result row, TubeLog) with fallback flags."""
+        (result row, per-wave path diagonals) with fallback flags."""
         n = len(items)
         rows = [None] * n
         logs = [None] * n
@@ -94,15 +94,15 @@ class BatchAligner:
             )
             from ..utils import prof
             with prof.span("batch.engine_run"):
-                res, batch_logs = self.engine.run(self.pool, tubes,
-                                                  direction)
+                res, diags = self.engine.run(self.pool, tubes, direction)
             prof.count("batch.tubes", len(sel))
             self.stats["device_waves"] += int(res.nwaves.sum())
             for j, i in enumerate(sel):
                 rows[i] = tuple(int(f[j]) for f in res)
                 fall[i] = bool(res.fallback[j])
                 if not fall[i]:
-                    logs[i] = wrep.TubeLog(batch_logs, j, int(res.nwaves[j]))
+                    tw = int(res.trim_wave[j])
+                    logs[i] = diags[:tw + 1, j]
         return rows, logs, fall
 
     @staticmethod
@@ -153,9 +153,8 @@ class BatchAligner:
                 Bs = self.seq(items[i].bkey)
                 try:
                     seam[i] = wrep.replay_forward(
-                        A, Bs, int(anti[i]), int(aoff[i]), kb0, tslot,
-                        twave, trima, trimx, trimd, logs[i], paths[i],
-                        tspace)
+                        A, Bs, int(anti[i]), int(aoff[i]), logs[i],
+                        trima, trimx, trimd, paths[i], tspace)
                 except AssertionError:
                     host[i] = True
                     paths[i] = Path()
@@ -175,8 +174,8 @@ class BatchAligner:
                 Bs = self.seq(items[i].bkey)
                 try:
                     wrep.replay_reverse(
-                        A, Bs, int(anti[i]), int(aoff[i]), tslot, twave,
-                        trima, trimx, trimd, logs[i], paths[i], tspace)
+                        A, Bs, int(anti[i]), int(aoff[i]), logs[i],
+                        trima, trimx, trimd, paths[i], tspace)
                 except AssertionError:
                     host[i] = True
                     paths[i] = Path()
@@ -215,8 +214,8 @@ class BatchAligner:
                 try:
                     wrep.replay_forward(
                         self.seq(items[i].akey), self.seq(items[i].bkey),
-                        int(anti2[j]), int(aoff[i]), kb0, tslot, twave,
-                        trima, trimx, trimd, logs[j], paths[i], tspace)
+                        int(anti2[j]), int(aoff[i]), logs[j],
+                        trima, trimx, trimd, paths[i], tspace)
                 except AssertionError:
                     host[i] = True
                     paths[i] = Path()
@@ -240,8 +239,8 @@ class BatchAligner:
                 try:
                     wrep.replay_reverse(
                         self.seq(items[i].akey), self.seq(items[i].bkey),
-                        int(anti2[j]), int(aoff[i]), tslot, twave,
-                        trima, trimx, trimd, logs[j], paths[i], tspace)
+                        int(anti2[j]), int(aoff[i]), logs[j],
+                        trima, trimx, trimd, paths[i], tspace)
                 except AssertionError:
                     host[i] = True
                     paths[i] = Path()

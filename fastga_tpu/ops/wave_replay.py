@@ -1,12 +1,13 @@
-"""Host-side exact trace reconstruction from device wave logs.
+"""Host-side exact trace reconstruction from device wave results.
 
-The device kernel (ops/wave.py) logs, per wave, each slot's predecessor
-choice plus the band mapping (low, hgh, kbase, dif).  Given a tube's trim
-point (wave, diagonal), the final path is recovered by walking choices
-backward to the wave-0 origin, then re-extending snakes forward on the host
-to obtain the exact per-wave furthest-reach positions; trace points are the
-grid crossings of that path (the reference's pebble chains, align.c:805-870
-forward / 1325-1414 reverse, reproduced without device-side pebbles).
+The device kernel (ops/wave.py) logs per-wave predecessor choices and
+walks them back ON DEVICE (WaveEngine._backtrack_fn), shipping only the
+per-wave path diagonal to the host.  Given a tube's diagonal sequence,
+the final path is recovered by re-extending snakes forward on the host to
+obtain the exact per-wave furthest-reach positions; trace points are the
+grid crossings of that path (the reference's pebble chains,
+align.c:805-870 forward / 1325-1414 reverse, reproduced without
+device-side pebbles).
 """
 
 from __future__ import annotations
@@ -15,30 +16,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from . import wave as wavek
 from .wave_ref import Path, _snake_fwd, _snake_rev
-
-
-class TubeLog:
-    """Per-tube view of the chunked logs."""
-
-    __slots__ = ("choice", "low", "hgh", "kbase")
-
-    def __init__(self, logs, tube: int, nwaves: int):
-        cw = logs[0][0].shape[0] if logs else 0
-        ch = []
-        band = []
-        need = nwaves
-        for chlog, bandlog in logs:
-            take = min(cw, need)
-            ch.append(chlog[:take, tube])
-            band.append(bandlog[:take, tube])
-            need -= take
-            if need <= 0:
-                break
-        self.choice = np.concatenate(ch) if ch else np.zeros((0, 1), np.uint8)
-        b = np.concatenate(band) if band else np.zeros((0, 4), np.int32)
-        self.low, self.hgh, self.kbase = b[:, 0], b[:, 1], b[:, 2]
 
 
 def _marks_between(last: int, upto: int, tspace: int, aoff: int,
@@ -59,32 +37,22 @@ def _marks_between(last: int, upto: int, tspace: int, aoff: int,
     return out
 
 
-def replay_forward(A, B, anti: int, aoff: int, kbase0: int,
-                   trim_slotdiag: int, trim_wave: int, trima: int,
-                   trimx: int, trimd: int, log: TubeLog, path: Path,
+def replay_forward(A, B, anti: int, aoff: int, diags, trima: int,
+                   trimx: int, trimd: int, path: Path,
                    tspace: int = 100) -> int:
-    """Rebuild the forward trace; appends to path, returns seam diagonal."""
-    # backward choice walk: diag per wave along the path
-    diag = int(trim_slotdiag)
-    diags = [diag]
-    for w in range(trim_wave, 0, -1):
-        slot = diag - int(log.kbase[w - 1])
-        ch = int(log.choice[w - 1, slot])
-        if ch == wavek.CH_LOW:
-            diag -= 1
-        elif ch == wavek.CH_HIGH:
-            diag += 1
-        diags.append(diag)
-    diags.reverse()   # diags[w] for w = 0..trim_wave
+    """Rebuild the forward trace from the per-wave path diagonals
+    (diags[w] for w = 0..trim_wave); appends to path, returns the seam
+    diagonal."""
+    trim_wave = len(diags) - 1
 
     # forward snake reconstruction
-    d0 = diags[0]
+    d0 = int(diags[0])
     x = (anti + d0) >> 1
     na0 = ((x + (tspace - aoff)) // tspace - 1) * tspace + aoff
     x, _, _ = _snake_fwd(A, B, x, d0)
     xs = [x]
     for w in range(1, trim_wave + 1):
-        dcur, dprev = diags[w], diags[w - 1]
+        dcur, dprev = int(diags[w]), int(diags[w - 1])
         vprev = 2 * xs[-1] - dprev
         c_pre = vprev + (2 if dcur == dprev else 1)
         xp = (c_pre + dcur) >> 1
@@ -97,7 +65,7 @@ def replay_forward(A, B, anti: int, aoff: int, kbase0: int,
     last = na0
     for w in range(0, trim_wave + 1):
         for m in _marks_between(last, xs[w], tspace, aoff):
-            crossings.append((diags[w], m, w))
+            crossings.append((int(diags[w]), m, w))
             last = m
 
     # assemble (align.c:805-870)
@@ -121,29 +89,19 @@ def replay_forward(A, B, anti: int, aoff: int, kbase0: int,
     return d0
 
 
-def replay_reverse(A, B, anti: int, aoff: int, trim_slotdiag: int,
-                   trim_wave: int, trima: int, trimx: int, trimd: int,
-                   log: TubeLog, path: Path, tspace: int = 100):
+def replay_reverse(A, B, anti: int, aoff: int, diags, trima: int,
+                   trimx: int, trimd: int, path: Path,
+                   tspace: int = 100):
     """Rebuild the reverse trace; prepends to path (align.c:1325-1414)."""
-    diag = int(trim_slotdiag)
-    diags = [diag]
-    for w in range(trim_wave, 0, -1):
-        slot = diag - int(log.kbase[w - 1])
-        ch = int(log.choice[w - 1, slot])
-        if ch == wavek.CH_LOW:
-            diag -= 1
-        elif ch == wavek.CH_HIGH:
-            diag += 1
-        diags.append(diag)
-    diags.reverse()
+    trim_wave = len(diags) - 1
 
-    d0 = diags[0]
+    d0 = int(diags[0])
     x0 = (anti + d0) >> 1
     na0 = ((x0 + (tspace - aoff) - 1) // tspace - 1) * tspace + aoff
     x, _, _ = _snake_rev(A, B, x0, d0)
     xs = [x]
     for w in range(1, trim_wave + 1):
-        dcur, dprev = diags[w], diags[w - 1]
+        dcur, dprev = int(diags[w]), int(diags[w - 1])
         vprev = 2 * xs[-1] - dprev
         c_pre = vprev - (2 if dcur == dprev else 1)
         xp = (c_pre + dcur) >> 1
@@ -158,7 +116,7 @@ def replay_reverse(A, B, anti: int, aoff: int, trim_slotdiag: int,
     last = na0 + tspace
     for w in range(0, trim_wave + 1):
         for m in _marks_between(last, xs[w], tspace, aoff, descending=True):
-            pebbles.append((diags[w], m, w))
+            pebbles.append((int(diags[w]), m, w))
             last = m
 
     trimy = trima - trimx
