@@ -387,7 +387,7 @@ def read_gix(path) -> GixTable:
     stub, part_prefix = gix_paths(path)
     with open(stub, "rb") as f:
         kmer, nparts, minval, ibyte = struct.unpack("<iiii", f.read(16))
-        assert ibyte == 3 and minval == 1, "old-format GIX not supported yet"
+        assert ibyte == 3 and minval == 1, "unrecognized GIX stub"
         cumpre = np.fromfile(f, dtype="<i8", count=NPREFIX)
         post_bytes, cont_bytes, nparts2 = struct.unpack("<iii", f.read(12))
         (maxpre,) = struct.unpack("<q", f.read(8))
@@ -395,7 +395,12 @@ def read_gix(path) -> GixTable:
         perm = np.fromfile(f, dtype="<i4", count=ncontig)
         (sentinel,) = struct.unpack("<q", f.read(8))
         if sentinel != -1:
-            raise ValueError(f"{stub}: old-format GIX (pre v1.3) unsupported")
+            # pre-v1.3 "old" GIX: counts in the ktab, posts in separate
+            # .post part files (FastGA.c:273-344 Open_Post_List;
+            # old_merge_thread 1027-1546; GIXshow.c Print_Index_Old)
+            return _read_gix_old(stub, part_prefix, kmer, nparts, cumpre,
+                                 post_bytes, cont_bytes, freq, ncontig,
+                                 perm)
 
     kb = kmer // 4
     esz = (kb - 3) + 2 + post_bytes + cont_bytes
@@ -440,6 +445,196 @@ def read_gix(path) -> GixTable:
                     post_bytes=post_bytes, cont_bytes=cont_bytes, freq=freq)
 
 
+def _read_gix_old(stub, part_prefix, kmer, nparts, cumpre, post_bytes,
+                  cont_bytes, freq, ncontig, perm) -> GixTable:
+    """Old (<= v1.2) GIX: `.ktab.<p>` entries are [suffix kb-3 bytes]
+    [count byte][lcp byte]; positions live in `.X.post.<p>` files as
+    (post_bytes + cont_bytes)-byte records in ktab order."""
+    kb = kmer // 4
+    esz = (kb - 3) + 2
+    chunks = []
+    for p in range(nparts):
+        with open(f"{part_prefix}{p+1}", "rb") as f:
+            struct.unpack("<i", f.read(4))
+            (nents,) = struct.unpack("<q", f.read(8))
+            chunks.append(np.fromfile(f, dtype=np.uint8,
+                                      count=nents * esz).reshape(nents,
+                                                                 esz))
+    e = np.concatenate(chunks) if chunks else np.zeros((0, esz), np.uint8)
+    nk = len(e)
+    counts = e[:, kb - 3].astype(np.int64)
+    lcp_k = e[:, kb - 2].copy()
+
+    # .post parts: header {pbyte int, cbyte int, n int64}
+    root = stub.name[:-4]
+    post_prefix = stub.parent / ("." + root + ".post.")
+    pchunks = []
+    psz = post_bytes + cont_bytes
+    p = 1
+    while True:
+        f = Path(f"{post_prefix}{p}")
+        if not f.exists():
+            break
+        with open(f, "rb") as fh:
+            pb, cb = struct.unpack("<ii", fh.read(8))
+            (n,) = struct.unpack("<q", fh.read(8))
+            assert pb + cb == psz
+            pchunks.append(np.fromfile(fh, dtype=np.uint8,
+                                       count=n * psz).reshape(n, psz))
+        p += 1
+    pe = (np.concatenate(pchunks) if pchunks
+          else np.zeros((0, psz), np.uint8))
+    n = len(pe)
+    assert n == int(counts.sum()), (n, int(counts.sum()))
+
+    # expand: kmer row i covers posts [cum[i], cum[i]+counts[i])
+    kidx = np.repeat(np.arange(nk), counts)
+    prefix_index = np.zeros(NPREFIX + 1, dtype=np.int64)
+    prefix_index[1:] = cumpre          # distinct-kmer counts per prefix
+    p24k = np.repeat(np.arange(NPREFIX, dtype=np.int64),
+                     np.diff(prefix_index))
+    kbytes = np.zeros((n, kb), dtype=np.uint8)
+    if n:
+        p24 = p24k[kidx]
+        kbytes[:, 0] = (p24 >> 16).astype(np.uint8)
+        kbytes[:, 1] = (p24 >> 8).astype(np.uint8)
+        kbytes[:, 2] = p24.astype(np.uint8)
+        kbytes[:, 3:] = e[kidx, : kb - 3]
+    post = np.zeros(n, dtype=np.int64)
+    for i in range(post_bytes):
+        post |= pe[:, i].astype(np.int64) << (8 * i)
+    cv = np.zeros(n, dtype=np.int64)
+    for i in range(cont_bytes):
+        cv |= pe[:, post_bytes + i].astype(np.int64) << (8 * i)
+    flag = 1 << (8 * cont_bytes - 1)
+    comp = (cv & flag) != 0
+    cont = (cv & (flag - 1)).astype(np.int32)
+
+    # per-entry lcp with the new-format dup convention (first of a
+    # duplicate group = lcp byte, the rest the 40 marker)
+    lcp = np.full(n, kmer, dtype=np.uint8)
+    if n:
+        first = np.zeros(n, dtype=bool)
+        cum = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        first[cum[counts > 0]] = True
+        lcp[first] = lcp_k[counts > 0]
+
+    # posts within a duplicate group arrive in the old sort's order;
+    # normalize to our deterministic (cont, post, comp) order
+    if n:
+        pmax = int(post.max()) + 1
+        tie = ((cont.astype(np.int64) * pmax + post) << 1) | comp
+        o2 = np.lexsort((tie, kidx))
+        post = post[o2]
+        cont = cont[o2]
+        comp = comp[o2]
+
+    prefix_full = np.zeros(NPREFIX + 1, dtype=np.int64)
+    if n:
+        p24e = ((kbytes[:, 0].astype(np.int64) << 16)
+                | (kbytes[:, 1].astype(np.int64) << 8)
+                | kbytes[:, 2].astype(np.int64))
+        prefix_full[1:] = np.cumsum(np.bincount(p24e, minlength=NPREFIX))
+
+    return GixTable(kmer=kmer, kbytes=kbytes, post=post.astype(np.int32),
+                    cont=cont, comp=np.asarray(comp),
+                    lcp=lcp, maskb=np.zeros(n, np.uint8),
+                    prefix_index=prefix_full, perm=perm,
+                    post_bytes=post_bytes, cont_bytes=cont_bytes,
+                    freq=freq)
+
+
+def write_gix_old(t: GixTable, path, nthreads: int = 8):
+    """Write a pre-v1.3 ("old") GIX: count-grouped ktab entries + .post
+    part files + the 2^16 post index in the stub.  Test/compat surface —
+    duplicate groups larger than 255 posts cannot be represented."""
+    stub, part_prefix = gix_paths(path)
+    ncontig = len(t.perm)
+    kb = t.kmer // 4
+    n = t.n
+
+    # group rows by distinct kmer (lcp==40 marker rows join the group)
+    first = np.ones(n, dtype=bool)
+    if n > 1:
+        first[1:] = (t.kbytes[1:] != t.kbytes[:-1]).any(axis=1)
+    gidx = np.flatnonzero(first)
+    counts = np.diff(np.concatenate([gidx, [n]]))
+    if (counts > 255).any():
+        raise ValueError("old-format GIX cannot hold >255 posts per kmer")
+    nk = len(gidx)
+    lcp_k = t.lcp[gidx]
+
+    nparts = min(max(nthreads, 1), 64)
+    # split distinct kmers into parts at 10-bit boundaries, balanced
+    if nk:
+        b10 = ((t.kbytes[gidx, 0].astype(np.int64) << 2)
+               | (t.kbytes[gidx, 1].astype(np.int64) >> 6))
+        bcounts = np.bincount(b10, minlength=1024)
+    else:
+        bcounts = np.zeros(1024, dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(bcounts)])
+    targets = (np.arange(1, nparts) * nk) // nparts
+    cuts = np.searchsorted(cum, targets, side="left")
+    bounds = np.concatenate([[0], cum[cuts], [nk]]).astype(np.int64)
+
+    ents = np.zeros((nk, (kb - 3) + 2), dtype=np.uint8)
+    ents[:, : kb - 3] = t.kbytes[gidx, 3:kb]
+    ents[:, kb - 3] = counts.astype(np.uint8)
+    ents[:, kb - 2] = lcp_k
+    for p in range(nparts):
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
+        with open(f"{part_prefix}{p+1}", "wb") as f:
+            f.write(struct.pack("<i", t.kmer))
+            f.write(struct.pack("<q", hi - lo))
+            ents[lo:hi].tofile(f)
+
+    # posts in ktab order
+    psz = t.post_bytes + t.cont_bytes
+    pres = np.zeros((n, psz), dtype=np.uint8)
+    pv = t.post.astype(np.uint64)
+    for i in range(t.post_bytes):
+        pres[:, i] = (pv >> (8 * i)).astype(np.uint8)
+    cvv = (t.cont.astype(np.uint64)
+           | (t.comp.astype(np.uint64) << (8 * t.cont_bytes - 1)))
+    for i in range(t.cont_bytes):
+        pres[:, t.post_bytes + i] = (cvv >> (8 * i)).astype(np.uint8)
+    pcum = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    root = stub.name[:-4]
+    post_prefix = stub.parent / ("." + root + ".post.")
+    for p in range(nparts):
+        lo, hi = int(pcum[bounds[p]]), int(pcum[bounds[p + 1]])
+        with open(f"{post_prefix}{p+1}", "wb") as f:
+            f.write(struct.pack("<ii", t.post_bytes, t.cont_bytes))
+            f.write(struct.pack("<q", hi - lo))
+            pres[lo:hi].tofile(f)
+
+    # stub: distinct-kmer prefix counts + the 2^16 post index
+    kcounts = np.zeros(NPREFIX, dtype=np.int64)
+    if nk:
+        p24 = ((t.kbytes[gidx, 0].astype(np.int64) << 16)
+               | (t.kbytes[gidx, 1].astype(np.int64) << 8)
+               | t.kbytes[gidx, 2].astype(np.int64))
+        kcounts = np.bincount(p24, minlength=NPREFIX)
+    idx16 = np.zeros(1 << 16, dtype=np.int64)
+    if n:
+        pre16 = ((t.kbytes[:, 0].astype(np.int64) << 8)
+                 | t.kbytes[:, 1].astype(np.int64))
+        c16 = np.bincount(pre16, minlength=1 << 16)
+        idx16[1:] = np.cumsum(c16)[:-1]
+    maxpre = int(kcounts.max()) if nk else 0
+    with open(stub, "wb") as f:
+        f.write(struct.pack("<iiii", t.kmer, nparts, 1, 3))
+        np.cumsum(kcounts).astype("<i8").tofile(f)
+        f.write(struct.pack("<iii", t.post_bytes, t.cont_bytes, nparts))
+        f.write(struct.pack("<q", maxpre))
+        # old indexes record their build-time count cutoff; this table
+        # holds every kmer, so declare the representable maximum
+        f.write(struct.pack("<ii", t.freq if t.freq else 255, ncontig))
+        t.perm.astype("<i4").tofile(f)
+        idx16.astype("<i8").tofile(f)
+    return stub
+
+
 def remove_gix(path, also_gdb: bool = False):
     """GIXrm equivalent: delete .gix + hidden part files (+ GDB w/ -g)."""
     stub, part_prefix = gix_paths(path)
@@ -447,6 +642,14 @@ def remove_gix(path, also_gdb: bool = False):
     p = 1
     while True:
         f = Path(f"{part_prefix}{p}")
+        if not f.exists():
+            break
+        f.unlink()
+        p += 1
+    post_prefix = stub.parent / ("." + stub.name[:-4] + ".post.")
+    p = 1
+    while True:
+        f = Path(f"{post_prefix}{p}")
         if not f.exists():
             break
         f.unlink()

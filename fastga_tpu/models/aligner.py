@@ -161,10 +161,18 @@ def align_genomes(gdb1: GDB, gdb2: GDB,
                             chain_break=params.chain_break,
                             chain_min=params.chain_min)
                 else:
-                    dres = devp.device_tubes(
-                        gdb1, gdb2, alens_by_rank, freq=params.freq,
-                        chain_break=params.chain_break,
-                        chain_min=params.chain_min)
+                    try:
+                        dres = devp.device_tubes(
+                            gdb1, gdb2, alens_by_rank, freq=params.freq,
+                            chain_break=params.chain_break,
+                            chain_min=params.chain_min)
+                    except Exception:
+                        dres = None   # e.g. HBM OOM -> panel streaming
+                    if dres is None:
+                        dres = devp.device_tubes_paneled(
+                            gdb1, gdb2, alens_by_rank, freq=params.freq,
+                            chain_break=params.chain_break,
+                            chain_min=params.chain_min)
         except Exception:
             if _os.environ.get("FASTGA_TPU_DEVPIPE_STRICT") == "1":
                 raise

@@ -31,6 +31,8 @@ typedef struct
     int      rows, W;
     int32_t *out;       /* trace output buffer    */
     int      ocap, olen;
+    int8_t  *mv;        /* backward move stack    */
+    int      mvcap;
     int     *gf, *gg, *gh;  /* gap_improver arrays */
     int      gcap, ghcap;
   } Work;
@@ -64,12 +66,22 @@ static int ensure_out(Work *w, int need)
   return (0);
 }
 
+static int ensure_mv(Work *w, int need)
+{ if (need > w->mvcap)
+    { int cap = need*2 + 256;
+      int8_t *n = (int8_t *) realloc(w->mv, cap);
+      if (n == NULL) return (-1);
+      w->mv = n; w->mvcap = cap;
+    }
+  return (0);
+}
+
 Work *trw_new(void)
 { return (Work *) calloc(1, sizeof(Work)); }
 
 void trw_free(Work *w)
 { if (w == NULL) return;
-  free(w->pvf); free(w->phf); free(w->out);
+  free(w->pvf); free(w->phf); free(w->out); free(w->mv);
   free(w->gf); free(w->gg); free(w->gh);
   free(w);
 }
@@ -79,185 +91,216 @@ static inline int8_t getA(const int8_t *A, int64_t alen, int64_t i)
 
 /* one interval: align A[aoff..aoff+M) vs B[boff..boff+N).
    Returns diffs, appends signed trace ints to w->out; -1 on error. */
+/* Banded O(nd) furthest-reach waves with three equal-cost tie policies.
+ *
+ * Semantics follow the reference's interval reconstruction exactly
+ * (align.c iter_np, cited for parity review) — the wave recurrence,
+ * the tie order (a gap move from the "high" neighbour beats both the
+ * diagonal and the "low" neighbour on equal reach, and the diagonal
+ * beats the low neighbour), and the UPPERMOST/LOWERMOST gap-sliding
+ * rules must all match for bit-identical traces.  The realization here
+ * is original: moves carry an explicit {pred, sweep-half} encoding, the
+ * traceback collects them on a stack instead of reversing the
+ * predecessor chain in place, and emission replays the stack forward.
+ */
+
+enum { MV_DIAG = 0,      /* pred (d-1, k):   substitution        */
+       MV_LO   = 1,      /* pred (d-2, k-1): gap move, low side  */
+       MV_HI   = 2,      /* pred (d-2, k+1): gap move, high side */
+       MV_HALF = 4 };    /* recorded by the upper-half sweep     */
+
+/* pick the furthest reach among the three predecessors of one cell;
+   ties prefer the k+1 gap move, then the diagonal */
+static inline int64_t fr_pick(int64_t via_lo, int64_t via_diag,
+                              int64_t via_hi, int half_tag, int8_t *mv)
+{ if (via_diag < via_lo)
+    { if (via_hi < via_lo)
+        { *mv = (int8_t)(MV_LO | half_tag); return via_lo; }
+      *mv = (int8_t)(MV_HI | half_tag);  return via_hi;
+    }
+  if (via_hi < via_diag)
+    { *mv = MV_DIAG; return via_diag; }
+  *mv = (int8_t)(MV_HI | half_tag);
+  return via_hi;
+}
+
 static int iter_np(Work *w, const int8_t *A, int64_t alen,
                    const int8_t *B, int64_t blen,
                    int64_t aoff, int64_t boff, int M, int N,
                    int dmax, int posl, int posh, int mode)
-{ int delv = M - N;
-  int low0 = delv < 0 ? delv : 0;
-  int hgh0 = delv > 0 ? delv : 0;
+{ int mid = M - N;                       /* the finishing diagonal    */
+  int low0 = mid < 0 ? mid : 0;
+  int hgh0 = mid > 0 ? mid : 0;
   int half = dmax/2 + 2;
   int W = (hgh0 - low0) + 2*half + 3;
-  int koff = 1 - (low0 - half);
+  int org = 1 - (low0 - half);
   int rows = dmax + 3;
-  int low, hgh, D, k;
-  int64_t *PVF; int8_t *PHF;
+  int low, hgh, D, k, nmv;
+  int64_t *RV; int8_t *MV;
 
   if (ensure_wave(w, rows, W)) return (-1);
-  PVF = w->pvf; PHF = w->phf;
+  RV = w->pvf; MV = w->phf;
 
-#define VF(d,kk) PVF[(size_t)((d)+2)*w->W + (kk) + koff]
-#define HF(d,kk) PHF[(size_t)((d)+2)*w->W + (kk) + koff]
+  /* cell accessors: reach value and recorded move per (wave, diag) */
+#define R(d,kk)  RV[(size_t)((d)+2)*w->W + (kk) + org]
+#define MOV(d,kk) MV[(size_t)((d)+2)*w->W + (kk) + org]
 
   { int i;
     for (i = low0-half; i <= hgh0+half+1; i++)
-      { VF(-2,i) = -2; VF(-1,i) = -2; }
+      { R(-2,i) = -2; R(-1,i) = -2; }
   }
-  VF(-1,0) = -1;
+  R(-1,0) = -1;
 
   low = low0 + 1;
   hgh = hgh0 - 1;
 
   for (D = 0; 1; D++)
-    { int64_t j, ap, am, ac;
+    { int64_t reach, prev;
+      int8_t mv8;
       if (D > dmax) return (-1);
       if ((D & 1) == 0)
         { if (low > posl) low -= 1;
           if (hgh < posh) hgh += 1;
         }
-      VF(D,hgh+1) = VF(D,low-1) = -2;
+      R(D,hgh+1) = R(D,low-1) = -2;
 
-#define FS_MOVE(kk,mdir,pdir)                                       \
+      /* one wave in three sweeps; `prev` carries the cell computed in
+         the previous iteration of the running sweep so each cell costs
+         one stored-row read */
+#define SNAKE(kk)                                                   \
       { int64_t lim = (N < M-(kk)) ? N : M-(kk);                    \
-        if (ac < am)                                                \
-          { if (ap < am) { HF(D,kk) = mdir; j = am; }               \
-            else         { HF(D,kk) = pdir; j = ap; }               \
-          }                                                         \
-        else                                                        \
-          { if (ap < ac) { HF(D,kk) = 0; j = ac; }                  \
-            else         { HF(D,kk) = pdir; j = ap; }               \
-          }                                                         \
-        while (j < lim &&                                           \
-               getA(B,blen,boff+j) == getA(A,alen,aoff+(kk)+j))     \
-          j += 1;                                                   \
-        VF(D,kk) = j;                                               \
+        while (reach < lim &&                                       \
+               getA(B,blen,boff+reach) ==                           \
+               getA(A,alen,aoff+(kk)+reach))                        \
+          reach += 1;                                               \
+        MOV(D,kk) = mv8;                                            \
+        R(D,kk) = reach;                                            \
       }
 
-      j = -2;
-      for (k = hgh; k > delv; k--)
-        { ap = j + 1;
-          am = VF(D-2,k-1);
-          ac = VF(D-1,k) + 1;
-          FS_MOVE(k,-1,4)
+      prev = -2;
+      for (k = hgh; k > mid; k--)              /* upper half, k desc */
+        { reach = fr_pick(R(D-2,k-1), R(D-1,k) + 1, prev + 1,
+                          MV_HALF, &mv8);
+          SNAKE(k)
+          prev = reach;
         }
-      j = -2;
-      for (k = low; k < delv; k++)
-        { ap = VF(D-2,k+1) + 1;
-          am = j;
-          ac = VF(D-1,k) + 1;
-          FS_MOVE(k,2,1)
+      prev = -2;
+      for (k = low; k < mid; k++)              /* lower half, k asc  */
+        { reach = fr_pick(prev, R(D-1,k) + 1, R(D-2,k+1) + 1,
+                          0, &mv8);
+          SNAKE(k)
+          prev = reach;
         }
-      ap = VF(D,delv+1) + 1;
-      am = j;
-      ac = VF(D-1,delv) + 1;
-      FS_MOVE(delv,2,4)
+      /* finishing diagonal: low neighbour from the lower sweep, high
+         neighbour from this wave's upper sweep — a low-side gap here
+         belongs to the lower sweep's tie family, a high-side gap to
+         the upper's */
+      reach = fr_pick(prev, R(D-1,mid) + 1, R(D,mid+1) + 1,
+                      MV_HALF, &mv8);
+      if (mv8 == (MV_LO | MV_HALF))
+        mv8 = MV_LO;
+      SNAKE(mid)
 
-      if (VF(D,delv) >= N)
+      if (R(D,mid) >= N)
         break;
     }
+#undef SNAKE
 
-  /* traceback: reverse predecessor chain in place */
+  /* Backward walk from (D, mid): collect one move per step onto the
+     stack, applying the gap-sliding tie fixups for the UPPER/LOWERMOST
+     modes.  Predecessor coordinates depend on which sweep recorded the
+     move: half-tagged gap moves toward the finishing diagonal live in
+     the SAME wave (their neighbour was computed earlier in the same
+     sweep), the others two waves back.  A fixup may reroute the step to
+     an equal-cost predecessor (patching the stored reach so later steps
+     see the slid gap); the rerouted move is pushed in its place. */
+  if (ensure_mv(w, D + W + 8)) return (-1);   /* same-wave runs <= W */
+  nmv = 0;
   { int64_t c = N;
-    int d = D, h, m, e;
-    k = delv;
-    HF(0,0) = ORIGIN;
-    e = HF(d,k);
-    HF(d,k) = ORIGIN;
+    int d = D, mv, pk, pd;
+    k = mid;
+    mv = MOV(d,k);
 
-    if (mode == UPPERMOST)
-      { while (e != ORIGIN)
-          { h = k + e;
-            if (e > 1) h -= 3;
-            else if (e == 0) d -= 1;
-            else d -= 2;
-            if (h < k)
-              { int64_t mm = (k < 0) ? -k : 0;
-                if (VF(d,h) <= c) c = VF(d,h) - 1;
-                while (c >= mm &&
-                       getA(A,alen,aoff+k+c) == getA(B,blen,boff+c))
-                  c -= 1;
-                if (e == -1)
-                  { if (c <= VF(d+2,k+1)) { e = 4; h = k+1; d = d+2; }
-                    else if (c == VF(d+1,k)) { e = 0; h = k; d = d+1; }
-                    else VF(d,h) = c+1;
-                  }
-                else
-                  { int m2 = (k == delv) ? d : d-2;
-                    if (c <= VF(m2,k+1))
-                      { e = (k == delv) ? 4 : 1; h = k+1; d = m2; }
-                    else if (c == VF(d-1,k)) { e = 0; h = k; d = d-1; }
-                    else VF(d,h) = c+1;
-                  }
-              }
-            m = HF(d,h); HF(d,h) = e; e = m; k = h;
-          }
-      }
-    else if (mode == LOWERMOST)
-      { while (e != ORIGIN)
-          { h = k + e;
-            if (e > 1) h -= 3;
-            else if (e == 0) d -= 1;
-            else d -= 2;
-            if (h > k)
-              { int64_t mm = (k < 0) ? -k : 0;
-                if (VF(d,h) < c) c = VF(d,h);
-                while (c >= mm &&
-                       getA(A,alen,aoff+k+c) == getA(B,blen,boff+c))
-                  c -= 1;
-                if (e == 1)
-                  { if (c < VF(d+2,k-1)) { e = 2; h = k-1; d = d+2; }
-                    else if (c == VF(d+1,k)) { e = 0; h = k; d = d+1; }
-                    else { VF(d,h) = c; c -= 1; }
-                  }
-                else
-                  { int m2 = (k == delv) ? d : d-2;
-                    if (c < VF(m2,k-1))
-                      { e = (k == delv) ? 2 : -1; h = k-1; d = m2; }
-                    else if (c == VF(d-1,k)) { e = 0; h = k; d = d-1; }
-                    else { VF(d,h) = c; c -= 1; }
-                  }
-              }
-            m = HF(d,h); HF(d,h) = e; e = m; k = h;
-          }
-      }
-    else
-      { while (e != ORIGIN)
-          { h = k + e;
-            if (e > 1) h -= 3;
-            else if (e == 0) d -= 1;
-            else d -= 2;
-            m = HF(d,h); HF(d,h) = e; e = m; k = h;
-          }
-      }
+    while (d > 0 || k != 0)
+      { int gap = mv & 3;
+        if (gap == MV_DIAG)
+          { pd = d - 1; pk = k; }
+        else if (gap == MV_LO)
+          { pd = (mv & MV_HALF) ? d - 2 : d; pk = k - 1; }
+        else
+          { pd = (mv & MV_HALF) ? d : d - 2; pk = k + 1; }
 
-    /* forward emission */
-    { int64_t ap_base = -aoff - 1;
-      int64_t bp_base = boff + 1;
-      k = 0; d = 0;
-      e = HF(0,0);
-      while (e != ORIGIN)
-        { int64_t cc = VF(d,k);
-          h = k - e;
-          if (e > 1) h += 3;
-          else if (e == 0) d += 1;
-          else d += 2;
-          if (h > k)
-            { if (ensure_out(w,1)) return (-1);
-              w->out[w->olen++] = (int32_t)(bp_base + cc);
-            }
-          else if (h < k)
-            { if (ensure_out(w,1)) return (-1);
-              w->out[w->olen++] = (int32_t)(ap_base - (cc + k));
-            }
-          k = h;
-          e = HF(d,h);
-        }
-    }
+        if (mode == UPPERMOST && gap == MV_LO)
+          { /* slide this gap column as high as its match run permits,
+               rerouting to the equal-cost high-side or diagonal
+               predecessor when the slide reaches their frontier */
+            int64_t stop = (k < 0) ? -k : 0;
+            int hi_same = (mv & MV_HALF) || k == mid;
+            int hw = hi_same ? d : d - 2;
+            if (R(pd,pk) <= c) c = R(pd,pk) - 1;
+            while (c >= stop &&
+                   getA(A,alen,aoff+k+c) == getA(B,blen,boff+c))
+              c -= 1;
+            if (c <= R(hw,k+1))
+              { mv = hi_same ? (MV_HI | MV_HALF) : MV_HI;
+                pd = hw; pk = k + 1; }
+            else if (c == R(d-1,k))
+              { mv = MV_DIAG; pd = d - 1; pk = k; }
+            else
+              R(pd,pk) = c + 1;
+          }
+        else if (mode == LOWERMOST && gap == MV_HI)
+          { /* mirror image: slide the gap column as low as possible */
+            int64_t stop = (k < 0) ? -k : 0;
+            int lo_same = !(mv & MV_HALF) || k == mid;
+            int lw = lo_same ? d : d - 2;
+            if (R(pd,pk) < c) c = R(pd,pk);
+            while (c >= stop &&
+                   getA(A,alen,aoff+k+c) == getA(B,blen,boff+c))
+              c -= 1;
+            if (c < R(lw,k-1))
+              { mv = lo_same ? MV_LO : (MV_LO | MV_HALF);
+                pd = lw; pk = k - 1; }
+            else if (c == R(d-1,k))
+              { mv = MV_DIAG; pd = d - 1; pk = k; }
+            else
+              { R(pd,pk) = c; c -= 1; }
+          }
+
+        w->mv[nmv++] = (int8_t) mv;
+        d = pd; k = pk;
+        mv = MOV(d,k);
+      }
   }
-#undef VF
-#undef HF
-#undef FS_MOVE
-  return D + (delv < 0 ? -delv : delv);
+
+  /* forward replay of the stack: emit signed indel positions */
+  { int64_t apos_base = -aoff - 1;
+    int64_t bpos_base = boff + 1;
+    int d = 0, i;
+    k = 0;
+    for (i = nmv - 1; i >= 0; i--)
+      { int mv = w->mv[i];
+        int gap = mv & 3;
+        int64_t cc = R(d,k);
+        if (gap == MV_DIAG)
+          d += 1;
+        else if (gap == MV_LO)       /* forward step k -> k+1: B gap */
+          { if (ensure_out(w,1)) return (-1);
+            w->out[w->olen++] = (int32_t)(bpos_base + cc);
+            if (mv & MV_HALF) d += 2;
+            k += 1;
+          }
+        else                         /* forward step k -> k-1: A gap */
+          { if (ensure_out(w,1)) return (-1);
+            w->out[w->olen++] = (int32_t)(apos_base - (cc + k));
+            if (!(mv & MV_HALF)) d += 2;
+            k -= 1;
+          }
+      }
+  }
+#undef R
+#undef MOV
+  return D + (mid < 0 ? -mid : mid);
 }
 
 /*  Full reconstruction.  tpts = (diff,badv) pairs, ntp pairs.

@@ -39,6 +39,7 @@ F = 10  # adaptamer frequency cap (reference -f default; merge window cap)
 _I32MAX = np.int32(0x7FFFFFFF)
 _I64MAX = np.int64(0x7FFFFFFFFFFFFFFF)
 
+NPREFIX = 1 << 24         # 24-bit kmer prefix space (panel granularity)
 MAX_CONT = 1 << 12        # contig-rank field width (reference envelope:
 MAX_POST = 1 << 28        # "at most several thousand contigs")
 MAX_FREQ = 10             # device freq cap (window-min packing: 6+3
@@ -116,8 +117,12 @@ def entry_candidates(jnp, bases, loc, ln, cranks, in_block):
     rw0, rw1, rw2 = words_from(
         [jnp.roll(cn4, -(8 - 4 * t)) for t in range(kb)])
 
+    # forward slots then rc slots (NOT interleaved: a [L, 2] stack gets
+    # its 2-wide minor dim tile-padded 64x on TPU — a 24 GB ghost at
+    # 50 Mbp; every consumer sorts these slots immediately, so any
+    # pre-sort order is equivalent)
     def inter(af, ar):
-        return jnp.stack([af, ar], 1).reshape(-1)
+        return jnp.concatenate([af, ar])
 
     okflat = inter(fwd_ok, rc_ok)
     w0a = inter(fw0, rw0)
@@ -1123,6 +1128,251 @@ def device_tubes_tables(t1, t2, alens_by_rank, amax: int, bmax: int,
     res, ns, nalive, plsum = out2[:9], out2[9], out2[10], out2[11]
     return _finish_tubes(res, ns, nalive, plsum, NSCAP, ACAP, tcap,
                          lambda: False)
+
+
+# ---------------------------------------------------------------------------
+# Panel-streamed pipeline (P10): memory-bounded operation at Gbp scale.
+# The kmer space splits into equal 24-bit-prefix panels (the reference's
+# NPARTS sized for 4GB sorts, GIXmake.c:1907-1920); candidates are
+# re-scanned per panel in position blocks, compacted into a bounded panel
+# buffer, sorted, merged, and the seeds accumulate on device for one
+# global chain pass.  Work grows by ~P x candidate-gen (elementwise,
+# cheap); peak memory drops by ~P x.
+# ---------------------------------------------------------------------------
+
+def _panel_scan_jit(NB: int, B: int, cap: int, P: int, Cpad: int,
+                    nblocks: int):
+    """Per-genome, per-panel candidate collection: lax.scan over position
+    blocks; each step generates candidates for its block, masks to the
+    panel's prefix range, front-compacts with a local sort, and appends
+    into the panel buffer with a dynamic slice."""
+    import jax
+    import jax.numpy as jnp
+    key = ("pscan", NB, B, cap, P, Cpad, nblocks)
+    fn = _jit_cache.get(key)
+    if fn is not None:
+        return fn
+
+    HB, HE = 32, 64
+    LH = HB + B + HE
+
+    def run(bps, coff, clen, cont_of, invp, nc, panel):
+        lo = panel * (NPREFIX // P)
+        hi = (panel + 1) * (NPREFIX // P)
+
+        def step(carry, i0):
+            buf_a, buf_b, off, over = carry
+            i = (i0 - HB) + jnp.arange(LH, dtype=jnp.int32)
+            NP4 = bps.shape[0]
+            ic = jnp.clip(i, 0, 4 * NP4 - 1)
+            bases = (bps[ic >> 2]
+                     >> ((ic & 3) << 1).astype(jnp.uint8)) & 3
+            co = cont_of[jnp.clip(ic, 0, cont_of.shape[0] - 1)]
+            locp = i - coff[jnp.clip(co, 0, Cpad - 1)]
+            lnp = clen[jnp.clip(co, 0, Cpad - 1)]
+            crk = invp[jnp.clip(co, 0, Cpad - 1)]
+            lix = jnp.arange(LH, dtype=jnp.int32)
+            inb = (co < nc) & (lix >= HB) & (lix < HB + B)
+            ok, w0, w1, w2, cc, pp, oo = entry_candidates(
+                jnp, bases.astype(jnp.int32), locp, lnp, crk, inb)
+            pre24 = ((w0.astype(jnp.uint32).astype(jnp.int64) >> 8)
+                     ).astype(jnp.int32)
+            ok = ok & (pre24 >= lo) & (pre24 < hi)
+            ka, kb = pack_entry_keys(jnp, ok, w0, w1, w2, cc, pp, oo)
+            srt = jax.lax.sort((ka, kb), num_keys=2)
+            kas, kbs = srt
+            nval = jnp.sum(ok.astype(jnp.int32))
+            take = jnp.minimum(nval, cap - off)
+            # append [take] rows at off (rows beyond take stay MAX);
+            # buffers carry 2*LH pad rows so the fixed-length update
+            # window never clamps
+            sl = jnp.arange(2 * LH, dtype=jnp.int32)
+            kas = jnp.where(sl < take, kas, _I64MAX)
+            kbs = jnp.where(sl < take, kbs, _I64MAX)
+            upd_a = jax.lax.dynamic_update_slice(
+                jnp.full(cap + 2 * LH, _I64MAX, jnp.int64), kas, (off,))
+            upd_b = jax.lax.dynamic_update_slice(
+                jnp.full(cap + 2 * LH, _I64MAX, jnp.int64), kbs, (off,))
+            # kb carries the validity signal (a valid all-T kmer can
+            # legitimately have ka == MAX; kb always has bit 63 clear)
+            buf_b = jnp.minimum(buf_b, upd_b)
+            buf_a = jnp.where(upd_b != _I64MAX, upd_a, buf_a)
+            return (buf_a, buf_b, (off + take).astype(jnp.int32),
+                    (over + (nval - take)).astype(jnp.int32)), None
+
+        i0s = jnp.arange(nblocks, dtype=jnp.int32) * B
+        init = (jnp.full(cap + 2 * LH, _I64MAX, jnp.int64),
+                jnp.full(cap + 2 * LH, _I64MAX, jnp.int64),
+                jnp.int32(0), jnp.int32(0))
+        (ba, bb, off, over), _ = jax.lax.scan(step, init, i0s)
+        srt = jax.lax.sort((ba[:cap], bb[:cap]), num_keys=2)
+        w0, w1, w2, cs, ps, os_ = unpack_entry_keys(jnp, srt[0], srt[1])
+        lcp = adjacent_lcp(jnp, w0, w1, w2)
+        vs = (jnp.arange(cap, dtype=jnp.int32) < off).astype(jnp.int32)
+        return (w0, w1, w2, cs, ps, os_, lcp, off, vs), over
+
+    fn = jax.jit(run, static_argnames=())
+    _jit_cache[key] = fn
+    return fn
+
+
+def _append_seeds_jit(nscap_panel: int, gcap: int):
+    """Append one panel's packed seeds into the global device buffer."""
+    import jax
+    import jax.numpy as jnp
+    key = ("sapp", nscap_panel, gcap)
+    fn = _jit_cache.get(key)
+    if fn is not None:
+        return fn
+
+    def run(g1, g2, goff, pl, ac, ap, bcn, bp, bo, ns):
+        s1 = ((pl.astype(jnp.int64) << 40)
+              | (ac.astype(jnp.int64) << 28) | ap.astype(jnp.int64))
+        s2 = ((bcn.astype(jnp.int64) << 29)
+              | (bp.astype(jnp.int64) << 1) | bo.astype(jnp.int64))
+        sl = jnp.arange(nscap_panel, dtype=jnp.int32)
+        take = jnp.minimum(ns, gcap - goff)
+        s1 = jnp.where(sl < take, s1, _I64MAX)
+        s2 = jnp.where(sl < take, s2, _I64MAX)
+        u1 = jax.lax.dynamic_update_slice(
+            jnp.full(gcap, _I64MAX, jnp.int64),
+            s1[:min(nscap_panel, gcap)], (goff,))
+        u2 = jax.lax.dynamic_update_slice(
+            jnp.full(gcap, _I64MAX, jnp.int64),
+            s2[:min(nscap_panel, gcap)], (goff,))
+        g1 = jnp.minimum(g1, u1)
+        g2 = jnp.where(u1 != _I64MAX, u2, g2)
+        return g1, g2, goff + take, ns - take
+
+    fn = jax.jit(run)
+    _jit_cache[key] = fn
+    return fn
+
+
+def _unpack_seeds_jit(gcap: int):
+    import jax
+    import jax.numpy as jnp
+    key = ("sunp", gcap)
+    fn = _jit_cache.get(key)
+    if fn is not None:
+        return fn
+
+    def run(g1, g2):
+        pl = (g1 >> 40).astype(jnp.int32)
+        ac = ((g1 >> 28) & (MAX_CONT - 1)).astype(jnp.int32)
+        ap = (g1 & (MAX_POST - 1)).astype(jnp.int32)
+        bcn = ((g2 >> 29) & (MAX_CONT - 1)).astype(jnp.int32)
+        bp = ((g2 >> 1) & (MAX_POST - 1)).astype(jnp.int32)
+        bo = (g2 & 1).astype(jnp.int32)
+        return pl, ac, ap, bcn, bp, bo
+
+    fn = jax.jit(run)
+    _jit_cache[key] = fn
+    return fn
+
+
+def device_tubes_paneled(gdb1, gdb2, alens_by_rank, freq: int = 10,
+                         chain_break: int = 2000, chain_min: int = 170,
+                         tcap: int = 1 << 17, panels: int = 0,
+                         verbose: bool = False):
+    """Memory-bounded pair pipeline for genomes beyond the single-shot
+    HBM budget: kmer-panel streaming with on-device seed accumulation.
+    Bit-identical to device_tubes / the host path."""
+    import jax
+    import jax.numpy as jnp
+    from jax import enable_x64
+
+    from .chain import TubeBatch
+
+    lens1 = gdb1.contig_lengths()
+    lens2 = gdb2.contig_lengths()
+    if len(lens1) >= MAX_CONT or len(lens2) >= MAX_CONT:
+        return None
+    amax, bmax = int(lens1.max()), int(lens2.max())
+    if amax + 2 * bmax >= (1 << 30) or max(amax, bmax) >= MAX_POST:
+        return None
+    if freq > MAX_FREQ:
+        return None
+    tot1, tot2 = int(lens1.sum()), int(lens2.sum())
+
+    with enable_x64():
+        prep1 = _prep_genome(gdb1, lens1)
+        prep2 = _prep_genome(gdb2, lens2)
+        N1, N2 = prep1[6], prep2[6]
+        NB = max(N1, N2)
+        if panels <= 0:
+            # size panels so a panel's merge stream stays ~16M rows
+            panels = max(2, -(-(2 * NB) // (1 << 24)))
+            panels = 1 << (panels - 1).bit_length()
+        P = panels
+        B = 1 << 22                      # positions per scan block
+        nblocks = -(-NB // B)
+        # per-panel caps: ~1.1 entries/bp / P with 2x slack
+        cap1 = _pad_bucket(max((2 * N1) // P, 1 << 14))
+        cap2c = _pad_bucket(max((2 * N2) // P, 1 << 14))
+        NSCAP_P = max(cap1, 1 << 13)
+        GCAP = _pad_bucket(max(tot1, 1) * 2)
+
+        scan1 = _panel_scan_jit(N1, B, cap1, P, len(prep1[1]), nblocks)
+        scan2 = _panel_scan_jit(N2, B, cap2c, P, len(prep2[1]), nblocks)
+        mfn = _merge_jit(cap1, cap2c, NSCAP_P, max(cap1 // 2, 1 << 12),
+                         freq, False, False)
+        afn = _append_seeds_jit(NSCAP_P, GCAP)
+
+        g1 = jnp.full(GCAP, _I64MAX, jnp.int64)
+        g2 = jnp.full(GCAP, _I64MAX, jnp.int64)
+        goff = jnp.int32(0)
+        over_tot = 0
+        nseeds_tot = 0
+        plsum_tot = 0
+        import os
+        import sys
+        import time as _t
+        dbg = os.environ.get("FASTGA_DEVPIPE_DEBUG") or (
+            "1" if verbose else "")
+        for p in range(P):
+            t0 = _t.time()
+            T1, ova = scan1(prep1[0], prep1[1], prep1[2], prep1[3],
+                            prep1[4], np.int32(prep1[5]), np.int32(p))
+            T2, ovb = scan2(prep2[0], prep2[1], prep2[2], prep2[3],
+                            prep2[4], np.int32(prep2[5]), np.int32(p))
+            out = mfn(T1, T2, None, None)
+            (pl, ac, ap, bcn, bp, bo, ns, nalive, plsum) = out
+            g1, g2, goff, lost = afn(g1, g2, goff, pl, ac, ap, bcn, bp,
+                                     bo, ns)
+            over = int(np.asarray(ova)) + int(np.asarray(ovb)) \
+                + int(np.asarray(lost)) \
+                + int(int(np.asarray(ns)) > NSCAP_P) \
+                + int(int(np.asarray(nalive)) > max(cap1 // 2, 1 << 12))
+            over_tot += over
+            nseeds_tot += int(np.asarray(ns))
+            plsum_tot += int(np.asarray(plsum))
+            if dbg:
+                sys.stderr.write(
+                    f"devpipe panel {p+1}/{P}: ns={int(np.asarray(ns))} "
+                    f"over={over} {_t.time()-t0:.2f}s\n")
+            if over_tot:
+                return None
+            del T1, T2, out
+        spl, sac, sap, sbc, sbp, sbo = _unpack_seeds_jit(GCAP)(g1, g2)
+        del g1, g2
+        res, ns_, nal_, pls_ = _run_chain(
+            None, (spl, sac, sap, sbc, sbp, sbo, goff,
+                   jnp.int32(0), jnp.int32(0)),
+            GCAP, tcap, chain_break, chain_min, amax, bmax,
+            alens_by_rank)
+        outv = tuple(np.asarray(x) for x in res) + (np.asarray(goff),)
+    (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt, goff_h) = outv
+    if int(goff_h) != nseeds_tot or int(nt) > tcap:
+        return None
+    n = int(nt)
+    tubes = TubeBatch(
+        acont=ga[:n].astype(np.int32), bcont=gb[:n].astype(np.int32),
+        comp=np.asarray(gc[:n]).astype(bool),
+        dgmin=dgmin[:n].astype(np.int32),
+        dgmax=dgmax[:n].astype(np.int32), alow=alow[:n].astype(np.int64),
+        ahgh=ahgh[:n].astype(np.int64), pairing=pair[:n].astype(np.int64))
+    return tubes, nseeds_tot, plsum_tot
 
 
 def device_tubes_self(gdb1, alens_by_rank, freq: int = 10,

@@ -130,3 +130,30 @@ def test_masked_prefix(tmp_path, rng):
     # entries well before the mask are unmasked
     sel2 = (~t.comp) & (t.post < 440)
     assert (t.maskb[sel2] == 0).all()
+
+
+def test_old_format_roundtrip(tmp_path, small_gdb):
+    """Pre-v1.3 GIX (counts in ktab + .post part files, FastGA.c:273-344):
+    write_gix_old -> read_gix reproduces the table; the stub carries the
+    2^16 post index and a 255 cutoff (full table).  Cross-validated
+    against the C reference: FastGA reads our old-format files and
+    produces byte-identical PAF (see tools/oracle + /verify recipe)."""
+    g, _ = small_gdb
+    t = gixm.build_gix(g)
+    root = tmp_path / "old"
+    gixm.write_gix_old(t, root)
+    assert (tmp_path / "old.gix").exists()
+    assert (tmp_path / ".old.post.1").exists()
+    t2 = gixm.read_gix(root)
+    assert t2.freq == 255 and t2.kmer == t.kmer
+    np.testing.assert_array_equal(t.kbytes, t2.kbytes)
+    np.testing.assert_array_equal(t.post, t2.post)
+    np.testing.assert_array_equal(t.cont, t2.cont)
+    np.testing.assert_array_equal(t.comp, t2.comp)
+    np.testing.assert_array_equal(np.minimum(t.lcp, 40),
+                                  np.minimum(t2.lcp, 40))
+    np.testing.assert_array_equal(t.prefix_index, t2.prefix_index)
+    assert (t2.maskb == 0).all()
+    gixm.remove_gix(root)
+    assert not (tmp_path / ".old.post.1").exists()
+    assert not (tmp_path / ".old.ktab.1").exists()

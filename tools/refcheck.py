@@ -111,7 +111,7 @@ def main():
     ap.add_argument("--mbp", type=float, default=50.0,
                     help="approx Mbp per genome")
     ap.add_argument("--contigs", type=int, default=0,
-                    help="contig count (default: one per ~5 Mbp, >=8)")
+                    help="contig count (default: one per ~250 kbp, >=8)")
     ap.add_argument("--div", type=float, default=0.01)
     ap.add_argument("--seed", type=int, default=0xC0FFEE)
     ap.add_argument("--threads", type=int, default=8)
@@ -127,7 +127,7 @@ def main():
     wd = Path(args.workdir or tempfile.mkdtemp(prefix="refcheck_"))
     wd.mkdir(parents=True, exist_ok=True)
     total = int(args.mbp * 1e6)
-    ncontig = args.contigs or max(8, total // 5_000_000)
+    ncontig = args.contigs or max(8, total // 250_000)
     print(f"generating {args.mbp} Mbp x2, {ncontig} contigs, "
           f"div={args.div} in {wd}")
     na, nb = make_pair(wd, total, ncontig, args.div, args.seed)
