@@ -232,3 +232,38 @@ def _root(p: Path) -> Path:
         if name.endswith(ext):
             return p.parent / name[: -len(ext)]
     return p
+
+
+def run_sliced(items, nthreads: int, worker):
+    """P8: slice `items` into `nthreads` contiguous ranges and run
+    `worker(slice_items) -> list[str]` per range in a thread, emitting
+    results in slice order (the reference's oneGoto threading pattern,
+    ALNtoPAF.c:165-171, 836-848).  The heavy per-record work (native
+    trace reconstruction) drops the GIL, so threads genuinely overlap."""
+    n = len(items)
+    if nthreads <= 1 or n < 4 * nthreads:
+        return worker(items)
+    import threading
+
+    bounds = [(p * n) // nthreads for p in range(nthreads + 1)]
+    out = [None] * nthreads
+    errs = [None] * nthreads
+
+    def go(p):
+        try:
+            out[p] = worker(items[bounds[p]:bounds[p + 1]])
+        except BaseException as e:   # re-raised on the main thread
+            errs[p] = e
+
+    ts = [threading.Thread(target=go, args=(p,)) for p in range(nthreads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for e in errs:
+        if e is not None:
+            raise e
+    res = []
+    for part in out:
+        res.extend(part)
+    return res

@@ -39,32 +39,35 @@ def main(argv=None) -> int:
         paf.write_paf(af.overlaps, gdb1, gdb2, out, swap=swap)
         return 0
 
-    cache = {}
+    nthreads = _common.opt_int(opts, "T", 8)
 
-    def get_a(c):
-        key = ("a", c)
-        if key not in cache:
-            cache.clear()
-            cache[key] = gdb1.get_contig(c)
-        return cache[key]
+    def worker(ovls):
+        # per-slice contig caches (the reference's per-thread .bps units)
+        cache = {}
+        bcache = {}
 
-    bcache = {}
+        def get_a(c):
+            if c not in cache:
+                cache.clear()
+                cache[c] = gdb1.get_contig(c)
+            return cache[c]
 
-    def get_b(c, comp):
-        key = (c, comp)
-        if key not in bcache:
-            bcache.clear()
-            s = gdb2.get_contig(c)
-            bcache[key] = dna.revcomp(s) if comp else s
-        return bcache[key]
+        def get_b(c, comp):
+            key = (c, comp)
+            if key not in bcache:
+                bcache.clear()
+                s = gdb2.get_contig(c)
+                bcache[key] = dna.revcomp(s) if comp else s
+            return bcache[key]
 
-    for o in af.overlaps:
-        A = get_a(o.aread)
-        B = get_b(o.bread, o.bcomp)
-        out.write(paf.paf_line_exact(
-            o, gdb1, gdb2, A, B, af.tspace,
-            cigar_m=opts["m"], cigar_x=opts["x"],
-            cs=opts["S"], cs_short=opts["s"], swap=swap) + "\n")
+        return [paf.paf_line_exact(
+            o, gdb1, gdb2, get_a(o.aread), get_b(o.bread, o.bcomp),
+            af.tspace, cigar_m=opts["m"], cigar_x=opts["x"],
+            cs=opts["S"], cs_short=opts["s"], swap=swap)
+            for o in ovls]
+
+    for line in _common.run_sliced(af.overlaps, nthreads, worker):
+        out.write(line + "\n")
     return 0
 
 

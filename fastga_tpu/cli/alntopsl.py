@@ -21,27 +21,33 @@ def main(argv=None) -> int:
         raise _common.ArgError("alntopsl", "expects one .1aln argument",
                                USAGE)
     af, gdb1, gdb2 = _common.open_aln(pos[0], "alntopsl")
+    nthreads = _common.opt_int(opts, "T", 8)
 
-    acache = {}
+    def worker(ovls):
+        acache = {}
+        bcache = {}
 
-    def get_a(c):
-        if c not in acache:
-            acache.clear()
-            acache[c] = gdb1.get_contig(c)
-        return acache[c]
+        def get_a(c):
+            if c not in acache:
+                acache.clear()
+                acache[c] = gdb1.get_contig(c)
+            return acache[c]
 
-    bcache = {}
+        def get_b(c, comp):
+            key = (c, comp)
+            if key not in bcache:
+                bcache.clear()
+                s = gdb2.get_contig(c)
+                bcache[key] = dna.revcomp(s) if comp else s
+            return bcache[key]
 
-    def get_b(c, comp):
-        key = (c, comp)
-        if key not in bcache:
-            bcache.clear()
-            s = gdb2.get_contig(c)
-            bcache[key] = dna.revcomp(s) if comp else s
-        return bcache[key]
+        return [psl.psl_line(o, gdb1, gdb2, get_a(o.aread),
+                             get_b(o.bread, o.bcomp), af.tspace)
+                for o in ovls]
 
-    psl.write_psl(af.overlaps, gdb1, gdb2, get_a, get_b, af.tspace,
-                  sys.stdout)
+    out = sys.stdout
+    for line in _common.run_sliced(af.overlaps, nthreads, worker):
+        out.write(line + "\n")
     return 0
 
 

@@ -54,8 +54,18 @@ class TraceError(Exception):
 
 # ---- native fast path (fastga_tpu/native/tracerec.c via ctypes) ----------
 
-_nat_lock = threading.Lock()
-_nat_work = None
+_nat_tls = threading.local()
+
+
+def _get_work(lib):
+    """Per-thread native Work handle: converter threads reconstruct
+    records concurrently (the C call drops the GIL), mirroring the
+    reference's per-thread Work_Data (ALNtoPAF.c:165-171)."""
+    w = getattr(_nat_tls, "work", None)
+    if w is None:
+        w = lib.trw_new()
+        _nat_tls.work = w
+    return w
 
 
 def _i8p(a: np.ndarray):
@@ -75,24 +85,20 @@ def _native_compute(A, B, abpos, aepos, bbpos, bepos, tpoints, tspace,
     B8 = np.ascontiguousarray(np.asarray(B, np.int8))
     tp = np.ascontiguousarray(np.asarray(tpoints, np.int64)
                               .astype(np.int32).reshape(-1))
-    global _nat_work
-    with _nat_lock:
-        if _nat_work is None:
-            _nat_work = lib.trw_new()
-        w = _nat_work
-        d = lib.trw_compute_trace_pts(
-            w, _i8p(A8), len(A8), _i8p(B8), len(B8),
-            int(abpos), int(aepos), int(bbpos), int(bepos),
-            tp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            len(tpoints), int(tspace), int(mode), int(bool(selfie)))
-        if d < 0:
-            return None
-        n = lib.trw_trace_len(w)
-        if n:
-            tr = np.ctypeslib.as_array(lib.trw_trace(w),
-                                       shape=(n,)).tolist()
-        else:
-            tr = []
+    w = _get_work(lib)
+    d = lib.trw_compute_trace_pts(
+        w, _i8p(A8), len(A8), _i8p(B8), len(B8),
+        int(abpos), int(aepos), int(bbpos), int(bepos),
+        tp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(tpoints), int(tspace), int(mode), int(bool(selfie)))
+    if d < 0:
+        return None
+    n = lib.trw_trace_len(w)
+    if n:
+        tr = np.ctypeslib.as_array(lib.trw_trace(w),
+                                   shape=(n,)).tolist()
+    else:
+        tr = []
     return tr, d
 
 
@@ -106,16 +112,13 @@ def _native_gap(A, B, abpos, bbpos, aepos, alen, blen,
     B8 = np.ascontiguousarray(np.asarray(B, np.int8))
     t32 = np.ascontiguousarray(np.asarray(trace, np.int64)
                                .astype(np.int32))
-    global _nat_work
-    with _nat_lock:
-        if _nat_work is None:
-            _nat_work = lib.trw_new()
-        cd = lib.trw_gap_improver(
-            _nat_work, _i8p(A8), int(alen), _i8p(B8), int(blen),
-            int(abpos), int(bbpos), int(aepos),
-            t32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(t32))
-        if cd == -(1 << 31):
-            return None
+    w = _get_work(lib)
+    cd = lib.trw_gap_improver(
+        w, _i8p(A8), int(alen), _i8p(B8), int(blen),
+        int(abpos), int(bbpos), int(aepos),
+        t32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(t32))
+    if cd == -(1 << 31):
+        return None
     return t32.tolist(), cd
 
 
