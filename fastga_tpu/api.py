@@ -197,8 +197,10 @@ class AlnRecord:
 
     def cigar(self, show_x: bool = False, reversed: bool = False) -> str:
         """CIGAR transforming seq1 into seq2 with seq1 forward
-        (alnCreateCigar); with ``reversed`` the roles swap (I/D exchanged)
-        and the ops run along seq2 forward."""
+        (alnCreateCigar); with ``reversed`` the roles swap and the ops
+        run along seq2 forward.  NOTE: ONEaln's I/D letters are the
+        mirror of ALNtoPAF's cg:Z convention (verified against the
+        reference's ONEalnTEST); this method follows ONEaln."""
         from .io.paf import cigar_string
         tr, diffs, A, Bor = self._exact_trace()
         o = self._o
@@ -207,48 +209,131 @@ class AlnRecord:
         else:
             cig, _ = tracerec.cigar_m(tr, o.abpos, o.aepos, o.bbpos)
         rev = o.bcomp and reversed
-        return cigar_string(cig, rev, merge_m=False, swap=reversed)
+        s = cigar_string(cig, rev, merge_m=False, swap=reversed)
+        return s.translate(str.maketrans("ID", "DI"))
 
     def cs_tag(self, short_form: bool = False,
                reversed: bool = False) -> str:
-        from .io.paf import cs_string
+        """CS difference string (alnCreateCStag).  ONEaln's conventions
+        are the mirror of ALNtoPAF's cs:Z in several ways (all verified
+        against the reference's ONEalnTEST): everything lower case, the
+        first sequence stays FORWARD for complemented records,
+        substitutions order (first, second), and the +/- indel roles are
+        exchanged."""
         tr, diffs, A, Bor = self._exact_trace()
         o = self._o
         cig, _ = tracerec.cigar_x(tr, A, Bor, o.abpos, o.aepos, o.bbpos)
-        return cs_string(cig, o, A, Bor, short_form, swap=reversed)
+        W1 = np.asarray(A[o.abpos:o.aepos])
+        W2 = np.asarray(Bor[o.bbpos:o.bepos])
+        ops = cig
+        if reversed:
+            W1, W2 = W2, W1
+            ops = [("D" if op == "I" else "I" if op == "D" else op, ln)
+                   for op, ln in ops]
+            if o.bcomp:
+                W1 = dna.revcomp(W1)
+                W2 = dna.revcomp(W2)
+                ops = ops[::-1]
+        acgt = "acgtn"
+        parts = []
+        ai = bi = 0
+        for op, ln in ops:
+            if op in ("=", "M"):
+                if short_form:
+                    parts.append(f":{ln}")
+                else:
+                    parts.append("=" + "".join(
+                        acgt[c] for c in W1[ai:ai + ln]))
+                ai += ln
+                bi += ln
+            elif op == "X":
+                # a substitution RUN shares one '*' (unlike cs:Z)
+                parts.append("*" + "".join(
+                    acgt[W1[ai + j]] + acgt[W2[bi + j]]
+                    for j in range(ln)))
+                ai += ln
+                bi += ln
+            elif op == "I":     # consumes the first sequence
+                parts.append("-" + "".join(
+                    acgt[c] for c in W1[ai:ai + ln]))
+                ai += ln
+            else:               # consumes the second sequence
+                parts.append("+" + "".join(
+                    acgt[c] for c in W2[bi:bi + ln]))
+                bi += ln
+        return "".join(parts)
 
     def indel_array(self, reversed: bool = False) -> List[int]:
-        """Dash positions relative to the aligned subsequences: +x = dash
-        before the x'th char of seq1, -x = dash before the x'th char of
-        seq2 (alnCreateIndelArray)."""
+        """Dash positions relative to the aligned subsequences
+        (alnCreateIndelArray): +x = dash before the x'th char of seq2,
+        -x = dash before the x'th char of seq1 (signs verified against
+        the reference's ONEalnTEST)."""
         tr, diffs, A, Bor = self._exact_trace()
         o = self._o
         out = []
         for t in tr:
             if t < 0:   # base of seq2 unmatched: dash in seq1
-                out.append((-t) - o.abpos)
+                out.append(-((-t) - o.abpos))
             else:       # extra base in seq1: dash in seq2
-                out.append(-(t - o.bbpos))
+                out.append(t - o.bbpos)
         if reversed:
-            out = [-v for v in out]
+            if o.bcomp:
+                # reflect through the swapped frames, reversed order
+                # (alnCreateIndelArray ONEaln.c:1525-1545)
+                aw = (o.aepos - o.abpos) + 2
+                bw = (o.bepos - o.bbpos) + 2
+                out = [(aw + v) if v < 0 else (v - bw)
+                       for v in out][::-1]
+            else:
+                out = [-v for v in out]
         return out
 
     def show_alignment(self, where: IO[str] = sys.stdout, indent: int = 8,
                        width: int = 100, border: int = 10, coord: int = 5,
                        upper: bool = False, reversed: bool = False):
-        """BLAST-style display (alnShowAlignment)."""
+        """BLAST-style display (alnShowAlignment).  With ``reversed`` the
+        second sequence is shown on top in its forward orientation
+        (ONEaln.c:1555-1786 role swap; note the reference additionally
+        prints a stray debug "shift = ..." line in the complemented case
+        which is not reproduced here)."""
         tr, diffs, A, Bor = self._exact_trace()
         o = self._o
-        if reversed:
-            raise NotImplementedError(
-                "reversed display not yet supported; swap roles upstream")
-        a1 = showm.Seq1(A, 0)
-        b1 = showm.Seq1(Bor, 0)
-        showm.print_alignment(where, a1, b1, tr, o.abpos, o.aepos,
-                              o.bbpos, o.bepos, indent=indent, width=width,
-                              border=border, upper=upper, coord=coord,
-                              acomp=False, bcomp=o.bcomp,
-                              alen=len(A), blen=len(Bor))
+        kw = dict(indent=indent, width=width, border=border, upper=upper,
+                  coord=coord)
+        if not reversed:
+            a1 = showm.Seq1(A, 0)
+            b1 = showm.Seq1(Bor, 0)
+            showm.print_alignment(where, a1, b1, tr, o.abpos, o.aepos,
+                                  o.bbpos, o.bepos, acomp=False,
+                                  bcomp=o.bcomp, alen=len(A),
+                                  blen=len(Bor), **kw)
+            return
+        if not o.bcomp:
+            ntr = [-t for t in tr]
+            showm.print_alignment(where, showm.Seq1(Bor, 0),
+                                  showm.Seq1(A, 0), ntr,
+                                  o.bbpos, o.bepos, o.abpos, o.aepos,
+                                  acomp=False, bcomp=False,
+                                  alen=len(Bor), blen=len(A), **kw)
+        else:
+            # both strands complement; the reference reader anchors the
+            # forward-B frame at (blen - bepos, blen - bbpos) — one off
+            # from our complement frame — and the indel codes reflect
+            # through the swapped frames in reverse order
+            A_c = dna.revcomp(A)
+            B_f = dna.revcomp(Bor)
+            L = len(Bor)
+            bb, be = L - o.bepos, L - o.bbpos
+            amax2 = o.abpos + o.aepos + 2
+            bmax2 = len(Bor) + 2
+            ntr = [(amax2 + t) if t < 0 else (t - bmax2)
+                   for t in tr[::-1]]
+            a1 = showm.Seq1(B_f, 0)
+            b1 = showm.Seq1(A_c, o.abpos + o.aepos - len(A))
+            showm.print_alignment(where, a1, b1, ntr,
+                                  bb, be, o.abpos, o.aepos,
+                                  acomp=False, bcomp=True, alen=0,
+                                  blen=o.abpos + o.aepos, **kw)
 
 
 class AlnReader:

@@ -34,6 +34,34 @@ BOX_FUZZ = 10
 
 ELIMINATED = 0x4
 
+_cache_configured = False
+
+
+def _ensure_compile_cache():
+    """Point jax at a persistent compilation cache (remote TPU compiles
+    of the big sort/scan programs run minutes; the cache turns every
+    entry point — CLI, refcheck, bench — into a warm start).  Honors
+    JAX_COMPILATION_CACHE_DIR / an explicit jax config if already set;
+    FASTGA_TPU_CACHE_DIR overrides the default location."""
+    global _cache_configured
+    if _cache_configured:
+        return
+    _cache_configured = True
+    import os
+    try:
+        import jax
+        if (jax.config.jax_compilation_cache_dir
+                or os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+            return
+        d = os.environ.get("FASTGA_TPU_CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "fastga_tpu", "jax")
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+
 
 @dataclass
 class FastGAParams:
@@ -70,6 +98,8 @@ def align_genomes(gdb1: GDB, gdb2: GDB,
     if engine not in ("ref", "jax"):
         raise ValueError(f"unknown wave engine '{engine}' "
                          f"(expected 'ref' or 'jax')")
+    if engine == "jax":
+        _ensure_compile_cache()
     selfcmp = (t2 is t1 and t1 is not None) or gdb2 is gdb1
     stats = {}
     spec = wave_ref.AlignSpec(1.0 - params.align_rate, params.tspace,

