@@ -127,10 +127,14 @@ def main():
         "unit": "bp/s",
         "vs_baseline": round(rate / baseline, 4),
     }))
+    exts = stats.get("device_calls", 0)      # Local_Alignment extensions
+    waves = stats.get("wave_device_waves", 0)
     sys.stderr.write(
         f"bench detail: genomes {ncontig}x{clen}bp, engine={engine}; "
         f"gdb {t_gdb:.1f}s cold {t_cold:.1f}s steady {t_aln:.1f}s; "
         f"{len(ovls)} alns, {aligned:,} bp aligned; "
+        f"seed-extensions/sec/chip {exts / t_aln:.1f} "
+        f"(waves/sec {waves / t_aln:.0f}); "
         f"stats={ {k: v for k, v in stats.items() if isinstance(v, (int, float))} }\n")
     from fastga_tpu.utils import prof
     if prof.ENABLED:

@@ -117,6 +117,10 @@ def main(argv=None) -> int:
         log.write(f"\n{cmd}\n")
 
     t0 = time.time()
+    from ..utils import prof as profm
+    timer = profm.PhaseTimer(
+        out=[sys.stderr if verbose else None, log]) if (verbose or log) \
+        else None
     engine = opts.get("E") or "jax"   # -Eref selects the exact host engine
     lazy = engine == "jax" and not soft_mask
     gdb1, t1 = _common.resolve_genome(
@@ -128,15 +132,23 @@ def main(argv=None) -> int:
             soft_mask=soft_mask, lazy=lazy)
     else:
         gdb2, t2 = gdb1, t1   # self-comparison (FastGA A)
+    if timer:
+        timer.phase("genome/index resolution")
 
     params = aligner.FastGAParams(
         freq=freq, chain_break=chain_break, chain_min=chain_min,
         align_min=align_min, align_rate=1.0 - ident,
         soft_mask=soft_mask)
 
-    ovls, stats = aligner.align_genomes(gdb1, gdb2, t1, t2, params,
-                                        engine=engine, verbose=verbose,
-                                        symmetric=bool(opts.get("S")))
+    stop_trace = profm.maybe_start_jax_trace()
+    try:
+        ovls, stats = aligner.align_genomes(
+            gdb1, gdb2, t1, t2, params, engine=engine, verbose=verbose,
+            symmetric=bool(opts.get("S")))
+    finally:
+        stop_trace()
+    if timer:
+        timer.phase("seed merge + alignment search")
     stat_text = (
         f"\n  Total seeds = {stats['nseeds']}, "
         f"ave. len = {stats['seed_len_avg']:.1f}\n"

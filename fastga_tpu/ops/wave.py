@@ -949,21 +949,10 @@ class WaveEngine:
             else:
                 pass
 
-        with prof.span("wave.result_xfer"):
-            # one stacked transfer instead of eight tunnel round trips
-            packed = np.asarray(jnp.stack(
-                [st[10], st[11], st[12], st[13], st[14],
-                 st[15].astype(jnp.int32), st[16].astype(jnp.int32),
-                 st[17]]))
-        alive = packed[5] != 0
-        fallback = (packed[6] != 0) | alive   # budget exceeded
-        res = WaveResult(
-            trima=packed[0][:n], trimx=packed[1][:n],
-            trimd=packed[2][:n], trim_wave=packed[3][:n],
-            trim_slot=packed[4][:n],
-            kbase0=np.asarray(kbase0)[:n],
-            nwaves=packed[7][:n],
-            fallback=fallback[:n])
+        fields = jnp.stack(
+            [st[10], st[11], st[12], st[13], st[14],
+             st[15].astype(jnp.int32), st[16].astype(jnp.int32),
+             st[17]])
         if chs:
             # pad the chunk count to a power of two so the backtrack
             # compiles for O(log) distinct shapes only (waves beyond a
@@ -974,7 +963,21 @@ class WaveEngine:
                 kbs.append(jnp.zeros_like(kbs[0]))
             with prof.span("wave.backtrack"):
                 D = self._backtrack_fn(kpad)(chs, kbs, st[14], st[13])
-                diags = np.asarray(D)           # [k*CW+1, N] int32
+                # ONE host transfer for results + path diagonals
+                packed = np.asarray(jnp.concatenate([fields, D], axis=0))
+            diags = packed[8:]
         else:
-            diags = np.asarray(st[14])[None]    # all trimmed at wave 0
+            with prof.span("wave.result_xfer"):
+                packed = np.asarray(jnp.concatenate(
+                    [fields, st[14][None]], axis=0))
+            diags = packed[8:]                  # all trimmed at wave 0
+        alive = packed[5] != 0
+        fallback = (packed[6] != 0) | alive   # budget exceeded
+        res = WaveResult(
+            trima=packed[0][:n], trimx=packed[1][:n],
+            trimd=packed[2][:n], trim_wave=packed[3][:n],
+            trim_slot=packed[4][:n],
+            kbase0=np.asarray(kbase0)[:n],
+            nwaves=packed[7][:n],
+            fallback=fallback[:n])
         return res, diags
