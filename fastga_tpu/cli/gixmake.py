@@ -1,6 +1,6 @@
 """gixmake — GDB/FASTA -> GIX index (GIXmake.c surface).
 
-    python -m fastga_tpu.cli.gixmake [-v] [-T<int>] [-k<int>] <source> (#<mask>)*
+    python -m fastga_tpu.cli.gixmake [-v] [-L:<log>] [-T<int>] [-P<dir>]\n        [-k<int>] <source> (#<mask>)*
 """
 
 from __future__ import annotations
@@ -13,12 +13,14 @@ from ..io import ano as anom
 from ..io import gdb as gdbm
 from ..io import gix as gixm
 
-USAGE = "[-v] [-T<int(8)>] [-k<int(40)>] <source>[.1gdb|<fa>] (#<mask:.1ano>)*"
+USAGE = ("[-v] [-L:<log:path>] [-T<int(8)>] [-P<dir>] [-k<int(40)>] "
+         "<source>[.1gdb|<fa>] (#<mask:.1ano>)*")
 
 
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    opts, pos = _common.parse_args(argv, flags="v", opts="Tk")
+    opts, pos = _common.parse_args(argv, flags="v", opts="Tk",
+                                   str_opts="LP")
     srcs = [a for a in pos if not a.startswith("#")]
     mask_args = [a[1:] for a in pos if a.startswith("#")]
     if len(srcs) != 1:
@@ -48,10 +50,14 @@ def main(argv=None) -> int:
                            masks=masks if mask_args else None,
                            nthreads=nthreads)
     gixm.write_gix(table, root, nthreads=nthreads)
+    ktot = gdb.seqtot - (kmer - 1) * gdb.ncontig
+    stat = (f"  Sampled: {table.n} ({100.0*table.n/ktot:.1f}%) "
+            f"kmers/positions\n")
     if opts["v"]:
-        ktot = gdb.seqtot - (kmer - 1) * gdb.ncontig
-        sys.stderr.write(f"  Sampled: {table.n} ({100.0*table.n/ktot:.1f}%) "
-                         f"kmers/positions\n")
+        sys.stderr.write(stat)
+    if opts.get("L"):
+        with open(opts["L"], "a") as lf:
+            lf.write("\ngixmake " + " ".join(argv) + "\n" + stat)
     return 0
 
 

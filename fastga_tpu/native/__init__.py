@@ -67,6 +67,11 @@ def get_tracerec():
             lib.trw_gap_improver.argtypes = [
                 c.c_void_p, i8p, c.c_int64, i8p, c.c_int64,
                 c.c_int64, c.c_int64, c.c_int64, i32p, c.c_int]
+            lib.trw_path_reach.restype = c.c_int
+            lib.trw_path_reach.argtypes = [
+                i8p, c.c_int64, i8p, c.c_int64, c.c_int64, i32p,
+                c.c_int, c.c_int64, c.c_int,
+                c.POINTER(c.c_int64)]
             _lib = lib
         except Exception:
             _lib = None

@@ -655,3 +655,66 @@ int trw_gap_improver(Work *w,
     }
   return cdiff;
 }
+
+/* Device-wave replay support: re-extend snakes along a backtracked
+   per-wave diagonal path (ops/wave_replay.py hot loop).  Writes the
+   per-wave furthest-reach A positions into xs (length ntw+1) and
+   returns 0, or -1 when the final reach falls short of the trim point
+   (caller falls back to the exact host engine). */
+
+static int64_t fwd_snake_len(const int8_t *A, int64_t alen,
+                             const int8_t *B, int64_t blen,
+                             int64_t x, int64_t k)
+{ int64_t y = x - k;
+  int64_t n = 0;
+  while (x + n < alen && y + n < blen && x + n >= 0 && y + n >= 0
+         && A[x + n] == B[y + n])
+    n += 1;
+  return n;
+}
+
+static int64_t rev_snake_len(const int8_t *A, int64_t alen,
+                             const int8_t *B, int64_t blen,
+                             int64_t x, int64_t k)
+{ int64_t y = x - k;
+  int64_t n = 0;
+  while (x - 1 - n >= 0 && y - 1 - n >= 0 && x - 1 - n < alen
+         && y - 1 - n < blen && A[x - 1 - n] == B[y - 1 - n])
+    n += 1;
+  return n;
+}
+
+int trw_path_reach(const int8_t *A, int64_t alen,
+                   const int8_t *B, int64_t blen,
+                   int64_t anti, const int32_t *diags, int ntw,
+                   int64_t trimx, int dir, int64_t *xs)
+{ int64_t x;
+  int w;
+
+  if (dir > 0)
+    { x = (anti + diags[0]) >> 1;
+      x += fwd_snake_len(A, alen, B, blen, x, diags[0]);
+      xs[0] = x;
+      for (w = 1; w <= ntw; w++)
+        { int64_t dcur = diags[w], dprev = diags[w-1];
+          int64_t c_pre = 2*xs[w-1] - dprev + (dcur == dprev ? 2 : 1);
+          x = (c_pre + dcur) >> 1;
+          x += fwd_snake_len(A, alen, B, blen, x, dcur);
+          xs[w] = x;
+        }
+      return (xs[ntw] >= trimx) ? 0 : -1;
+    }
+  else
+    { x = (anti + diags[0]) >> 1;
+      x -= rev_snake_len(A, alen, B, blen, x, diags[0]);
+      xs[0] = x;
+      for (w = 1; w <= ntw; w++)
+        { int64_t dcur = diags[w], dprev = diags[w-1];
+          int64_t c_pre = 2*xs[w-1] - dprev - (dcur == dprev ? 2 : 1);
+          x = (c_pre + dcur) >> 1;
+          x -= rev_snake_len(A, alen, B, blen, x, dcur);
+          xs[w] = x;
+        }
+      return (xs[ntw] <= trimx) ? 0 : -1;
+    }
+}

@@ -12,11 +12,36 @@ device-side pebbles).
 
 from __future__ import annotations
 
+import ctypes
 from typing import List, Tuple
 
 import numpy as np
 
 from .wave_ref import Path, _snake_fwd, _snake_rev
+
+
+def _native_reach(A, B, anti: int, diags, trimx: int, direction: int):
+    """Per-wave furthest-reach positions via the C snake loop (the hot
+    part of replay); None -> pure-Python fallback."""
+    from .. import native
+    lib = native.get_tracerec()
+    if lib is None:
+        return None
+    A8 = np.ascontiguousarray(np.asarray(A, np.int8))
+    B8 = np.ascontiguousarray(np.asarray(B, np.int8))
+    d32 = np.ascontiguousarray(np.asarray(diags, np.int32))
+    ntw = len(d32) - 1
+    xs = np.empty(ntw + 1, np.int64)
+    rc = lib.trw_path_reach(
+        A8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), len(A8),
+        B8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), len(B8),
+        int(anti),
+        d32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ntw,
+        int(trimx), direction,
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        raise AssertionError((int(xs[ntw]), trimx))
+    return xs
 
 
 def _marks_between(last: int, upto: int, tspace: int, aoff: int,
@@ -45,20 +70,23 @@ def replay_forward(A, B, anti: int, aoff: int, diags, trima: int,
     diagonal."""
     trim_wave = len(diags) - 1
 
-    # forward snake reconstruction
+    # forward snake reconstruction (C fast path; Python mirror below)
     d0 = int(diags[0])
-    x = (anti + d0) >> 1
-    na0 = ((x + (tspace - aoff)) // tspace - 1) * tspace + aoff
-    x, _, _ = _snake_fwd(A, B, x, d0)
-    xs = [x]
-    for w in range(1, trim_wave + 1):
-        dcur, dprev = int(diags[w]), int(diags[w - 1])
-        vprev = 2 * xs[-1] - dprev
-        c_pre = vprev + (2 if dcur == dprev else 1)
-        xp = (c_pre + dcur) >> 1
-        xp, _, _ = _snake_fwd(A, B, xp, dcur)
-        xs.append(xp)
-    assert xs[-1] >= trimx, (xs[-1], trimx)
+    na0 = (((anti + d0) >> 1) + (tspace - aoff)) // tspace * tspace \
+        - tspace + aoff
+    xs = _native_reach(A, B, anti, diags, trimx, +1)
+    if xs is None:
+        x = (anti + d0) >> 1
+        x, _, _ = _snake_fwd(A, B, x, d0)
+        xs = [x]
+        for w in range(1, trim_wave + 1):
+            dcur, dprev = int(diags[w]), int(diags[w - 1])
+            vprev = 2 * xs[-1] - dprev
+            c_pre = vprev + (2 if dcur == dprev else 1)
+            xp = (c_pre + dcur) >> 1
+            xp, _, _ = _snake_fwd(A, B, xp, dcur)
+            xs.append(xp)
+        assert xs[-1] >= trimx, (xs[-1], trimx)
 
     # crossings: (diag, mark, wave)
     crossings: List[Tuple[int, int, int]] = []
@@ -98,16 +126,18 @@ def replay_reverse(A, B, anti: int, aoff: int, diags, trima: int,
     d0 = int(diags[0])
     x0 = (anti + d0) >> 1
     na0 = ((x0 + (tspace - aoff) - 1) // tspace - 1) * tspace + aoff
-    x, _, _ = _snake_rev(A, B, x0, d0)
-    xs = [x]
-    for w in range(1, trim_wave + 1):
-        dcur, dprev = int(diags[w]), int(diags[w - 1])
-        vprev = 2 * xs[-1] - dprev
-        c_pre = vprev - (2 if dcur == dprev else 1)
-        xp = (c_pre + dcur) >> 1
-        xp, _, _ = _snake_rev(A, B, xp, dcur)
-        xs.append(xp)
-    assert xs[-1] <= trimx, (xs[-1], trimx)
+    xs = _native_reach(A, B, anti, diags, trimx, -1)
+    if xs is None:
+        x, _, _ = _snake_rev(A, B, x0, d0)
+        xs = [x]
+        for w in range(1, trim_wave + 1):
+            dcur, dprev = int(diags[w]), int(diags[w - 1])
+            vprev = 2 * xs[-1] - dprev
+            c_pre = vprev - (2 if dcur == dprev else 1)
+            xp = (c_pre + dcur) >> 1
+            xp, _, _ = _snake_rev(A, B, xp, dcur)
+            xs.append(xp)
+        assert xs[-1] <= trimx, (xs[-1], trimx)
 
     # pebble 0 of the reverse wave records mark = x0 (pre-snake); the first
     # crossing candidate is na0 itself (align.c:1003: `while (x <= na)`
