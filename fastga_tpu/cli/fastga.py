@@ -149,6 +149,9 @@ def main(argv=None) -> int:
         stop_trace()
     if timer:
         timer.phase("seed merge + alignment search")
+    if profm.ENABLED:
+        for k, (s_, c_) in profm.report().items():
+            sys.stderr.write(f"  prof {k}: {s_:.2f}s x{c_}\n")
     stat_text = (
         f"\n  Total seeds = {stats['nseeds']}, "
         f"ave. len = {stats['seed_len_avg']:.1f}\n"

@@ -134,16 +134,20 @@ def entry_candidates(jnp, bases, loc, ln, cranks, in_block):
     return okflat, w0a, w1a, w2a, conta, posta, compa
 
 
-def gix_arrays(bps, nbases: int, coff, clen, cont_of, invp, ncontig,
+def gix_arrays(bps, nbases: int, coff, clen, invp, ncontig,
                ecap: int = 0):
     """Sorted GIX entry arrays for one genome (jit-traceable).
 
-    bps: uint8[ceil(Npad/4)] 2-bit packed bases (base i at bit 2*(i%4));
+    bps: uint8[Npad/4] 2-bit packed bases (base i at bit 2*(i%4));
     nbases: actual base count (python int — static per trace);
     coff/clen: int32[Cpad] contig base offsets/lengths (pad rows len 0);
-    cont_of: int32[Npad] contig id per base position (pad big);
     invp: int32[Cpad] contig id -> length-rank;
     ncontig: actual contig count.
+
+    The per-position contig geometry (contig id, local offset, length,
+    rank) is derived ON DEVICE from the tiny contig tables (one scatter
+    of contig starts + tagged fill scans) — an uploaded [N] position
+    map costs ~4N bytes over the tunnel, which dominated 50 Mbp runs.
 
     Returns (w0, w1, w2, cont, post, comp, lcp, nentries, valid) — entries
     sorted by (kmer, cont, post, comp), padded to the position cap with
@@ -151,16 +155,33 @@ def gix_arrays(bps, nbases: int, coff, clen, cont_of, invp, ncontig,
     15..0 << 16.
     """
     jax, jnp = _jx()
-    N = cont_of.shape[0]                     # padded base cap (static)
+    N = 4 * bps.shape[0]                     # padded base cap (static)
+    Cpad = coff.shape[0]
     kmer = KMER
     kb = kmer // 4
 
     i = jnp.arange(N, dtype=jnp.int32)
     bases = (bps[i >> 2] >> ((i & 3) << 1).astype(jnp.uint8)) & 3
-    loc = i - coff[jnp.clip(cont_of, 0, len(coff) - 1)]
-    ln = clen[jnp.clip(cont_of, 0, len(coff) - 1)]
-    cranks = invp[jnp.clip(cont_of, 0, len(coff) - 1)]
-    in_block = cont_of < ncontig
+
+    # per-position contig geometry from the contig tables: mark contig
+    # start positions (tiny scatter), then cumsum/fill-forward
+    cix = jnp.arange(Cpad, dtype=jnp.int32)
+    cvalid = cix < ncontig
+    starts = jnp.where(cvalid, coff, N)
+    marks = jnp.zeros(N + 1, jnp.int32).at[starts].add(1, mode="drop")
+    marks = marks[:N]
+    cont_of = jnp.cumsum(marks) - 1          # last contig continues past
+    mark_b = marks > 0                       # its end; length checks gate
+    def fill_field(vals, bits):
+        f = jnp.zeros(N, jnp.int64).at[starts].max(
+            jnp.where(cvalid, vals.astype(jnp.int64), 0), mode="drop")
+        return _ffill_tagged(jax, jnp, mark_b, f, bits)
+
+    coff_at = fill_field(coff, 28).astype(jnp.int32)
+    ln = fill_field(clen, 28).astype(jnp.int32)
+    cranks = fill_field(invp, 12).astype(jnp.int32)
+    loc = i - coff_at
+    in_block = (cont_of >= 0) & (cont_of < ncontig)
     (okflat, w0a, w1a, w2a, conta, posta, compa) = entry_candidates(
         jnp, bases, loc, ln, cranks, in_block)
 
@@ -960,18 +981,21 @@ def _prep_genome(gdb, lens):
     clenp[:len(lens)] = lens
     invpp = np.zeros(Cpad, np.int32)
     invpp[:len(invp[:len(lens)])] = invp[:len(lens)]
+    # cont_of stays a HOST array: the main gix path derives it on
+    # device (uploading [N] int32 over the tunnel dominated big runs);
+    # the sharded/paneled paths convert it once themselves
     return (jnp.asarray(bps), jnp.asarray(coffp), jnp.asarray(clenp),
-            jnp.asarray(cont_of), jnp.asarray(invpp),
+            cont_of, jnp.asarray(invpp),
             np.int32(len(lens)), N)
 
 
 def _gix_jit(N, Cpad, ecap):
     import jax
-    key = ("gix", N, Cpad, ecap)
+    key = ("gix2", N, Cpad, ecap)
     fn = _jit_cache.get(key)
     if fn is None:
-        fn = jax.jit(lambda bps, coff, clen, cof, invp, nc:
-                     gix_arrays(bps, 0, coff, clen, cof, invp, nc,
+        fn = jax.jit(lambda bps, coff, clen, invp, nc:
+                     gix_arrays(bps, 0, coff, clen, invp, nc,
                                 ecap=ecap))
         _jit_cache[key] = fn
     return fn
@@ -1315,6 +1339,10 @@ def device_tubes_paneled(gdb1, gdb2, alens_by_rank, freq: int = 10,
 
         scan1 = _panel_scan_jit(N1, B, cap1, P, len(prep1[1]), nblocks)
         scan2 = _panel_scan_jit(N2, B, cap2c, P, len(prep2[1]), nblocks)
+        # upload the big position maps ONCE (the per-panel loop would
+        # otherwise re-upload them every iteration)
+        cof1_d = jnp.asarray(prep1[3])
+        cof2_d = jnp.asarray(prep2[3])
         mfn = _merge_jit(cap1, cap2c, NSCAP_P, max(cap1 // 2, 1 << 12),
                          freq, False, False)
         afn = _append_seeds_jit(NSCAP_P, GCAP)
@@ -1332,9 +1360,9 @@ def device_tubes_paneled(gdb1, gdb2, alens_by_rank, freq: int = 10,
             "1" if verbose else "")
         for p in range(P):
             t0 = _t.time()
-            T1, ova = scan1(prep1[0], prep1[1], prep1[2], prep1[3],
+            T1, ova = scan1(prep1[0], prep1[1], prep1[2], cof1_d,
                             prep1[4], np.int32(prep1[5]), np.int32(p))
-            T2, ovb = scan2(prep2[0], prep2[1], prep2[2], prep2[3],
+            T2, ovb = scan2(prep2[0], prep2[1], prep2[2], cof2_d,
                             prep2[4], np.int32(prep2[5]), np.int32(p))
             out = mfn(T1, T2, None, None)
             (pl, ac, ap, bcn, bp, bo, ns, nalive, plsum) = out
@@ -1397,7 +1425,7 @@ def device_tubes_self(gdb1, alens_by_rank, freq: int = 10,
     ACAP = max(E1, 1 << 12)
 
     with enable_x64():
-        T1 = _gix_jit(N1, len(coff1), E1)(bps1, coff1, clen1, cof1,
+        T1 = _gix_jit(N1, len(coff1), E1)(bps1, coff1, clen1,
                                           invp1, nc1)
         sfn = _self_jit(E1, NSCAP, ACAP, freq, False, False)
         out = sfn(T1, None)
@@ -1466,10 +1494,10 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
     # silently truncate under the default x64-disabled config)
     with enable_x64():
         t0 = _time.time()
-        T1 = _gix_jit(N1, len(coff1), E1)(bps1, coff1, clen1, cof1,
+        T1 = _gix_jit(N1, len(coff1), E1)(bps1, coff1, clen1,
                                           invp1, nc1)
         t0 = _tick("gix1", t0, T1)
-        T2 = _gix_jit(N2, len(coff2), E2)(bps2, coff2, clen2, cof2,
+        T2 = _gix_jit(N2, len(coff2), E2)(bps2, coff2, clen2,
                                           invp2, nc2)
         t0 = _tick("gix2", t0, T2)
         mout = _merge_jit(E1, E2, NSCAP, ACAP, freq, False, False)(

@@ -875,8 +875,14 @@ class WaveEngine:
             d0, Ds = jax.lax.scan(
                 body, trim_diag,
                 jnp.arange(k * CW - 1, -1, -1, dtype=jnp.int32))
-            # Ds[j] = diag at wave k*CW - j; prepend wave-0 diag
-            return jnp.concatenate([d0[None], jnp.flip(Ds, 0)], axis=0)
+            D = jnp.concatenate([d0[None], jnp.flip(Ds, 0)], axis=0)
+            # per-wave deltas are in {-1,0,1}: ship 2 bits each
+            delta = (D[1:] - D[:-1] + 1).astype(jnp.uint32)  # [kCW, N]
+            KP = (k * CW) // 16
+            sh = (2 * jnp.arange(16, dtype=jnp.uint32))[:, None]
+            packed = (delta.reshape(KP, 16, N) << sh[None]).sum(
+                axis=1, dtype=jnp.uint32)
+            return d0, packed
 
         fn = jax.jit(bt)
         self._bt_cache[key] = fn
@@ -884,8 +890,9 @@ class WaveEngine:
 
     def run(self, pool, tubes: dict, direction: int):
         """tubes: dict of int32 [n<=N] arrays: aw, alen, bw, blen, dgmin,
-        dgmax, anti, minp, maxp.  Returns (WaveResult arrays, logs) where
-        logs = list of (choice u8 [CW,N,W], band i32 [CW,N,4])."""
+        dgmax, anti, minp, maxp.  Returns (WaveResult, diags) where
+        diags[w, tube] is the path diagonal at wave w."""
+        import jax
         import jax.numpy as jnp
         # serialize against the background warmup BEFORE any jax work:
         # concurrent tracing perturbs lowered-module naming, changing the
@@ -935,19 +942,20 @@ class WaveEngine:
                 st, chlog, bandlog = chunk(pool, targs, st)
             chs.append(chlog)
             kbs.append(bandlog[:, :, 2])
-            for _ in range(cfg.max_chunks - 1):
+            for ci in range(cfg.max_chunks - 1):
                 with prof.span("wave.chunk_dispatch"):
                     st2, chlog, bandlog = chunk(pool, targs, st)
-                with prof.span("wave.alive_sync"):
-                    any_alive = bool(np.asarray(st[15]).any())
-                if not any_alive:
-                    break           # st2 was speculative; identical on
-                                    # dead tubes for every output field
+                # each aliveness read costs a tunnel round trip; check
+                # every other chunk (a dead-state chunk is an identity
+                # on every output field, so overshoot is harmless)
+                if ci & 1:
+                    with prof.span("wave.alive_sync"):
+                        any_alive = bool(np.asarray(st[15]).any())
+                    if not any_alive:
+                        break       # st2 was speculative
                 st = st2
                 chs.append(chlog)
                 kbs.append(bandlog[:, :, 2])
-            else:
-                pass
 
         fields = jnp.stack(
             [st[10], st[11], st[12], st[13], st[14],
@@ -962,10 +970,24 @@ class WaveEngine:
                 chs.append(jnp.zeros_like(chs[0]))
                 kbs.append(jnp.zeros_like(kbs[0]))
             with prof.span("wave.backtrack"):
-                D = self._backtrack_fn(kpad)(chs, kbs, st[14], st[13])
-                # ONE host transfer for results + path diagonals
-                packed = np.asarray(jnp.concatenate([fields, D], axis=0))
-            diags = packed[8:]
+                d0, dpk = self._backtrack_fn(kpad)(chs, kbs, st[14],
+                                                   st[13])
+                # ONE host transfer: result fields + wave-0 diagonal +
+                # 2-bit-packed per-wave diagonal deltas
+                packed = np.asarray(jnp.concatenate(
+                    [fields, d0[None],
+                     jax.lax.bitcast_convert_type(dpk, jnp.int32)],
+                    axis=0))
+            d0h = packed[8]
+            pk = packed[9:].view(np.uint32)
+            unsh = (2 * np.arange(16, dtype=np.uint32))
+            deltas = ((pk[:, None, :] >> unsh[None, :, None]) & 3) \
+                .reshape(-1, cfg.n).astype(np.int8)
+            deltas -= 1
+            diags = np.concatenate(
+                [d0h[None],
+                 d0h[None] + np.cumsum(deltas, 0, dtype=np.int32)],
+                axis=0)
         else:
             with prof.span("wave.result_xfer"):
                 packed = np.asarray(jnp.concatenate(
