@@ -124,7 +124,12 @@ def _bytes_for(maxval: int) -> int:
 
 def build_gix(gdb: GDB, kmer: int = KMER, masks=None,
               nthreads: int = 8) -> GixTable:
-    """GDB -> sorted GIX table (host numpy build; GIXmake equivalent).
+    """GDB -> sorted GIX table (GIXmake equivalent).
+
+    On a real TPU the entry build + sort run on device (the
+    device_pipeline gix program) and only the finished entries come
+    back; elsewhere (or with masks / non-default k) the host numpy build
+    runs.  FASTGA_TPU_DEVICE_GIX=0 forces the host path.
 
     ``masks``: optional list of io.gdb.MaskIval for masked-prefix bytes.
     ``nthreads``: reference -T; only affects the short-GDB fake-contig
@@ -133,6 +138,12 @@ def build_gix(gdb: GDB, kmer: int = KMER, masks=None,
     the persisted perm/ncontig) and the NPARTS choice at write time.
     """
     assert kmer % 4 == 0
+    import os as _os
+    if (kmer == KMER and not masks and nthreads == 8
+            and _os.environ.get("FASTGA_TPU_DEVICE_GIX", "1") != "0"):
+        t = _build_gix_device(gdb)
+        if t is not None:
+            return t
     kb = kmer // 4
     lens = gdb.contig_lengths()
     # short_GDB_fix: pad with fake KMER-length contigs up to nthreads
@@ -235,6 +246,63 @@ def build_gix(gdb: GDB, kmer: int = KMER, masks=None,
         cont_bytes=_bytes_for(2 * len(lens_eff)),
         seqtot=gdb.seqtot + nfake * kmer,
     )
+
+
+def _build_gix_device(gdb: GDB) -> Optional[GixTable]:
+    """Entry build + sort on a real TPU; None -> host path.  Only the
+    finished (sliced) entry arrays cross back to the host."""
+    try:
+        import jax
+        if jax.devices()[0].platform == "cpu":
+            return None            # CPU jit compiles minutes per shape
+        from ..models.aligner import _ensure_compile_cache
+        _ensure_compile_cache()
+        from jax import enable_x64
+
+        from ..ops import device_pipeline as dp
+        lens = gdb.contig_lengths()
+        if len(lens) == 0 or int(lens.sum()) > dp._MAX_DEV_BASES \
+                or len(lens) >= dp.MAX_CONT \
+                or int(lens.max()) >= dp.MAX_POST:
+            return None
+        with enable_x64():
+            prep = dp._prep_genome(gdb, lens)
+            bps, coffp, clenp, _cof, invpp, nc, N = prep
+            E = max(1 << 12, N)
+            T = dp._gix_jit(N, len(coffp), E)(bps, coffp, clenp, invpp,
+                                              np.int32(nc))
+            (w0, w1, w2, cont, post, comp, lcp, nent, _vs) = \
+                [np.asarray(x) for x in T]
+        n = int(nent)
+        if n > E:
+            return None
+        w0 = w0[:n].view(np.uint32)
+        w1 = w1[:n].view(np.uint32)
+        w2 = w2[:n].view(np.uint32)
+        kb = KMER // 4
+        kbytes = np.empty((n, kb), np.uint8)
+        for j in range(4):
+            kbytes[:, j] = (w0 >> (24 - 8 * j)).astype(np.uint8)
+            kbytes[:, 4 + j] = (w1 >> (24 - 8 * j)).astype(np.uint8)
+        kbytes[:, 8] = (w2 >> 24).astype(np.uint8)
+        kbytes[:, 9] = (w2 >> 16).astype(np.uint8)
+
+        lens_eff = np.concatenate(
+            [lens, np.full(max(0, 8 - len(lens)), KMER, dtype=np.int64)])
+        perm, _ = _length_perm(lens_eff)
+        return GixTable(
+            kmer=KMER, kbytes=kbytes, post=post[:n].astype(np.int32),
+            cont=cont[:n].astype(np.int32),
+            comp=comp[:n].astype(bool),
+            lcp=np.minimum(lcp[:n], KMER).astype(np.uint8),
+            maskb=np.zeros(n, np.uint8),
+            prefix_index=_prefix_index(kbytes), perm=perm,
+            post_bytes=_bytes_for(int(lens_eff.max())
+                                  if len(lens_eff) else 1),
+            cont_bytes=_bytes_for(2 * len(lens_eff)),
+            seqtot=gdb.seqtot + max(0, 8 - len(lens)) * KMER)
+    except Exception:
+        return None
 
 
 def _masked_prefix(cov: np.ndarray, posts: np.ndarray, kmer: int,
