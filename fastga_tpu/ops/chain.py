@@ -86,14 +86,47 @@ def seed_geometry(seeds: SeedBatch, amax: int, bmax: int
 
 def chain_tubes(seeds: SeedBatch, amax: int, bmax: int,
                 alens_by_rank: np.ndarray,
-                chain_break: int = 2000, chain_min: int = 170) -> TubeBatch:
+                chain_break: int = 2000, chain_min: int = 170,
+                group_cap: int = 32 << 20) -> TubeBatch:
     """Run the bucket-pair chain sweep over all seeds; emit tubes.
 
     ``alens_by_rank``: A-contig length per length-rank (for the comp
     reflection offsets).  ``chain_break``/``chain_min`` are the doubled
     anti-diagonal-unit values (-s and -c after FastGA.c:4495-4507).
+
+    Beyond ``group_cap`` seeds the sweep runs per A-contig batch (the
+    reference's contig-panel streaming, P10): chains never cross an
+    A-contig, the sweep's primary sort key is the A-contig, and the
+    stable pre-partition preserves tie order — so batched output is
+    bit-identical to the monolithic sweep while the doubled-stream
+    temporaries stay bounded.
     """
     n = seeds.n
+    if n > group_cap:
+        order = np.argsort(seeds.acont, kind="stable")
+        ac_sorted = seeds.acont[order]
+        bounds = [0]
+        pos = 0
+        while pos < n:
+            end = min(pos + group_cap, n)
+            if end < n:       # never split an A-contig across batches
+                end = int(np.searchsorted(ac_sorted, ac_sorted[end - 1],
+                                          side="right"))
+            bounds.append(end)
+            pos = end
+        parts = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            sel = order[lo:hi]
+            sub = SeedBatch(*[getattr(seeds, f)[sel]
+                              for f in ("plen", "acont", "apost",
+                                        "bcont", "bpost", "bcomp")])
+            parts.append(chain_tubes(sub, amax, bmax, alens_by_rank,
+                                     chain_break, chain_min,
+                                     group_cap=n + 1))
+        return TubeBatch(*[np.concatenate(
+            [getattr(p, f) for p in parts])
+            for f in ("acont", "bcont", "comp", "dgmin", "dgmax",
+                      "alow", "ahgh", "pairing")])
     ztube = lambda: TubeBatch(*[np.zeros(0, dt) for dt in
                                 (np.int32, np.int32, bool, np.int32,
                                  np.int32, np.int64, np.int64, np.int64)])
