@@ -136,10 +136,17 @@ def main():
     env = dict(os.environ)
     env["PATH"] = f"{refbuild}:{env['PATH']}"
     t0 = time.time()
-    subprocess.run(
-        [str(refbuild / "FastGA"), f"-T{args.threads}", "-1:ref",
-         "A.fasta.gz", "B.fasta.gz"],
-        cwd=wd, env=env, check=True)
+    for attempt in (1, 2):      # GIXmake can fail transiently under
+        try:                    # memory pressure; precursors persist
+            subprocess.run(
+                [str(refbuild / "FastGA"), f"-T{args.threads}", "-1:ref",
+                 "A.fasta.gz", "B.fasta.gz"],
+                cwd=wd, env=env, check=True)
+            break
+        except subprocess.CalledProcessError:
+            if attempt == 2:
+                raise
+            print("  reference FastGA failed once; retrying ...")
     t_ref = time.time() - t0
     print(f"  reference FastGA: {t_ref:.1f}s")
 
