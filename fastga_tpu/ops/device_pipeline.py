@@ -1054,6 +1054,11 @@ def _upload_table(t):
     return T, pad32(t.maskb), E
 
 
+# Largest seed bucket the device chain fits in HBM (~420 B/seed-cap of
+# stacked sweep temporaries; 1.5*2^24 ~ 10.6 GB, proven at 50 Mbp scale).
+CHAIN_DEV_CAP = 3 << 23
+
+
 def _run_chain(tubeify, seeds_out, nscap, tcap, chain_break, chain_min,
                amax, bmax, alens_by_rank):
     import jax.numpy as jnp
@@ -1066,6 +1071,27 @@ def _run_chain(tubeify, seeds_out, nscap, tcap, chain_break, chain_min,
     # the chain sorts run on 2*bucket rows instead of 2*nscap
     ns_host = int(np.asarray(ns))
     cap = _pad_bucket(max(ns_host, 1 << 13))
+    if cap > CHAIN_DEV_CAP:
+        # the sweep's doubled-stream temporaries exceed HBM at this
+        # bucket — run the memory-bounded host sweep instead (chain.py
+        # batches per A-contig panel; bit-identical to the device sweep)
+        from . import chain as chainm
+        from .merge import SeedBatch
+        sb = SeedBatch(
+            plen=np.asarray(pl)[:ns_host].astype(np.uint8),
+            acont=np.asarray(ac)[:ns_host].astype(np.int32),
+            apost=np.asarray(ap)[:ns_host].astype(np.int32),
+            bcont=np.asarray(bcn)[:ns_host].astype(np.int32),
+            bpost=np.asarray(bp)[:ns_host].astype(np.int32),
+            bcomp=np.asarray(bo)[:ns_host].astype(bool))
+        t = chainm.chain_tubes(sb, int(amax), int(bmax),
+                               np.asarray(alens_by_rank),
+                               chain_break, chain_min)
+        res = (t.acont.astype(np.int64), t.bcont.astype(np.int64),
+               t.comp.astype(np.int64), t.dgmin.astype(np.int64),
+               t.dgmax.astype(np.int64), t.alow, t.ahgh, t.pairing,
+               np.int64(t.n))
+        return res, ns, nalive, plsum
     if cap < nscap:
         pl, ac, ap, bcn, bp, bo = (
             x[:cap] for x in (pl, ac, ap, bcn, bp, bo))
@@ -1081,7 +1107,9 @@ def _finish_tubes(res, ns, nalive, plsum, nscap, acap, tcap, extra_checks):
     (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt) = \
         [np.asarray(x) for x in res]
     ns, nalive, plsum = int(ns), int(nalive), int(plsum)
-    if ns > nscap or nalive > acap or int(nt) > tcap or extra_checks():
+    # tube overflow test vs the emitted array length: == tcap for the
+    # fixed-cap device sweep, exact (never overflows) for the host sweep
+    if ns > nscap or nalive > acap or int(nt) > len(ga) or extra_checks():
         return None
     n = int(nt)
     tubes = TubeBatch(
@@ -1391,7 +1419,7 @@ def device_tubes_paneled(gdb1, gdb2, alens_by_rank, freq: int = 10,
             alens_by_rank)
         outv = tuple(np.asarray(x) for x in res) + (np.asarray(goff),)
     (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt, goff_h) = outv
-    if int(goff_h) != nseeds_tot or int(nt) > tcap:
+    if int(goff_h) != nseeds_tot or int(nt) > len(ga):
         return None
     n = int(nt)
     tubes = TubeBatch(

@@ -172,3 +172,30 @@ def test_device_tubes_match_host():
             assert np.array_equal(
                 np.asarray(getattr(tubes_d, f)).astype(np.int64),
                 np.asarray(getattr(tubes_h, f)).astype(np.int64)), f
+
+
+def test_host_chain_fallback_match(monkeypatch):
+    """Beyond CHAIN_DEV_CAP the chain runs host-side on the device
+    seeds (the 86 Mbp+ HBM envelope); tubes must stay bit-identical."""
+    monkeypatch.setattr(dp, "CHAIN_DEV_CAP", 1 << 12)
+    rng = np.random.default_rng(53)
+    A = [rng.integers(0, 4, int(rng.integers(4000, 12000)))
+         .astype(np.uint8) for _ in range(4)]
+    B = [_mutate(a, 0.04, rng) for a in A]
+    g1, g2 = _gdb(A), _gdb(B)
+    t1h, t2h = gixm.build_gix(g1), gixm.build_gix(g2)
+    seeds_h = mergem.adaptamer_seeds(t1h, t2h, freq=10)
+    lens1 = g1.contig_lengths()
+    lens2 = g2.contig_lengths()
+    perm1 = np.asarray(t1h.perm)
+    alens = np.where(perm1 < len(lens1),
+                     lens1[np.minimum(perm1, len(lens1) - 1)], 40)
+    tubes_h = chainm.chain_tubes(seeds_h, int(lens1.max()),
+                                 int(lens2.max()), alens)
+    for dres in (dp.device_tubes(g1, g2, alens),
+                 dp.device_tubes_paneled(g1, g2, alens, panels=4)):
+        assert dres is not None
+        tubes_d, nseeds, plsum = dres
+        assert nseeds == seeds_h.n
+        assert plsum == int(seeds_h.plen.astype(np.int64).sum())
+        _tube_eq(tubes_d, tubes_h)
