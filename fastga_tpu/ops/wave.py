@@ -23,6 +23,7 @@ Everything is jit-compiled once per (N, W, chunk) configuration.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import numpy as np
@@ -754,7 +755,6 @@ class WaveEngine:
         self.spec = spec
         self.cfg = cfg
         self._pool_np = None
-        self._pack = None
         self._warm_evt = None   # set while a background warmup is running
         # the Pallas in-VMEM kernel is the TPU path; the XLA graph stepper
         # remains as the CPU/fallback implementation
@@ -814,7 +814,7 @@ class WaveEngine:
         for chunk in (self.fwd_chunk, self.rev_chunk):
             st2, chlog, bandlog = chunk(pool, targs, st)
             jax.block_until_ready(self._backtrack_fn(1)(
-                [chlog], [bandlog[:, :, 2]], st2[14], st2[13]))
+                [chlog], [bandlog], st2))
 
     def _pool_host(self, pool):
         """Host copy of the device pool, cached per pool object (a strong
@@ -823,22 +823,6 @@ class WaveEngine:
         if self._pool_np is None or self._pool_np[0] is not pool:
             self._pool_np = (pool, np.asarray(pool))
         return self._pool_np[1]
-
-    def _pack_fn(self):
-        """Device packer: choice log u8 [CW,N,W] -> u32 [CW,N,W/16]
-        (2 bits/lane) so per-chunk host transfers shrink 16x."""
-        if self._pack is None:
-            import jax
-            import jax.numpy as jnp
-            CW, N, W = self.cfg.chunk, self.cfg.n, self.cfg.w
-            sh = (2 * jnp.arange(16, dtype=jnp.uint32))
-
-            def pack(ch):
-                c = ch.astype(jnp.uint32).reshape(CW, N, W // 16, 16)
-                return (c << sh).sum(axis=-1)
-
-            self._pack = jax.jit(pack)
-        return self._pack
 
     def _backtrack_fn(self, k: int):
         """Device path-walk over k chunks of logs: from each tube's trim
@@ -857,9 +841,10 @@ class WaveEngine:
         import jax.numpy as jnp
         CW, N, W = self.cfg.chunk, self.cfg.n, self.cfg.w
 
-        def bt(chs, kbs, trim_diag, trim_wave):
+        def bt(chs, bls, st):
+            trim_diag, trim_wave = st[14], st[13]
             ch = jnp.concatenate(chs, axis=0)        # [k*CW, N, W]
-            kb = jnp.concatenate(kbs, axis=0)        # [k*CW, N]
+            kb = jnp.concatenate([b[:, :, 2] for b in bls], axis=0)
             rows = jnp.arange(N)
 
             def body(diag, w):
@@ -882,7 +867,16 @@ class WaveEngine:
             sh = (2 * jnp.arange(16, dtype=jnp.uint32))[:, None]
             packed = (delta.reshape(KP, 16, N) << sh[None]).sum(
                 axis=1, dtype=jnp.uint32)
-            return d0, packed
+            # one transfer: result fields + wave-0 diagonal + deltas —
+            # built in-jit so the host issues a single op per run
+            fields = jnp.stack(
+                [st[10], st[11], st[12], st[13], st[14],
+                 st[15].astype(jnp.int32), st[16].astype(jnp.int32),
+                 st[17]])
+            return jnp.concatenate(
+                [fields, d0[None],
+                 jax.lax.bitcast_convert_type(packed, jnp.int32)],
+                axis=0)
 
         fn = jax.jit(bt)
         self._bt_cache[key] = fn
@@ -923,61 +917,61 @@ class WaveEngine:
             st_np, kbase0 = host_wave0(
                 self._pool_host(pool), targs_np, padn(tubes["dgmin"]),
                 padn(tubes["dgmax"]), padn(tubes["anti"]), cfg, direction)
-        kbase0 = jnp.asarray(kbase0)
         # padding rows: deactivate
         alive0 = st_np[15].copy()
         alive0[n:] = False
-        st = tuple(jnp.asarray(a)
-                   for a in (st_np[:15] + (alive0,) + st_np[16:]))
-        targs = tuple(jnp.asarray(t) for t in targs_np)
+        with prof.span("wave.upload"):
+            st = tuple(jnp.asarray(a)
+                       for a in (st_np[:15] + (alive0,) + st_np[16:]))
+            targs = tuple(jnp.asarray(t) for t in targs_np)
 
-        from ..utils import prof
         # pipelined chunk loop: chunk i+1 is dispatched (async) before
-        # chunk i's aliveness is read, so the host<->device round trip
-        # overlaps compute; logs stay on device for the backtrack
+        # chunk i's aliveness is read; the aliveness bytes start their
+        # tunnel crossing as soon as chunk i completes (async copy), so
+        # the read overlaps chunk i+1's compute and every chunk can be
+        # polled (a dead-state chunk is an identity on every output
+        # field, so the one speculative chunk in flight is harmless)
         chs = []
-        kbs = []
-        if bool(np.asarray(st[15]).any()):
+        bls = []
+
+        def start_alive_copy(s):
+            try:
+                s[15].copy_to_host_async()
+            except Exception:
+                pass
+        if bool(alive0.any()):
             with prof.span("wave.chunk_dispatch"):
                 st, chlog, bandlog = chunk(pool, targs, st)
+            start_alive_copy(st)
             chs.append(chlog)
-            kbs.append(bandlog[:, :, 2])
+            bls.append(bandlog)
             for ci in range(cfg.max_chunks - 1):
                 with prof.span("wave.chunk_dispatch"):
                     st2, chlog, bandlog = chunk(pool, targs, st)
-                # each aliveness read costs a tunnel round trip; check
-                # every other chunk (a dead-state chunk is an identity
-                # on every output field, so overshoot is harmless)
-                if ci & 1:
-                    with prof.span("wave.alive_sync"):
-                        any_alive = bool(np.asarray(st[15]).any())
-                    if not any_alive:
-                        break       # st2 was speculative
+                start_alive_copy(st2)
+                with prof.span("wave.alive_sync"):
+                    any_alive = bool(np.asarray(st[15]).any())
+                if not any_alive:
+                    break           # st2 was speculative
                 st = st2
                 chs.append(chlog)
-                kbs.append(bandlog[:, :, 2])
+                bls.append(bandlog)
 
-        fields = jnp.stack(
-            [st[10], st[11], st[12], st[13], st[14],
-             st[15].astype(jnp.int32), st[16].astype(jnp.int32),
-             st[17]])
         if chs:
             # pad the chunk count to a power of two so the backtrack
             # compiles for O(log) distinct shapes only (waves beyond a
-            # tube's trim point are inactive in the walk)
+            # tube's trim point are inactive in the walk); the zero pad
+            # logs are allocated once per engine and aliased
             kpad = 1 << (len(chs) - 1).bit_length()
+            if getattr(self, "_zero_logs", None) is None:
+                self._zero_logs = (jnp.zeros_like(chs[0]),
+                                   jnp.zeros_like(bls[0]))
             while len(chs) < kpad:
-                chs.append(jnp.zeros_like(chs[0]))
-                kbs.append(jnp.zeros_like(kbs[0]))
+                chs.append(self._zero_logs[0])
+                bls.append(self._zero_logs[1])
             with prof.span("wave.backtrack"):
-                d0, dpk = self._backtrack_fn(kpad)(chs, kbs, st[14],
-                                                   st[13])
-                # ONE host transfer: result fields + wave-0 diagonal +
-                # 2-bit-packed per-wave diagonal deltas
-                packed = np.asarray(jnp.concatenate(
-                    [fields, d0[None],
-                     jax.lax.bitcast_convert_type(dpk, jnp.int32)],
-                    axis=0))
+                packed = np.asarray(
+                    self._backtrack_fn(kpad)(chs, bls, st))
             d0h = packed[8]
             pk = packed[9:].view(np.uint32)
             unsh = (2 * np.arange(16, dtype=np.uint32))
@@ -990,16 +984,32 @@ class WaveEngine:
                 axis=0)
         else:
             with prof.span("wave.result_xfer"):
+                fields = jnp.stack(
+                    [st[10], st[11], st[12], st[13], st[14],
+                     st[15].astype(jnp.int32), st[16].astype(jnp.int32),
+                     st[17]])
                 packed = np.asarray(jnp.concatenate(
                     [fields, st[14][None]], axis=0))
             diags = packed[8:]                  # all trimmed at wave 0
         alive = packed[5] != 0
         fallback = (packed[6] != 0) | alive   # budget exceeded
+        if os.environ.get("FASTGA_WAVE_DEBUG") and chs:
+            import sys
+            wmax, w95 = 0, []
+            for b in bls:
+                bh = np.asarray(b)                  # [CW, N, 4]
+                w = (bh[:, :n, 1] - bh[:, :n, 0]).max(axis=0)
+                wmax = max(wmax, int(w.max()))
+                w95.append(w)
+            w95 = int(np.percentile(np.concatenate(w95), 95))
+            sys.stderr.write(
+                f"wave dbg: dir={direction} n={n} chunks={len(chs)} "
+                f"bandwidth max={wmax} p95={w95}\n")
         res = WaveResult(
             trima=packed[0][:n], trimx=packed[1][:n],
             trimd=packed[2][:n], trim_wave=packed[3][:n],
             trim_slot=packed[4][:n],
-            kbase0=np.asarray(kbase0)[:n],
+            kbase0=kbase0[:n],
             nwaves=packed[7][:n],
             fallback=fallback[:n])
         return res, diags
