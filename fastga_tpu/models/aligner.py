@@ -556,7 +556,10 @@ def _get_engine(gdb1, gdb2, spec):
         round(f, 12) for f in spec.freq), bucket)
     eng = _ENGINE_CACHE.get(key)
     if eng is None:
-        cfg = wavek.WaveConfig(n=256, w=256, chunk=96, max_chunks=512)
+        # n=512: one engine batch covers a whole scheduling round for
+        # typical tube counts — every extra batch costs tunnel round
+        # trips (alive polls + result fetch), which dominate compute
+        cfg = wavek.WaveConfig(n=512, w=256, chunk=96, max_chunks=512)
         eng = wavek.WaveEngine(spec, cfg)
         eng.begin_warmup(bucket)
         _ENGINE_CACHE[key] = eng
@@ -613,7 +616,7 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
     # fixed batch geometry so the wave kernels compile once per process
     # (and hit the persistent compilation cache across runs)
     cfg = (wave_engine.cfg if wave_engine is not None
-           else wavek.WaveConfig(n=256, w=256, chunk=96, max_chunks=512))
+           else wavek.WaveConfig(n=512, w=256, chunk=96, max_chunks=512))
     ba = BatchAligner(spec, pool.words, pool.offs, lambda k: seqs[k], cfg,
                       engine=wave_engine)
 

@@ -134,31 +134,19 @@ def entry_candidates(jnp, bases, loc, ln, cranks, in_block):
     return okflat, w0a, w1a, w2a, conta, posta, compa
 
 
-def gix_arrays(bps, nbases: int, coff, clen, invp, ncontig,
-               ecap: int = 0):
-    """Sorted GIX entry arrays for one genome (jit-traceable).
+def _genome_candidates(bps, coff, clen, invp, ncontig):
+    """Per-position syncmer candidate arrays for one genome (jit).
 
-    bps: uint8[Npad/4] 2-bit packed bases (base i at bit 2*(i%4));
-    nbases: actual base count (python int — static per trace);
-    coff/clen: int32[Cpad] contig base offsets/lengths (pad rows len 0);
-    invp: int32[Cpad] contig id -> length-rank;
-    ncontig: actual contig count.
-
-    The per-position contig geometry (contig id, local offset, length,
-    rank) is derived ON DEVICE from the tiny contig tables (one scatter
-    of contig starts + tagged fill scans) — an uploaded [N] position
-    map costs ~4N bytes over the tunnel, which dominated 50 Mbp runs.
-
-    Returns (w0, w1, w2, cont, post, comp, lcp, nentries, valid) — entries
-    sorted by (kmer, cont, post, comp), padded to the position cap with
-    all-ones keys.  w0/w1 = kmer bits 79..16 (two int32), w2 = bits
-    15..0 << 16.
+    Derives the per-position contig geometry (contig id, local offset,
+    length, length-rank) ON DEVICE from the tiny contig tables (one
+    scatter of contig starts + tagged fill scans — an uploaded [N]
+    position map costs ~4N bytes over the tunnel, which dominated
+    50 Mbp runs), then runs the syncmer scan.  Returns the
+    entry_candidates tuple ([fwd; rc] slots, length 2N) and N.
     """
     jax, jnp = _jx()
     N = 4 * bps.shape[0]                     # padded base cap (static)
     Cpad = coff.shape[0]
-    kmer = KMER
-    kb = kmer // 4
 
     i = jnp.arange(N, dtype=jnp.int32)
     bases = (bps[i >> 2] >> ((i & 3) << 1).astype(jnp.uint8)) & 3
@@ -182,8 +170,54 @@ def gix_arrays(bps, nbases: int, coff, clen, invp, ncontig,
     cranks = fill_field(invp, 12).astype(jnp.int32)
     loc = i - coff_at
     in_block = (cont_of >= 0) & (cont_of < ncontig)
-    (okflat, w0a, w1a, w2a, conta, posta, compa) = entry_candidates(
-        jnp, bases, loc, ln, cranks, in_block)
+    return entry_candidates(jnp, bases, loc, ln, cranks, in_block), N
+
+
+def driver_candidates(bps, coff, clen, invp, ncontig):
+    """UNSORTED forward-slot entry stream for the merge's driver (T1)
+    side (jit-traceable).
+
+    The adaptamer merge only consumes T1's forward-orientation entries
+    as a keyed stream that its own combined sort orders (merge_seeds
+    `drive1`; the reference's A-strand restriction, FastGA.c:916-928),
+    and every tie is fully broken by the packed key fields — so the
+    per-genome entry sort adds nothing for the driver genome and is
+    skipped.  Returns a table tuple in genome-position order with an
+    explicit validity mask in the `vs` slot: (w0, w1, w2, cont, post,
+    comp=0, lcp=None, nfwd, valid).
+    """
+    jax, jnp = _jx()
+    (okflat, w0a, w1a, w2a, conta, posta, compa), N = \
+        _genome_candidates(bps, coff, clen, invp, ncontig)
+    ok = okflat[:N]                          # forward slots only
+    nfwd = jnp.sum(ok.astype(jnp.int32))
+    return (w0a[:N], w1a[:N], w2a[:N], conta[:N], posta[:N],
+            compa[:N], None, nfwd, ok.astype(jnp.int32))
+
+
+def gix_arrays(bps, nbases: int, coff, clen, invp, ncontig,
+               ecap: int = 0):
+    """Sorted GIX entry arrays for one genome (jit-traceable).
+
+    bps: uint8[Npad/4] 2-bit packed bases (base i at bit 2*(i%4));
+    nbases: actual base count (python int — static per trace);
+    coff/clen: int32[Cpad] contig base offsets/lengths (pad rows len 0);
+    invp: int32[Cpad] contig id -> length-rank;
+    ncontig: actual contig count.
+
+    The per-position contig geometry (contig id, local offset, length,
+    rank) is derived ON DEVICE from the tiny contig tables (one scatter
+    of contig starts + tagged fill scans) — an uploaded [N] position
+    map costs ~4N bytes over the tunnel, which dominated 50 Mbp runs.
+
+    Returns (w0, w1, w2, cont, post, comp, lcp, nentries, valid) — entries
+    sorted by (kmer, cont, post, comp), padded to the position cap with
+    all-ones keys.  w0/w1 = kmer bits 79..16 (two int32), w2 = bits
+    15..0 << 16.
+    """
+    jax, jnp = _jx()
+    (okflat, w0a, w1a, w2a, conta, posta, compa), N = \
+        _genome_candidates(bps, coff, clen, invp, ncontig)
 
     # two packed int64 sort keys carry all entry data; payloads are
     # reconstructed from the sorted keys instead of reorder gathers;
@@ -322,10 +356,12 @@ def _entry_keys(jnp, T, tag: int):
     """(k1, k2) int64 sort keys for one table's entries (MAX when
     invalid).  k1 = 64 kmer bits; k2 = [62:47] kmer bits 15..0,
     [46] tag, [45:34] cont, [33:6] post, [5] comp."""
-    w0, w1, w2, c, p, o, l, n, _vs = T
+    w0, w1, w2, c, p, o, l, n, vs = T
     E = w0.shape[0]
     eix = jnp.arange(E, dtype=jnp.int32)
-    valid = eix < n
+    # front-compacted tables mark validity by count; unsorted candidate
+    # streams (driver side of the merge) carry an explicit slot mask
+    valid = (eix < n) if vs is None else (vs != 0)
     w0u = _u32_64(jnp, w0)
     w1u = _u32_64(jnp, w1)
     k1 = (w0u - (jnp.int64(1) << 31)) * (jnp.int64(1) << 32) + w1u
@@ -1001,6 +1037,35 @@ def _gix_jit(N, Cpad, ecap):
     return fn
 
 
+def _cand_jit(N, Cpad):
+    import jax
+    key = ("cand1", N, Cpad)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        fn = jax.jit(driver_candidates)
+        _jit_cache[key] = fn
+    return fn
+
+
+def _dev_cache(gdb):
+    """Per-GDB cache of device-resident seed-phase arrays (the TPU
+    analog of the reference's persisted .gix: steady-state runs against
+    the same genome skip the index build entirely).  Lives on the GDB
+    object so lifetime follows the caller's data; disable with
+    FASTGA_TPU_NO_DEVCACHE=1."""
+    import os
+    if os.environ.get("FASTGA_TPU_NO_DEVCACHE") == "1":
+        return {}
+    c = getattr(gdb, "_fastga_dev_cache", None)
+    if c is None:
+        c = {}
+        try:
+            gdb._fastga_dev_cache = c
+        except Exception:
+            pass
+    return c
+
+
 def _merge_jit(E1, E2, nscap, acap, freq, soft, masks):
     import jax
     import jax.numpy as jnp
@@ -1496,8 +1561,10 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
     if freq > MAX_FREQ:
         return None
 
-    bps1, coff1, clen1, cof1, invp1, nc1, N1 = _prep_genome(gdb1, lens1)
-    bps2, coff2, clen2, cof2, invp2, nc2, N2 = _prep_genome(gdb2, lens2)
+    cache1 = _dev_cache(gdb1)
+    cache2 = _dev_cache(gdb2)
+    N1 = _pad_bucket(int(lens1.sum()))
+    N2 = _pad_bucket(int(lens2.sum()))
     E1 = max(1 << 12, N1)
     E2 = max(1 << 12, N2)
     NSCAP = max(E1, 1 << 13)
@@ -1522,18 +1589,27 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
     # silently truncate under the default x64-disabled config)
     with enable_x64():
         t0 = _time.time()
-        T1 = _gix_jit(N1, len(coff1), E1)(bps1, coff1, clen1,
-                                          invp1, nc1)
-        t0 = _tick("gix1", t0, T1)
-        T2 = _gix_jit(N2, len(coff2), E2)(bps2, coff2, clen2,
-                                          invp2, nc2)
+        C1 = cache1.get(("cand", N1))
+        if C1 is None:
+            bps1, coff1, clen1, _, invp1, nc1, _n = \
+                _prep_genome(gdb1, lens1)
+            C1 = _cand_jit(N1, len(coff1))(bps1, coff1, clen1,
+                                           invp1, nc1)
+            cache1[("cand", N1)] = C1
+        t0 = _tick("gix1", t0, C1[:6])
+        T2 = cache2.get(("table", N2, E2))
+        if T2 is None:
+            bps2, coff2, clen2, _, invp2, nc2, _n = \
+                _prep_genome(gdb2, lens2)
+            T2 = _gix_jit(N2, len(coff2), E2)(bps2, coff2, clen2,
+                                              invp2, nc2)
+            cache2[("table", N2, E2)] = T2
         t0 = _tick("gix2", t0, T2)
         mout = _merge_jit(E1, E2, NSCAP, ACAP, freq, False, False)(
-            T1, T2, None, None)
+            C1, T2, None, None)
         (pl, ac, ap, bcn, bp, bo, ns, nalive, plsum) = mout
         t0 = _tick("merge", t0, ns)
-        ne1, ne2 = T1[7], T2[7]
-        del T1, T2
+        ne1, ne2 = C1[7], T2[7]
         res, ns, nalive, plsum = _run_chain(
             None, mout, NSCAP, tcap, chain_break, chain_min, amax, bmax,
             alens_by_rank)
