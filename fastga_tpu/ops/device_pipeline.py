@@ -1047,6 +1047,30 @@ def _cand_jit(N, Cpad):
     return fn
 
 
+def _drvtab_jit(N, ecap):
+    """Compact the unsorted driver candidates into a tight table: one
+    12M-row sort (half the rows of the full two-orientation entry sort)
+    whose keys fully order and compact the forward entries; the tight
+    bucket then halves the combined merge stream every subsequent run."""
+    import jax
+    import jax.numpy as jnp
+    key = ("drvtab", N, ecap)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        def build(C):
+            w0a, w1a, w2a, ca, pa, oa, _l, nf, vs = C
+            ka, kb_ = pack_entry_keys(jnp, vs != 0, w0a, w1a, w2a,
+                                      ca, pa, oa)
+            srt = jax.lax.sort((ka, kb_), num_keys=2)
+            w0s, w1s, w2s, cs, ps, os = unpack_entry_keys(
+                jnp, srt[0][:ecap], srt[1][:ecap])
+            return (w0s, w1s, w2s, cs, ps, os, None, nf, None)
+
+        fn = jax.jit(build)
+        _jit_cache[key] = fn
+    return fn
+
+
 def _dev_cache(gdb):
     """Per-GDB cache of device-resident seed-phase arrays (the TPU
     analog of the reference's persisted .gix: steady-state runs against
@@ -1565,10 +1589,10 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
     cache2 = _dev_cache(gdb2)
     N1 = _pad_bucket(int(lens1.sum()))
     N2 = _pad_bucket(int(lens2.sum()))
-    E1 = max(1 << 12, N1)
-    E2 = max(1 << 12, N2)
-    NSCAP = max(E1, 1 << 13)
-    ACAP = max(E1 // 2, 1 << 12)
+    # seed/alive caps track the genome size, not the (tighter) entry
+    # buckets: seed fan-out per driving entry is up to `freq`
+    NSCAP = max(N1, 1 << 13)
+    ACAP = max(N1 // 2, 1 << 12)
 
     import os
     import time as _time
@@ -1589,27 +1613,39 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
     # silently truncate under the default x64-disabled config)
     with enable_x64():
         t0 = _time.time()
-        C1 = cache1.get(("cand", N1))
-        if C1 is None:
+        T1 = cache1.get(("drv", N1))
+        if T1 is None:
+            # unsorted forward candidates -> count -> tight compacted
+            # driver table (one half-size sort; cached per GDB)
             bps1, coff1, clen1, _, invp1, nc1, _n = \
                 _prep_genome(gdb1, lens1)
             C1 = _cand_jit(N1, len(coff1))(bps1, coff1, clen1,
                                            invp1, nc1)
-            cache1[("cand", N1)] = C1
-        t0 = _tick("gix1", t0, C1[:6])
-        T2 = cache2.get(("table", N2, E2))
+            E1t = _pad_bucket(int(np.asarray(C1[7])))
+            T1 = _drvtab_jit(N1, min(E1t, N1))(C1)
+            cache1[("drv", N1)] = T1
+        E1 = T1[0].shape[0]
+        t0 = _tick("gix1", t0, T1[:6])
+        T2 = cache2.get(("tab", N2))
         if T2 is None:
             bps2, coff2, clen2, _, invp2, nc2, _n = \
                 _prep_genome(gdb2, lens2)
-            T2 = _gix_jit(N2, len(coff2), E2)(bps2, coff2, clen2,
-                                              invp2, nc2)
-            cache2[("table", N2, E2)] = T2
+            E2f = max(1 << 12, N2)
+            T2f = _gix_jit(N2, len(coff2), E2f)(bps2, coff2, clen2,
+                                                invp2, nc2)
+            ne2 = int(np.asarray(T2f[7]))
+            if ne2 > E2f:
+                return None    # entry cap exceeded -> host fallback
+            E2t = min(_pad_bucket(ne2), E2f)
+            T2 = tuple(x[:E2t] for x in T2f[:7]) + (T2f[7], T2f[8][:E2t])
+            cache2[("tab", N2)] = T2
+        E2 = T2[0].shape[0]
         t0 = _tick("gix2", t0, T2)
         mout = _merge_jit(E1, E2, NSCAP, ACAP, freq, False, False)(
-            C1, T2, None, None)
+            T1, T2, None, None)
         (pl, ac, ap, bcn, bp, bo, ns, nalive, plsum) = mout
         t0 = _tick("merge", t0, ns)
-        ne1, ne2 = C1[7], T2[7]
+        ne1, ne2 = T1[7], T2[7]
         res, ns, nalive, plsum = _run_chain(
             None, mout, NSCAP, tcap, chain_break, chain_min, amax, bmax,
             alens_by_rank)
