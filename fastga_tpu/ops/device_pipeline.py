@@ -1071,14 +1071,20 @@ def _drvtab_jit(N, ecap):
     return fn
 
 
-def _dev_cache(gdb):
+# Genomes above this padded-base cap are not device-cached: at 50 Mbp+
+# the resident tables (~2.4 GB) crowd the chain sweep's panel
+# temporaries out of a 16 GB chip's HBM.
+_CACHE_MAX_N = 1 << 25
+
+
+def _dev_cache(gdb, N=0):
     """Per-GDB cache of device-resident seed-phase arrays (the TPU
     analog of the reference's persisted .gix: steady-state runs against
     the same genome skip the index build entirely).  Lives on the GDB
     object so lifetime follows the caller's data; disable with
     FASTGA_TPU_NO_DEVCACHE=1."""
     import os
-    if os.environ.get("FASTGA_TPU_NO_DEVCACHE") == "1":
+    if N > _CACHE_MAX_N or os.environ.get("FASTGA_TPU_NO_DEVCACHE") == "1":
         return {}
     c = getattr(gdb, "_fastga_dev_cache", None)
     if c is None:
@@ -1147,6 +1153,124 @@ def _upload_table(t):
 # stacked sweep temporaries; 1.5*2^24 ~ 10.6 GB, proven at 50 Mbp scale).
 CHAIN_DEV_CAP = 3 << 23
 
+# Beyond ~6x the panel cap the acont pre-sort itself outgrows HBM
+# alongside the panel temporaries; past that the host sweep takes over.
+CHAIN_PANEL_MAX = CHAIN_DEV_CAP * 6
+
+
+def _seedsort_jit(NS, Cpad):
+    """Stable acont-major sort of the seed stream (payload packed into
+    two value words) + per-contig panel boundaries via searchsorted."""
+    import jax
+    import jax.numpy as jnp
+    key = ("seedsort", NS, Cpad, CHAIN_DEV_CAP)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        def run(pl, ac, ap, bcn, bp, bo, ns):
+            idx = jnp.arange(NS, dtype=jnp.int64)
+            valid = idx < ns
+            k = jnp.where(valid, (ac.astype(jnp.int64) << 34) | idx,
+                          _I64MAX)
+            v1 = ((pl.astype(jnp.int64) << 56)
+                  | (ap.astype(jnp.int64) << 28)
+                  | bp.astype(jnp.int64))
+            v2 = (bcn.astype(jnp.int64) << 1) | bo.astype(jnp.int64)
+            srt = jax.lax.sort(
+                (k, jnp.where(valid, v1, 0), jnp.where(valid, v2, 0)),
+                num_keys=1)
+            achi = jnp.where(srt[0] == _I64MAX, jnp.int64(MAX_CONT),
+                             srt[0] >> 34)
+            bounds = jnp.searchsorted(
+                achi, jnp.arange(Cpad + 1, dtype=jnp.int64))
+            # tail pad one panel so every dynamic_slice window fits
+            # without start clamping (a clamped start would shift the
+            # window off its panel offset)
+            zpad = jnp.zeros(CHAIN_DEV_CAP, jnp.int64)
+            return (jnp.concatenate([srt[0], zpad + _I64MAX]),
+                    jnp.concatenate([srt[1], zpad]),
+                    jnp.concatenate([srt[2], zpad]),
+                    bounds.astype(jnp.int32))
+
+        fn = jax.jit(run)
+        _jit_cache[key] = fn
+    return fn
+
+
+def _chain_panel_jit(CAP, tcap, chain_break, chain_min):
+    """Chain sweep over one acont-contiguous panel of the sorted packed
+    seed stream (dynamic offset, static panel cap)."""
+    import jax
+    import jax.numpy as jnp
+    key = ("chpanel", CAP, tcap, chain_break, chain_min)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        def run(k, v1, v2, off, npan, amax_, bmax_, alens):
+            ks = jax.lax.dynamic_slice(k, (off,), (CAP,))
+            v1s = jax.lax.dynamic_slice(v1, (off,), (CAP,))
+            v2s = jax.lax.dynamic_slice(v2, (off,), (CAP,))
+            ac = ((ks >> 34) & (MAX_CONT - 1)).astype(jnp.int32)
+            pl = (v1s >> 56).astype(jnp.int32)
+            ap = ((v1s >> 28) & (MAX_POST - 1)).astype(jnp.int32)
+            bp = (v1s & (MAX_POST - 1)).astype(jnp.int32)
+            bcn = (v2s >> 1).astype(jnp.int32)
+            bo = (v2s & 1).astype(jnp.int32)
+            return chain_tubes_dev((pl, ac, ap, bcn, bp, bo), npan,
+                                   amax_, bmax_, alens, tcap,
+                                   chain_break, chain_min)
+
+        fn = jax.jit(run)
+        _jit_cache[key] = fn
+    return fn
+
+
+def _run_chain_paneled(seeds6, ns_host, nscap, tcap, chain_break,
+                       chain_min, amax, bmax, alens_pad):
+    """Device chain sweep past the single-shot HBM envelope: one stable
+    acont-major sort, then per-panel sweeps over contiguous A-contig
+    ranges (chains never cross an A-contig and the sweep's primary key
+    is the A-contig, so panel concatenation is bit-identical to the
+    monolithic sweep — the same argument as the host batching,
+    ops/chain.chain_tubes).  Returns host tube arrays or None when a
+    single contig's seeds exceed the panel cap (host fallback)."""
+    import jax.numpy as jnp
+    pl, ac, ap, bcn, bp, bo = seeds6
+    cap = min(_pad_bucket(max(ns_host, 1 << 13)), pl.shape[0])
+    k, v1, v2, bounds = _seedsort_jit(cap, alens_pad.shape[0])(
+        *(x[:cap] for x in (pl, ac, ap, bcn, bp, bo)),
+        np.int64(ns_host))
+    bounds = np.asarray(bounds).astype(np.int64)
+    # greedy panels: largest contig boundary within CAP of the start.
+    # Half the single-shot cap: the packed sorted stream (and, on the
+    # first panelled run, leftover merge arrays) share HBM with the
+    # sweep's ~420 B/row temporaries.
+    PANEL = CHAIN_DEV_CAP // 2
+    panels = []
+    start = 0
+    while start < ns_host:
+        hi = int(np.searchsorted(bounds, start + PANEL, side="right")) - 1
+        end = int(bounds[hi])
+        if end <= start:
+            return None          # one contig's seeds exceed the panel
+        panels.append((start, min(end, ns_host)))
+        start = end
+    pfn = _chain_panel_jit(PANEL, tcap, chain_break, chain_min)
+    outs = []
+    total = 0
+    for off, end in panels:
+        res = pfn(k, v1, v2, np.int64(off), np.int32(end - off),
+                  np.int32(amax), np.int32(bmax), jnp.asarray(alens_pad))
+        res = [np.asarray(x) for x in res]
+        nt = int(res[8])
+        if nt > tcap:
+            return None          # panel tube overflow -> host path
+        outs.append([x[:nt] for x in res[:8]])
+        total += nt
+    if not outs:
+        z = [np.zeros(0, np.int64)] * 8
+        return tuple(z) + (np.int64(0),)
+    cat = [np.concatenate([o[i] for o in outs]) for i in range(8)]
+    return tuple(cat) + (np.int64(total),)
+
 
 def _run_chain(tubeify, seeds_out, nscap, tcap, chain_break, chain_min,
                amax, bmax, alens_by_rank):
@@ -1160,9 +1284,19 @@ def _run_chain(tubeify, seeds_out, nscap, tcap, chain_break, chain_min,
     # the chain sorts run on 2*bucket rows instead of 2*nscap
     ns_host = int(np.asarray(ns))
     cap = _pad_bucket(max(ns_host, 1 << 13))
+    import os as _os
+    if CHAIN_DEV_CAP < cap <= CHAIN_PANEL_MAX \
+            and _os.environ.get("FASTGA_TPU_CHAIN") != "host":
+        # the monolithic sweep's doubled-stream temporaries exceed HBM
+        # at this bucket: panel the device sweep by A-contig ranges
+        res = _run_chain_paneled(
+            (pl, ac, ap, bcn, bp, bo), ns_host, nscap, tcap,
+            chain_break, chain_min, amax, bmax, alens_pad)
+        if res is not None:
+            return res, ns, nalive, plsum
     if cap > CHAIN_DEV_CAP:
-        # the sweep's doubled-stream temporaries exceed HBM at this
-        # bucket — run the memory-bounded host sweep instead (chain.py
+        # beyond the paneled envelope (or a single contig overflows a
+        # panel) — run the memory-bounded host sweep instead (chain.py
         # batches per A-contig panel; bit-identical to the device sweep)
         from . import chain as chainm
         from .merge import SeedBatch
@@ -1585,10 +1719,10 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
     if freq > MAX_FREQ:
         return None
 
-    cache1 = _dev_cache(gdb1)
-    cache2 = _dev_cache(gdb2)
     N1 = _pad_bucket(int(lens1.sum()))
     N2 = _pad_bucket(int(lens2.sum()))
+    cache1 = _dev_cache(gdb1, N1)
+    cache2 = _dev_cache(gdb2, N2)
     # seed/alive caps track the genome size, not the (tighter) entry
     # buckets: seed fan-out per driving entry is up to `freq`
     NSCAP = max(N1, 1 << 13)
@@ -1623,6 +1757,7 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
                                            invp1, nc1)
             E1t = _pad_bucket(int(np.asarray(C1[7])))
             T1 = _drvtab_jit(N1, min(E1t, N1))(C1)
+            C1 = None
             cache1[("drv", N1)] = T1
         E1 = T1[0].shape[0]
         t0 = _tick("gix1", t0, T1[:6])
@@ -1646,6 +1781,8 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
         (pl, ac, ap, bcn, bp, bo, ns, nalive, plsum) = mout
         t0 = _tick("merge", t0, ns)
         ne1, ne2 = T1[7], T2[7]
+        T1 = T2 = None   # beyond-cache sizes: release the entry arrays
+                         # before the chain sweep's panel temporaries
         res, ns, nalive, plsum = _run_chain(
             None, mout, NSCAP, tcap, chain_break, chain_min, amax, bmax,
             alens_by_rank)

@@ -174,10 +174,7 @@ def test_device_tubes_match_host():
                 np.asarray(getattr(tubes_h, f)).astype(np.int64)), f
 
 
-def test_host_chain_fallback_match(monkeypatch):
-    """Beyond CHAIN_DEV_CAP the chain runs host-side on the device
-    seeds (the 86 Mbp+ HBM envelope); tubes must stay bit-identical."""
-    monkeypatch.setattr(dp, "CHAIN_DEV_CAP", 1 << 12)
+def _big_chain_setup():
     rng = np.random.default_rng(53)
     A = [rng.integers(0, 4, int(rng.integers(4000, 12000)))
          .astype(np.uint8) for _ in range(4)]
@@ -192,6 +189,10 @@ def test_host_chain_fallback_match(monkeypatch):
                      lens1[np.minimum(perm1, len(lens1) - 1)], 40)
     tubes_h = chainm.chain_tubes(seeds_h, int(lens1.max()),
                                  int(lens2.max()), alens)
+    return g1, g2, alens, seeds_h, tubes_h
+
+
+def _check_big_chain(g1, g2, alens, seeds_h, tubes_h):
     for dres in (dp.device_tubes(g1, g2, alens),
                  dp.device_tubes_paneled(g1, g2, alens, panels=4)):
         assert dres is not None
@@ -199,3 +200,26 @@ def test_host_chain_fallback_match(monkeypatch):
         assert nseeds == seeds_h.n
         assert plsum == int(seeds_h.plen.astype(np.int64).sum())
         _tube_eq(tubes_d, tubes_h)
+
+
+def test_device_chain_paneled_match(monkeypatch):
+    """Past CHAIN_DEV_CAP the sweep panels by A-contig ranges on
+    device; tubes must stay bit-identical to the monolithic host
+    sweep."""
+    monkeypatch.setattr(dp, "CHAIN_DEV_CAP", 1 << 12)
+    _check_big_chain(*_big_chain_setup())
+
+
+def test_host_chain_fallback_match(monkeypatch):
+    """Past CHAIN_PANEL_MAX (here: forced) the chain runs host-side on
+    the device seeds; also covers the single-contig panel overflow,
+    where _run_chain_paneled declines."""
+    monkeypatch.setattr(dp, "CHAIN_DEV_CAP", 1 << 12)
+    monkeypatch.setenv("FASTGA_TPU_CHAIN", "host")
+    args = _big_chain_setup()
+    _check_big_chain(*args)
+    # contig overflow: panels smaller than one contig's seeds decline
+    monkeypatch.delenv("FASTGA_TPU_CHAIN")
+    monkeypatch.setattr(dp, "CHAIN_DEV_CAP", 1 << 8)
+    monkeypatch.setattr(dp, "CHAIN_PANEL_MAX", 1 << 30)
+    _check_big_chain(*args)

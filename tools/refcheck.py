@@ -39,6 +39,9 @@ REF_TOOLS = {
                "select.c", "hash.c"],
     "GIXrm": ["GIXrm.c", "gene_core.c", "GDB.c", "ONElib.c", "ANO.c"],
     "ONEview": ["ONEview.c", "ONElib.c", "gene_core.c"],
+    "ALNtoPAF": ["ALNtoPAF.c", "align.c", "alncode.c", "GDB.c",
+                 "ONElib.c", "ANO.c", "gene_core.c", "select.c",
+                 "hash.c"],
 }
 
 
@@ -119,6 +122,9 @@ def main():
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--engine", default="jax")
+    ap.add_argument("--convert", action="store_true",
+                    help="also byte-compare + time ALNtoPAF -x (CIGAR "
+                         "reconstruction) on the reference .1aln")
     args = ap.parse_args()
 
     refbuild = Path(args.refbuild)
@@ -185,6 +191,41 @@ def main():
         print("FAIL")
     else:
         print(f"PASS: {len(ref_recs)} alignment records bit-identical")
+    if status == 0 and args.convert:
+        # converter parity + throughput at scale (ALNtoPAF.c threading
+        # model vs our run_sliced threads; CIGAR mode exercises
+        # Compute_Trace_PTS + Gap_Improver per record).  FastGA's
+        # Clean_Exit removed the auto-built GDBs; recreate them for
+        # sequence access.
+        for fa in ("A.fasta.gz", "B.fasta.gz"):
+            subprocess.run([str(refbuild / "FAtoGDB"), fa],
+                           cwd=wd, env=env, check=True)
+        t0 = time.time()
+        with open(wd / "ref.paf", "wb") as f:
+            subprocess.run([str(refbuild / "ALNtoPAF"), "-x",
+                            f"-T{args.threads}", "ref"],
+                           cwd=wd, env=env, check=True, stdout=f)
+        t_refc = time.time() - t0
+        from fastga_tpu.cli import alntopaf as a2p
+        t0 = time.time()
+        with open(wd / "ours.paf", "w") as f:
+            cwd0 = os.getcwd()
+            os.chdir(wd)
+            try:
+                import contextlib
+                with contextlib.redirect_stdout(f):
+                    rc = a2p.main(["-x", f"-T{args.threads}", "ours"])
+            finally:
+                os.chdir(cwd0)
+        assert rc == 0
+        t_ours_c = time.time() - t0
+        same = (wd / "ref.paf").read_bytes() == \
+            (wd / "ours.paf").read_bytes()
+        print(f"  ALNtoPAF -x: ref {t_refc:.1f}s, ours {t_ours_c:.1f}s "
+              f"({t_refc / max(t_ours_c, 1e-9):.2f}x); byte-identical: "
+              f"{same}")
+        if not same:
+            status = 1
     if not args.keep and args.workdir is None:
         shutil.rmtree(wd, ignore_errors=True)
     return status
