@@ -958,8 +958,13 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
 # Wrapper: GDB pair -> TubeBatch (host fallback when not applicable)
 # ---------------------------------------------------------------------------
 
-_MAX_DEV_BASES = 1 << 26     # beyond this the entry arrays outgrow HBM;
-                             # panel-sharded build is future work
+# Single-shot base cap: the two-orientation entry sort peaks at
+# ~100 B/base (key build + sort in/out + sliced unpack), so 1.5*2^26
+# bases (~10 GB peak) is the 16 GB-HBM envelope; beyond it (or on OOM
+# inside it) the panel-streamed pipeline takes over.  Override with
+# FASTGA_TPU_MAX_DEV_BASES.
+_MAX_DEV_BASES = int(__import__("os").environ.get(
+    "FASTGA_TPU_MAX_DEV_BASES", (1 << 26) + (1 << 25)))
 
 _jit_cache = {}
 

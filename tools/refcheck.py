@@ -162,8 +162,8 @@ def main():
     cwd0 = os.getcwd()
     os.chdir(wd)
     try:
-        rc = cli.main([f"-T{args.threads}", f"-E{args.engine}", "-1:ours",
-                       "A.fasta.gz", "B.fasta.gz"])
+        rc = cli.main(["-v", f"-T{args.threads}", f"-E{args.engine}",
+                       "-1:ours", "A.fasta.gz", "B.fasta.gz"])
     finally:
         os.chdir(cwd0)
     assert rc == 0
