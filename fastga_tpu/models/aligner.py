@@ -186,10 +186,19 @@ def align_genomes(gdb1: GDB, gdb2: GDB,
                             chain_break=params.chain_break,
                             chain_min=params.chain_min)
                     else:
-                        dres = devp.device_tubes_self(
-                            gdb1, alens_by_rank, freq=params.freq,
-                            chain_break=params.chain_break,
-                            chain_min=params.chain_min)
+                        try:
+                            dres = devp.device_tubes_self(
+                                gdb1, alens_by_rank, freq=params.freq,
+                                chain_break=params.chain_break,
+                                chain_min=params.chain_min)
+                        except Exception:
+                            dres = None   # e.g. HBM OOM -> panels
+                        if dres is None:
+                            dres = devp.device_tubes_paneled(
+                                gdb1, None, alens_by_rank,
+                                freq=params.freq,
+                                chain_break=params.chain_break,
+                                chain_min=params.chain_min)
                 else:
                     try:
                         dres = devp.device_tubes(

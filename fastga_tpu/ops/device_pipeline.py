@@ -1555,17 +1555,27 @@ def device_tubes_paneled(gdb1, gdb2, alens_by_rank, freq: int = 10,
                          chain_break: int = 2000, chain_min: int = 170,
                          tcap: int = 1 << 17, panels: int = 0,
                          verbose: bool = False):
-    """Memory-bounded pair pipeline for genomes beyond the single-shot
-    HBM budget: kmer-panel streaming with on-device seed accumulation.
-    Bit-identical to device_tubes / the host path."""
+    """Memory-bounded pipeline for genomes beyond the single-shot HBM
+    budget: kmer-panel streaming with on-device seed accumulation.
+    Bit-identical to device_tubes / the host path.
+
+    Pass the same GDB object twice (or ``gdb2=None``) for paneled
+    self-comparison: adaptamer groups are runs of equal kmers and the
+    panels split on the 24-bit (12-base) kmer prefix, while group
+    membership requires a >=12-base shared prefix — so no group spans a
+    panel boundary and panel concatenation is bit-identical to the
+    single-shot self pipeline (same argument as the pair merge)."""
     import jax
     import jax.numpy as jnp
     from jax import enable_x64
 
     from .chain import TubeBatch
 
+    selfish = gdb2 is None or gdb2 is gdb1
+    if selfish:
+        gdb2 = gdb1
     lens1 = gdb1.contig_lengths()
-    lens2 = gdb2.contig_lengths()
+    lens2 = lens1 if selfish else gdb2.contig_lengths()
     if len(lens1) >= MAX_CONT or len(lens2) >= MAX_CONT:
         return None
     amax, bmax = int(lens1.max()), int(lens2.max())
@@ -1577,7 +1587,7 @@ def device_tubes_paneled(gdb1, gdb2, alens_by_rank, freq: int = 10,
 
     with enable_x64():
         prep1 = _prep_genome(gdb1, lens1)
-        prep2 = _prep_genome(gdb2, lens2)
+        prep2 = prep1 if selfish else _prep_genome(gdb2, lens2)
         N1, N2 = prep1[6], prep2[6]
         NB = max(N1, N2)
         if panels <= 0:
@@ -1590,17 +1600,23 @@ def device_tubes_paneled(gdb1, gdb2, alens_by_rank, freq: int = 10,
         # per-panel caps: ~1.1 entries/bp / P with 2x slack
         cap1 = _pad_bucket(max((2 * N1) // P, 1 << 14))
         cap2c = _pad_bucket(max((2 * N2) // P, 1 << 14))
-        NSCAP_P = max(cap1, 1 << 13)
+        # self fan-out is up to freq-2 per entry (vs ~1 for pairs)
+        NSCAP_P = max(2 * cap1 if selfish else cap1, 1 << 13)
         GCAP = _pad_bucket(max(tot1, 1) * 2)
 
         scan1 = _panel_scan_jit(N1, B, cap1, P, len(prep1[1]), nblocks)
-        scan2 = _panel_scan_jit(N2, B, cap2c, P, len(prep2[1]), nblocks)
+        scan2 = scan1 if selfish else _panel_scan_jit(
+            N2, B, cap2c, P, len(prep2[1]), nblocks)
         # upload the big position maps ONCE (the per-panel loop would
         # otherwise re-upload them every iteration)
         cof1_d = jnp.asarray(prep1[3])
-        cof2_d = jnp.asarray(prep2[3])
-        mfn = _merge_jit(cap1, cap2c, NSCAP_P, max(cap1 // 2, 1 << 12),
-                         freq, False, False)
+        cof2_d = cof1_d if selfish else jnp.asarray(prep2[3])
+        acap_p = max(cap1 if selfish else cap1 // 2, 1 << 12)
+        if selfish:
+            sfn = _self_jit(cap1, NSCAP_P, acap_p, freq, False, False)
+        else:
+            mfn = _merge_jit(cap1, cap2c, NSCAP_P, acap_p,
+                             freq, False, False)
         afn = _append_seeds_jit(NSCAP_P, GCAP)
 
         g1 = jnp.full(GCAP, _I64MAX, jnp.int64)
@@ -1618,16 +1634,20 @@ def device_tubes_paneled(gdb1, gdb2, alens_by_rank, freq: int = 10,
             t0 = _t.time()
             T1, ova = scan1(prep1[0], prep1[1], prep1[2], cof1_d,
                             prep1[4], np.int32(prep1[5]), np.int32(p))
-            T2, ovb = scan2(prep2[0], prep2[1], prep2[2], cof2_d,
-                            prep2[4], np.int32(prep2[5]), np.int32(p))
-            out = mfn(T1, T2, None, None)
+            if selfish:
+                T2, ovb = T1, np.int32(0)
+                out = sfn(T1, None)
+            else:
+                T2, ovb = scan2(prep2[0], prep2[1], prep2[2], cof2_d,
+                                prep2[4], np.int32(prep2[5]), np.int32(p))
+                out = mfn(T1, T2, None, None)
             (pl, ac, ap, bcn, bp, bo, ns, nalive, plsum) = out
             g1, g2, goff, lost = afn(g1, g2, goff, pl, ac, ap, bcn, bp,
                                      bo, ns)
             over = int(np.asarray(ova)) + int(np.asarray(ovb)) \
                 + int(np.asarray(lost)) \
                 + int(int(np.asarray(ns)) > NSCAP_P) \
-                + int(int(np.asarray(nalive)) > max(cap1 // 2, 1 << 12))
+                + int(int(np.asarray(nalive)) > acap_p)
             over_tot += over
             nseeds_tot += int(np.asarray(ns))
             plsum_tot += int(np.asarray(plsum))

@@ -138,6 +138,34 @@ def test_paneled_tubes_match_host():
     _tube_eq(tubes_d, tubes_h)
 
 
+def test_paneled_self_tubes_match_host():
+    """Paneled self-comparison (P10 for FastGA A): bit-identical to the
+    host self pipeline — no adaptamer group spans a 12-base-prefix
+    panel boundary."""
+    rng = np.random.default_rng(59)
+    A = []
+    for _ in range(3):
+        base = rng.integers(0, 4, int(rng.integers(4000, 9000))
+                            ).astype(np.uint8)
+        rep_seg = base[:len(base) // 3]
+        A.append(np.concatenate([base, _mutate(rep_seg, 0.03, rng)]))
+    g1 = _gdb(A)
+    t1 = gixm.build_gix(g1)
+    seeds_h = mergem.self_adaptamer_seeds(t1, freq=10)
+    lens1 = g1.contig_lengths()
+    perm1 = np.asarray(t1.perm)
+    alens = np.where(perm1 < len(lens1),
+                     lens1[np.minimum(perm1, len(lens1) - 1)], 40)
+    amax = int(lens1.max())
+    tubes_h = chainm.chain_tubes(seeds_h, amax, amax, alens)
+    dres = dp.device_tubes_paneled(g1, None, alens, panels=4)
+    assert dres is not None
+    tubes_d, nseeds, plsum = dres
+    assert nseeds == seeds_h.n
+    assert plsum == int(seeds_h.plen.astype(np.int64).sum())
+    _tube_eq(tubes_d, tubes_h)
+
+
 def test_device_tubes_match_host():
     rng = np.random.default_rng(23)
     for rep in range(3):
