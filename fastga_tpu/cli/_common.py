@@ -267,3 +267,20 @@ def run_sliced(items, nthreads: int, worker):
     for part in out:
         res.extend(part)
     return res
+
+
+def cli_exit(main) -> None:
+    """Entry-point wrapper: run ``main()`` and exit, dying silently on a
+    closed stdout pipe the way the C tools do under SIGPIPE (e.g.
+    ``gixshow ... | head``)."""
+    import os
+    try:
+        sys.exit(main())
+    except BrokenPipeError:
+        # re-point stdout at devnull so interpreter shutdown doesn't
+        # raise a second BrokenPipeError from the final flush
+        try:
+            os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        except OSError:
+            pass
+        sys.exit(141)   # 128 + SIGPIPE, the shell convention

@@ -563,4 +563,4 @@ def _make_plot(fo, segs, agdb, bgdb, achord, bchord, labels, printsid,
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    _common.cli_exit(main)

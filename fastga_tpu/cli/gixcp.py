@@ -4,4 +4,4 @@ import sys
 from .gixxfer import main_cp as main
 
 if __name__ == "__main__":
-    sys.exit(main())
+    _common.cli_exit(main)

@@ -451,8 +451,9 @@ def _entry_bytes(t: GixTable) -> np.ndarray:
     return out
 
 
-def read_gix(path) -> GixTable:
-    stub, part_prefix = gix_paths(path)
+def _read_stub(stub):
+    """Parse a .gix stub; returns a dict of header fields (layout
+    written by GIXmake.c:1542-1580, read by FastGA.c:273-344)."""
     with open(stub, "rb") as f:
         kmer, nparts, minval, ibyte = struct.unpack("<iiii", f.read(16))
         assert ibyte == 3 and minval == 1, "unrecognized GIX stub"
@@ -462,37 +463,19 @@ def read_gix(path) -> GixTable:
         freq, ncontig = struct.unpack("<ii", f.read(8))
         perm = np.fromfile(f, dtype="<i4", count=ncontig)
         (sentinel,) = struct.unpack("<q", f.read(8))
-        if sentinel != -1:
-            # pre-v1.3 "old" GIX: counts in the ktab, posts in separate
-            # .post part files (FastGA.c:273-344 Open_Post_List;
-            # old_merge_thread 1027-1546; GIXshow.c Print_Index_Old)
-            return _read_gix_old(stub, part_prefix, kmer, nparts, cumpre,
-                                 post_bytes, cont_bytes, freq, ncontig,
-                                 perm)
-
-    kb = kmer // 4
-    esz = (kb - 3) + 2 + post_bytes + cont_bytes
-    chunks = []
-    for p in range(nparts):
-        with open(f"{part_prefix}{p+1}", "rb") as f:
-            (k2,) = struct.unpack("<i", f.read(4))
-            (nents,) = struct.unpack("<q", f.read(8))
-            chunks.append(np.fromfile(f, dtype=np.uint8
-                                      ).reshape(nents, esz))
-    e = np.concatenate(chunks) if chunks else np.zeros((0, esz), np.uint8)
-    n = len(e)
-
     prefix_index = np.zeros(NPREFIX + 1, dtype=np.int64)
     prefix_index[1:] = cumpre
-    # reconstruct full k-mer bytes: prefix from panel id + suffix from entry
-    kbytes = np.zeros((n, kb), dtype=np.uint8)
-    if n:
-        p24 = np.repeat(np.arange(NPREFIX, dtype=np.int64),
-                        np.diff(prefix_index))
-        kbytes[:, 0] = (p24 >> 16).astype(np.uint8)
-        kbytes[:, 1] = (p24 >> 8).astype(np.uint8)
-        kbytes[:, 2] = p24.astype(np.uint8)
-        kbytes[:, 3:] = e[:, : kb - 3]
+    return dict(kmer=kmer, nparts=nparts, cumpre=cumpre,
+                prefix_index=prefix_index, post_bytes=post_bytes,
+                cont_bytes=cont_bytes, freq=freq, ncontig=ncontig,
+                perm=perm, new_format=(sentinel == -1))
+
+
+def _decode_entry_rows(e, kb, post_bytes, cont_bytes):
+    """Decode raw ktab entry rows [suffix kb-3][mask][lcp][post le]
+    [cont le+flag] into column arrays (suffix, maskb, lcp, post, cont,
+    comp)."""
+    n = len(e)
     maskb = e[:, kb - 3].copy()
     lcp = e[:, kb - 2].copy()
     o = kb - 1
@@ -506,11 +489,272 @@ def read_gix(path) -> GixTable:
     flag = 1 << (8 * cont_bytes - 1)
     comp = (cv & flag) != 0
     cont = (cv & (flag - 1)).astype(np.int32)
+    return e[:, : kb - 3], maskb, lcp, post, cont, comp
+
+
+def read_gix(path) -> GixTable:
+    stub, part_prefix = gix_paths(path)
+    h = _read_stub(stub)
+    kmer, nparts = h["kmer"], h["nparts"]
+    post_bytes, cont_bytes = h["post_bytes"], h["cont_bytes"]
+    if not h["new_format"]:
+        # pre-v1.3 "old" GIX: counts in the ktab, posts in separate
+        # .post part files (FastGA.c:273-344 Open_Post_List;
+        # old_merge_thread 1027-1546; GIXshow.c Print_Index_Old)
+        return _read_gix_old(stub, part_prefix, kmer, nparts, h["cumpre"],
+                             post_bytes, cont_bytes, h["freq"],
+                             h["ncontig"], h["perm"])
+
+    kb = kmer // 4
+    esz = (kb - 3) + 2 + post_bytes + cont_bytes
+    chunks = []
+    for p in range(nparts):
+        with open(f"{part_prefix}{p+1}", "rb") as f:
+            (k2,) = struct.unpack("<i", f.read(4))
+            (nents,) = struct.unpack("<q", f.read(8))
+            chunks.append(np.fromfile(f, dtype=np.uint8
+                                      ).reshape(nents, esz))
+    e = np.concatenate(chunks) if chunks else np.zeros((0, esz), np.uint8)
+    n = len(e)
+
+    prefix_index = h["prefix_index"]
+    # reconstruct full k-mer bytes: prefix from panel id + suffix from entry
+    kbytes = np.zeros((n, kb), dtype=np.uint8)
+    suf, maskb, lcp, post, cont, comp = _decode_entry_rows(
+        e, kb, post_bytes, cont_bytes)
+    if n:
+        p24 = np.repeat(np.arange(NPREFIX, dtype=np.int64),
+                        np.diff(prefix_index))
+        kbytes[:, 0] = (p24 >> 16).astype(np.uint8)
+        kbytes[:, 1] = (p24 >> 8).astype(np.uint8)
+        kbytes[:, 2] = p24.astype(np.uint8)
+        kbytes[:, 3:] = suf
 
     return GixTable(kmer=kmer, kbytes=kbytes, post=post.astype(np.int32),
                     cont=cont, comp=comp, lcp=lcp, maskb=maskb,
-                    prefix_index=prefix_index, perm=perm,
-                    post_bytes=post_bytes, cont_bytes=cont_bytes, freq=freq)
+                    prefix_index=prefix_index, perm=h["perm"],
+                    post_bytes=post_bytes, cont_bytes=cont_bytes,
+                    freq=h["freq"])
+
+
+class KmerStream:
+    """Streaming cursor over an on-disk new-format GIX with bounded
+    memory: the out-of-core analog of libfastk's Kmer_Stream
+    (Open_Kmer_Stream libfastk.c:785-907, First/Next_Kmer_Entry,
+    GoTo_Kmer_Index libfastk.c:1272, Clone_Kmer_Stream libfastk.c:909).
+    Only the 2^24-entry prefix table plus one ``bufents``-entry read
+    buffer are resident (the reference likewise keeps the full prefix
+    table and a part-file read buffer).
+
+    Iteration:   s.first() / while not s.eof: ... s.next()
+    Random:      s.goto_index(i); s.goto_kmer(codes) -> first idx >= codes
+    Batched:     s.entries(beg, end) yields decoded column-array chunks.
+    Current entry accessors: idx, kmer_codes(), post, cont, comp, lcp,
+    maskb (values mirror GixTable columns).
+    """
+
+    def __init__(self, path, bufents: int = 1 << 16):
+        self._path = path
+        stub, part_prefix = gix_paths(path)
+        h = _read_stub(stub)
+        if not h["new_format"]:
+            raise ValueError(
+                "KmerStream requires a new-format (v1.3+) GIX; use "
+                "read_gix() for old-format indices")
+        self.kmer = h["kmer"]
+        self.post_bytes = h["post_bytes"]
+        self.cont_bytes = h["cont_bytes"]
+        self.freq = h["freq"]
+        self.perm = h["perm"]
+        self.prefix_index = h["prefix_index"]
+        self.nels = int(self.prefix_index[-1])
+        self._kb = self.kmer // 4
+        self._esz = (self._kb - 3) + 2 + self.post_bytes + self.cont_bytes
+        self._bufents = max(int(bufents), 1)
+        # part boundaries in global entry index space
+        self._parts = []
+        self._pstart = [0]
+        for p in range(h["nparts"]):
+            fn = f"{part_prefix}{p+1}"
+            with open(fn, "rb") as f:
+                f.seek(4)
+                (nents,) = struct.unpack("<q", f.read(8))
+            self._parts.append(fn)
+            self._pstart.append(self._pstart[-1] + int(nents))
+        if self._pstart[-1] != self.nels:
+            raise ValueError("GIX part sizes disagree with stub prefix "
+                             "table")
+        self._pstart = np.asarray(self._pstart, np.int64)
+        self._f = None
+        self._fpart = -1
+        self._buf = np.zeros((0, self._esz), np.uint8)
+        self._buf0 = 0          # global index of buffer row 0
+        self.idx = -1           # current entry (before first())
+        self._cpre = 0
+
+    # -- position --------------------------------------------------------
+
+    @property
+    def eof(self) -> bool:
+        return self.idx >= self.nels
+
+    def first(self):
+        self.goto_index(0)
+        return self
+
+    def next(self) -> bool:
+        """Advance; returns False once past the last entry."""
+        self.idx += 1
+        if self.idx >= self.nels:
+            return False
+        pi = self.prefix_index
+        while pi[self._cpre + 1] <= self.idx:
+            self._cpre += 1
+        return True
+
+    def goto_index(self, i: int):
+        """Position on global entry index i (0 <= i <= nels)."""
+        if not 0 <= i <= self.nels:
+            raise IndexError(f"entry index {i} out of range")
+        self.idx = int(i)
+        if self.idx < self.nels:
+            self._cpre = int(np.searchsorted(self.prefix_index, self.idx,
+                                             side="right") - 1)
+        return self
+
+    def goto_kmer(self, codes: np.ndarray) -> int:
+        """Position on the first entry whose k-mer >= the given base
+        codes (padded with 'a' to k); returns that index (== nels when
+        past the end).  In-panel binary search through the read buffer
+        (GoTo_Kmer_String libfastk.c:1297+)."""
+        q = np.zeros(self.kmer, np.uint8)
+        q[:len(codes)] = codes[:self.kmer]
+        p24 = int(q[0]) << 22 | int(q[1]) << 20 | int(q[2]) << 18 \
+            | int(q[3]) << 16 | int(q[4]) << 14 | int(q[5]) << 12 \
+            | int(q[6]) << 10 | int(q[7]) << 8 | int(q[8]) << 6 \
+            | int(q[9]) << 4 | int(q[10]) << 2 | int(q[11])
+        lo = int(self.prefix_index[p24])
+        hi = int(self.prefix_index[p24 + 1])
+        qr = q[12:].reshape(-1, 4)
+        probe = bytes((qr[:, 0] << 6) | (qr[:, 1] << 4) | (qr[:, 2] << 2)
+                      | qr[:, 3])
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self._row(mid)[: self._kb - 3].tobytes() < probe:
+                lo = mid + 1
+            else:
+                hi = mid
+        return self.goto_index(lo).idx
+
+    def clone(self) -> "KmerStream":
+        """Independent cursor at the same position (Clone_Kmer_Stream
+        libfastk.c:909: threads share the index, not the file unit)."""
+        c = KmerStream(self._path, self._bufents)
+        if 0 <= self.idx < self.nels:
+            c.goto_index(self.idx)
+        else:
+            c.idx = self.idx
+        return c
+
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+            self._fpart = -1
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # -- raw row access --------------------------------------------------
+
+    def _row(self, i: int) -> np.ndarray:
+        if not (self._buf0 <= i < self._buf0 + len(self._buf)):
+            self._fill(i)
+        return self._buf[i - self._buf0]
+
+    def _fill(self, i: int):
+        p = int(np.searchsorted(self._pstart, i, side="right") - 1)
+        if p != self._fpart:
+            self.close()
+            self._f = open(self._parts[p], "rb")
+            self._fpart = p
+        off = i - int(self._pstart[p])
+        want = min(self._bufents, int(self._pstart[p + 1]) - i)
+        self._f.seek(12 + off * self._esz)
+        raw = np.fromfile(self._f, np.uint8, want * self._esz)
+        self._buf = raw.reshape(-1, self._esz)
+        self._buf0 = i
+
+    # -- current-entry accessors ----------------------------------------
+
+    def _cur(self) -> np.ndarray:
+        if not 0 <= self.idx < self.nels:
+            raise IndexError("cursor not on an entry (call first())")
+        return self._row(self.idx)
+
+    def kmer_codes(self) -> np.ndarray:
+        """Current k-mer as base codes 0..3."""
+        out = np.empty(self.kmer, np.uint8)
+        p = self._cpre
+        for j in range(12):
+            out[j] = (p >> (22 - 2 * j)) & 3
+        sfx = self._cur()[: self._kb - 3]
+        out[12 + 0::4] = (sfx >> 6) & 3
+        out[12 + 1::4] = (sfx >> 4) & 3
+        out[12 + 2::4] = (sfx >> 2) & 3
+        out[12 + 3::4] = sfx & 3
+        return out
+
+    def _decode1(self):
+        e = self._cur().reshape(1, -1)
+        return _decode_entry_rows(e, self._kb, self.post_bytes,
+                                  self.cont_bytes)
+
+    @property
+    def maskb(self) -> int:
+        return int(self._cur()[self._kb - 3])
+
+    @property
+    def lcp(self) -> int:
+        return int(self._cur()[self._kb - 2])
+
+    @property
+    def post(self) -> int:
+        return int(self._decode1()[3][0])
+
+    @property
+    def cont(self) -> int:
+        return int(self._decode1()[4][0])
+
+    @property
+    def comp(self) -> bool:
+        return bool(self._decode1()[5][0])
+
+    # -- batched decode --------------------------------------------------
+
+    def entries(self, beg: int = 0, end: Optional[int] = None,
+                chunk: Optional[int] = None):
+        """Yield (idx0, suffix, maskb, lcp, post, cont, comp) decoded
+        column-array chunks for entries [beg, end) without loading the
+        table; chunks never span part files."""
+        end = self.nels if end is None else min(end, self.nels)
+        chunk = chunk or self._bufents
+        i = beg
+        while i < end:
+            p = int(np.searchsorted(self._pstart, i, side="right") - 1)
+            stop = min(end, int(self._pstart[p + 1]), i + chunk)
+            with open(self._parts[p], "rb") as f:
+                f.seek(12 + (i - int(self._pstart[p])) * self._esz)
+                raw = np.fromfile(f, np.uint8, (stop - i) * self._esz)
+            rows = raw.reshape(-1, self._esz)
+            yield (i,) + _decode_entry_rows(rows, self._kb,
+                                            self.post_bytes,
+                                            self.cont_bytes)
+            i = stop
 
 
 def _read_gix_old(stub, part_prefix, kmer, nparts, cumpre, post_bytes,

@@ -157,3 +157,66 @@ def test_old_format_roundtrip(tmp_path, small_gdb):
     gixm.remove_gix(root)
     assert not (tmp_path / ".old.post.1").exists()
     assert not (tmp_path / ".old.ktab.1").exists()
+
+
+def test_kmer_stream(small_gdb):
+    """KmerStream (libfastk Kmer_Stream parity) must reproduce read_gix
+    column-for-column through a tiny read buffer, support goto_kmer ==
+    GixTable.searchsorted, clone, and batched entries()."""
+    g, tmp = small_gdb
+    t = gixm.build_gix(g)
+    gixm.write_gix(t, tmp / "s", nthreads=4)   # multiple part files
+    s = gixm.KmerStream(tmp / "s", bufents=64)
+    assert s.nels == t.n
+    assert s.kmer == t.kmer
+    assert np.array_equal(np.asarray(s.perm), np.asarray(t.perm))
+
+    # full iteration matches the in-memory table
+    s.first()
+    i = 0
+    while not s.eof:
+        assert np.array_equal(s.kmer_codes(), t.kmer_codes(i)), i
+        assert s.post == int(t.post[i])
+        assert s.cont == int(t.cont[i])
+        assert s.comp == bool(t.comp[i])
+        assert s.lcp == int(t.lcp[i])
+        assert s.maskb == int(t.maskb[i])
+        i += 1
+        s.next()
+    assert i == t.n
+
+    # random access + clone
+    rng = np.random.default_rng(11)
+    for i in rng.integers(0, t.n, 16):
+        s.goto_index(int(i))
+        assert np.array_equal(s.kmer_codes(), t.kmer_codes(int(i)))
+        c = s.clone()
+        assert c.idx == s.idx and c.post == s.post
+        c.close()
+
+    # goto_kmer == searchsorted on existing and probe kmers
+    for i in rng.integers(0, t.n, 8):
+        codes = t.kmer_codes(int(i))
+        assert s.goto_kmer(codes) == t.searchsorted(codes)
+    for _ in range(8):
+        codes = rng.integers(0, 4, t.kmer).astype(np.uint8)
+        assert s.goto_kmer(codes) == t.searchsorted(codes)
+
+    # batched decode covers every entry exactly once, in order
+    got = 0
+    for (i0, suf, maskb, lcp, post, cont, comp) in s.entries(chunk=100):
+        n = len(post)
+        assert i0 == got
+        assert np.array_equal(post, t.post[i0:i0 + n].astype(np.int64))
+        assert np.array_equal(cont, t.cont[i0:i0 + n])
+        assert np.array_equal(comp, t.comp[i0:i0 + n])
+        assert np.array_equal(lcp, t.lcp[i0:i0 + n])
+        assert np.array_equal(suf, t.kbytes[i0:i0 + n, 3:])
+        got += n
+    assert got == t.n
+    s.close()
+
+    # old format is rejected with a clear error
+    gixm.write_gix_old(t, tmp / "o")
+    with pytest.raises(ValueError):
+        gixm.KmerStream(tmp / "o")
