@@ -1228,6 +1228,14 @@ def _chain_panel_jit(CAP, tcap, chain_break, chain_min):
     return fn
 
 
+def _chain_dbg(msg):
+    import os
+    if os.environ.get("FASTGA_DEVPIPE_DEBUG"):
+        import sys
+        import time as _t
+        sys.stderr.write(f"devpipe chain {msg} [t={_t.time() % 1e4:.2f}]\n")
+
+
 def _run_chain_paneled(seeds6, ns_host, nscap, tcap, chain_break,
                        chain_min, amax, bmax, alens_pad):
     """Device chain sweep past the single-shot HBM envelope: one stable
@@ -1237,13 +1245,17 @@ def _run_chain_paneled(seeds6, ns_host, nscap, tcap, chain_break,
     monolithic sweep — the same argument as the host batching,
     ops/chain.chain_tubes).  Returns host tube arrays or None when a
     single contig's seeds exceed the panel cap (host fallback)."""
+    import time as _t
+
     import jax.numpy as jnp
     pl, ac, ap, bcn, bp, bo = seeds6
     cap = min(_pad_bucket(max(ns_host, 1 << 13)), pl.shape[0])
+    t0 = _t.time()
     k, v1, v2, bounds = _seedsort_jit(cap, alens_pad.shape[0])(
         *(x[:cap] for x in (pl, ac, ap, bcn, bp, bo)),
         np.int64(ns_host))
     bounds = np.asarray(bounds).astype(np.int64)
+    _chain_dbg(f"seedsort cap={cap}: {_t.time() - t0:.2f}s")
     # greedy panels: largest contig boundary within CAP of the start.
     # Half the single-shot cap: the packed sorted stream (and, on the
     # first panelled run, leftover merge arrays) share HBM with the
@@ -1261,11 +1273,14 @@ def _run_chain_paneled(seeds6, ns_host, nscap, tcap, chain_break,
     pfn = _chain_panel_jit(PANEL, tcap, chain_break, chain_min)
     outs = []
     total = 0
-    for off, end in panels:
+    for pi, (off, end) in enumerate(panels):
+        t0 = _t.time()
         res = pfn(k, v1, v2, np.int64(off), np.int32(end - off),
                   np.int32(amax), np.int32(bmax), jnp.asarray(alens_pad))
         res = [np.asarray(x) for x in res]
         nt = int(res[8])
+        _chain_dbg(f"panel {pi + 1}/{len(panels)} rows={end - off} "
+                   f"nt={nt}: {_t.time() - t0:.2f}s")
         if nt > tcap:
             return None          # panel tube overflow -> host path
         outs.append([x[:nt] for x in res[:8]])
@@ -1299,10 +1314,13 @@ def _run_chain(tubeify, seeds_out, nscap, tcap, chain_break, chain_min,
             chain_break, chain_min, amax, bmax, alens_pad)
         if res is not None:
             return res, ns, nalive, plsum
+        _chain_dbg(f"paneled declined (ns={ns_host}) -> host sweep")
     if cap > CHAIN_DEV_CAP:
         # beyond the paneled envelope (or a single contig overflows a
         # panel) — run the memory-bounded host sweep instead (chain.py
         # batches per A-contig panel; bit-identical to the device sweep)
+        import time as _t
+        t0 = _t.time()
         from . import chain as chainm
         from .merge import SeedBatch
         sb = SeedBatch(
@@ -1315,6 +1333,7 @@ def _run_chain(tubeify, seeds_out, nscap, tcap, chain_break, chain_min,
         t = chainm.chain_tubes(sb, int(amax), int(bmax),
                                np.asarray(alens_by_rank),
                                chain_break, chain_min)
+        _chain_dbg(f"host sweep ns={ns_host}: {_t.time() - t0:.2f}s")
         res = (t.acont.astype(np.int64), t.bcont.astype(np.int64),
                t.comp.astype(np.int64), t.dgmin.astype(np.int64),
                t.dgmax.astype(np.int64), t.alow, t.ahgh, t.pairing,
@@ -1324,9 +1343,13 @@ def _run_chain(tubeify, seeds_out, nscap, tcap, chain_break, chain_min,
         pl, ac, ap, bcn, bp, bo = (
             x[:cap] for x in (pl, ac, ap, bcn, bp, bo))
         nscap = cap
+    import time as _t2
+    t0 = _t2.time()
     res = _chain_jit(nscap, tcap, chain_break, chain_min)(
         (pl, ac, ap, bcn, bp, bo), ns, np.int32(amax), np.int32(bmax),
         jnp.asarray(alens_pad))
+    _chain_dbg(f"monolithic ns={ns_host} cap={nscap}: "
+               f"{_t2.time() - t0:.2f}s (dispatch)")
     return res, ns, nalive, plsum
 
 
