@@ -160,11 +160,14 @@ def align_genomes(gdb1: GDB, gdb2: GDB,
                          and t2.maskb.any()))
         try:
             with prof.span("aligner.devpipe"):
-                if (mesh is not None and not has_masks and not selfcmp):
+                if (mesh is not None and not has_masks
+                        and (t1 is None or not selfcmp)):
                     # multi-device: the P1-P4/P7 sharded pipeline
+                    # (pair or self)
                     from ..parallel import sharded as shardm
                     dres = shardm.sharded_tubes(
-                        gdb1, gdb2, alens_by_rank, mesh,
+                        gdb1, gdb1 if selfcmp else gdb2,
+                        alens_by_rank, mesh,
                         freq=params.freq,
                         chain_break=params.chain_break,
                         chain_min=params.chain_min)

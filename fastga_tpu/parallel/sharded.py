@@ -83,12 +83,15 @@ def _fragment_table(jnp, jax_, ka, kb):
 
 def build_sharded_tubes(mesh, L: int, cap2: int, nscap: int, scap: int,
                         tcap: int, freq: int,
-                        chain_break: int, chain_min: int, D: int):
+                        chain_break: int, chain_min: int, D: int,
+                        selfish: bool = False):
     """Compile the sharded seed pipeline (one shape class).
 
     L: per-device position-block length; cap2: per (src,dst) candidate
     slots; nscap: per-shard seed cap; scap: per (src,dst) seed slots;
-    tcap: per-shard tube cap.
+    tcap: per-shard tube cap.  ``selfish`` compiles the self-comparison
+    variant (per-shard self_seeds over the one routed table; exact for
+    the same prefix-panel reason as the pair merge).
     """
     import jax
     import jax.numpy as jnp
@@ -135,13 +138,18 @@ def build_sharded_tubes(mesh, L: int, cap2: int, nscap: int, scap: int,
                                    rb.reshape(-1)), over
 
         T1, ov1 = gen_route(bps1, coff1, clen1, cof1, invp1, nc1)
-        T2, ov2 = gen_route(bps2, coff2, clen2, cof2, invp2, nc2)
 
         # per-shard adaptamer merge (exact: prefix panels own whole
         # adaptamer groups)
         acap = max(nscap // 2, 1 << 10)
-        (pl, ac, ap, bcn, bp, bo, ns, nalive) = dp.merge_seeds(
-            T1, T2, nscap, freq, acap)
+        if selfish:
+            ov2 = jnp.int32(0)
+            (pl, ac, ap, bcn, bp, bo, ns, nalive) = dp.self_seeds(
+                T1, nscap, freq, acap)
+        else:
+            T2, ov2 = gen_route(bps2, coff2, clen2, cof2, invp2, nc2)
+            (pl, ac, ap, bcn, bp, bo, ns, nalive) = dp.merge_seeds(
+                T1, T2, nscap, freq, acap)
         sidx = jnp.arange(nscap, dtype=jnp.int32)
         vseed = sidx < ns
         plsum = jnp.sum(jnp.where(vseed, pl, 0))
@@ -225,16 +233,21 @@ def sharded_tubes(gdb1, gdb2, alens_by_rank, mesh, freq: int = 10,
                   chain_break: int = 2000, chain_min: int = 170,
                   tcap: int = 1 << 13):
     """TubeBatch via the sharded pipeline; bit-identical to
-    device_tubes / the host pipeline.  Returns None when caps exceeded."""
+    device_tubes / the host pipeline.  Returns None when caps exceeded.
+    Pass the same GDB twice (or ``gdb2=None``) for sharded
+    self-comparison."""
     import jax
     import jax.numpy as jnp
     from jax import enable_x64
 
     from ..ops.chain import TubeBatch
 
+    selfish = gdb2 is None or gdb2 is gdb1
+    if selfish:
+        gdb2 = gdb1
     D = mesh.devices.size
     lens1 = gdb1.contig_lengths()
-    lens2 = gdb2.contig_lengths()
+    lens2 = lens1 if selfish else gdb2.contig_lengths()
     amax, bmax = int(lens1.max()), int(lens2.max())
     if len(lens1) >= MAX_CONT or len(lens2) >= MAX_CONT \
             or freq > MAX_FREQ or amax + 2 * bmax >= (1 << 30):
@@ -242,13 +255,13 @@ def sharded_tubes(gdb1, gdb2, alens_by_rank, mesh, freq: int = 10,
 
     with enable_x64():
         prep1 = dp._prep_genome(gdb1, lens1)
-        prep2 = dp._prep_genome(gdb2, lens2)
+        prep2 = prep1 if selfish else dp._prep_genome(gdb2, lens2)
         N = max(prep1[6], prep2[6])
         # common position-block length across genomes (same mesh step)
         L = -(-N // D)
         L = ((L + 15) // 16) * 16
         cap2 = max(256, (-(-2 * L // D)) * 2)
-        nscap = max(1 << 12, _pad_bucket(2 * L))
+        nscap = max(1 << 12, _pad_bucket((4 if selfish else 2) * L))
         scap = max(256, (-(-nscap // D)) * 2)
 
         # A-contig owner map: contiguous rank ranges balanced by bp
@@ -265,12 +278,12 @@ def sharded_tubes(gdb1, gdb2, alens_by_rank, mesh, freq: int = 10,
         alens_pad[:len(alens_by_rank)] = alens_by_rank
 
         key = (D, L, cap2, nscap, scap, tcap, freq, chain_break,
-               chain_min)
+               chain_min, selfish)
         fn = _shard_cache.get(key)
         if fn is None:
             fn = build_sharded_tubes(mesh, L, cap2, nscap, scap,
                                      tcap, freq, chain_break, chain_min,
-                                     D)
+                                     D, selfish)
             _shard_cache[key] = fn
         i0s = (np.arange(D) * L).astype(np.int32)
         out = fn(prep1[0], prep1[1], prep1[2], prep1[3], prep1[4],

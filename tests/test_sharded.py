@@ -78,3 +78,63 @@ def test_sharded_e2e_overlaps_match():
                 a.bepos, a.diffs, a.trace) == \
                (b.aread, b.bread, b.bcomp, b.abpos, b.aepos, b.bbpos,
                 b.bepos, b.diffs, b.trace)
+
+
+def test_sharded_self_tubes_match_host():
+    """Sharded self-comparison (FastGA A over the mesh) must reproduce
+    the host self pipeline bit for bit, including tube order."""
+    rng = np.random.default_rng(101)
+    A = []
+    for _ in range(4):
+        base = rng.integers(0, 4, int(rng.integers(4000, 10000))
+                            ).astype(np.uint8)
+        rep_seg = base[:len(base) // 3]
+        A.append(np.concatenate([base, _mutate(rep_seg, 0.03, rng)]))
+    g1 = _gdb(A)
+    lens1 = g1.contig_lengths()
+    t1h = gixm.build_gix(g1)
+    perm1 = np.asarray(t1h.perm)
+    alens = np.where(perm1 < len(lens1),
+                     lens1[np.minimum(perm1, len(lens1) - 1)], 40)
+    seeds_h = mergem.self_adaptamer_seeds(t1h, freq=10)
+    amax = int(lens1.max())
+    tubes_h = chainm.chain_tubes(seeds_h, amax, amax, alens)
+
+    mesh = sharded.make_mesh(8)
+    sres = sharded.sharded_tubes(g1, None, alens, mesh)
+    assert sres is not None
+    tubes_s, nseeds, plsum = sres
+    assert nseeds == seeds_h.n
+    assert plsum == int(seeds_h.plen.astype(np.int64).sum())
+    assert tubes_s.n == tubes_h.n
+    for f in ("acont", "bcont", "comp", "dgmin", "dgmax", "alow",
+              "ahgh", "pairing"):
+        assert np.array_equal(
+            np.asarray(getattr(tubes_s, f)).astype(np.int64),
+            np.asarray(getattr(tubes_h, f)).astype(np.int64)), f
+
+
+def test_sharded_self_e2e_overlaps_match():
+    """align_genomes(mesh=...) self == single-device self output."""
+    from fastga_tpu.models import aligner
+
+    rng = np.random.default_rng(103)
+    A = []
+    for _ in range(3):
+        base = rng.integers(0, 4, 8000).astype(np.uint8)
+        A.append(np.concatenate([base, _mutate(base[:3000], 0.03, rng)]))
+    g1 = _gdb(A)
+
+    ovls_single, stats_single = aligner.align_genomes(
+        g1, g1, engine="jax")
+    mesh = sharded.make_mesh(8)
+    ovls_sharded, stats_sharded = aligner.align_genomes(
+        g1, g1, engine="jax", mesh=mesh)
+    assert stats_sharded.get("sharded") == mesh.devices.size
+    assert stats_sharded["nseeds"] == stats_single["nseeds"]
+    assert len(ovls_sharded) == len(ovls_single)
+    for a, b in zip(ovls_sharded, ovls_single):
+        assert (a.aread, a.bread, a.bcomp, a.abpos, a.aepos, a.bbpos,
+                a.bepos, a.diffs, a.trace) == \
+               (b.aread, b.bread, b.bcomp, b.abpos, b.aepos, b.bbpos,
+                b.bepos, b.diffs, b.trace)
