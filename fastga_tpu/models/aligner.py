@@ -144,7 +144,7 @@ def align_genomes(gdb1: GDB, gdb2: GDB,
 
     tubes = None
     import os as _os
-    if (engine == "jax" and not symmetric
+    if (engine == "jax"
             and _os.environ.get("FASTGA_TPU_NO_DEVPIPE") != "1"):
         # default path: gix build + adaptamer merge + chain sweep run as
         # device programs (gather-free sort/scan formulation); only tube
@@ -160,7 +160,7 @@ def align_genomes(gdb1: GDB, gdb2: GDB,
                          and t2.maskb.any()))
         try:
             with prof.span("aligner.devpipe"):
-                if (mesh is not None and not has_masks
+                if (mesh is not None and not has_masks and not symmetric
                         and (t1 is None or not selfcmp)):
                     # multi-device: the P1-P4/P7 sharded pipeline
                     # (pair or self)
@@ -180,7 +180,8 @@ def align_genomes(gdb1: GDB, gdb2: GDB,
                         freq=params.freq,
                         chain_break=params.chain_break,
                         chain_min=params.chain_min,
-                        soft_mask=params.soft_mask)
+                        soft_mask=params.soft_mask,
+                        symmetric=symmetric and not selfcmp)
                 elif selfcmp:
                     if t1 is not None:
                         dres = devp.device_tubes_tables(
@@ -207,10 +208,11 @@ def align_genomes(gdb1: GDB, gdb2: GDB,
                         dres = devp.device_tubes(
                             gdb1, gdb2, alens_by_rank, freq=params.freq,
                             chain_break=params.chain_break,
-                            chain_min=params.chain_min)
+                            chain_min=params.chain_min,
+                            symmetric=symmetric)
                     except Exception:
                         dres = None   # e.g. HBM OOM -> panel streaming
-                    if dres is None:
+                    if dres is None and not symmetric:
                         dres = devp.device_tubes_paneled(
                             gdb1, gdb2, alens_by_rank, freq=params.freq,
                             chain_break=params.chain_break,

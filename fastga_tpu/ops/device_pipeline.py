@@ -410,7 +410,7 @@ def _pack6(jnp, vals, lo_count):
 
 def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
                 soft_mask: bool = False, has_masks: bool = False,
-                maskb1=None, maskb2=None):
+                maskb1=None, maskb2=None, flip: bool = False):
     """Adaptamer seeds between two device tables (jit-traceable).
 
     Combined-stream port of ops/merge._merge_chunk: T1-forward and T2
@@ -423,6 +423,16 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
     `acap`: cap on alive T1 rows (default E1//2).  When masks are in
     play pass has_masks=True with per-entry mask bytes; masked-out seeds
     are compacted away exactly like the host path.
+
+    ``flip=True`` is the -S symmetric second pass (new_merge_thread flip
+    branch FastGA.c:833-913, host port ops/merge.adaptamer_seeds_flip):
+    T1 here is the *driving* table = genome 2 (any orientation drives),
+    T2 the member table = genome 1; emitted pairs are (A = forward T1
+    member, B = driver) with bcomp = driver orientation.  The emitted
+    multiset equals the host's; emission order is (driver, member)
+    rather than the host's (member, driver) — downstream chain sweeps
+    aggregate per bucket, so identical seed multisets give identical
+    tubes.  Pass masks swapped accordingly (maskb1 = driver's).
     """
     jax, jnp = _jx()
     E1 = T1[0].shape[0]
@@ -436,8 +446,9 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
 
     k1a, k2a, val1 = _entry_keys(jnp, T1, 0)
     k1b, k2b, val2 = _entry_keys(jnp, T2, 1)
-    # only forward T1 entries drive the merge
-    drive1 = val1 & (T1[5] == 0)
+    # only forward T1 entries drive the merge (flip: any orientation,
+    # FastGA.c:916-928 applies to the un-flipped side only)
+    drive1 = val1 if flip else (val1 & (T1[5] == 0))
     k1a = jnp.where(drive1, k1a, _I64MAX)
     k2a = jnp.where(drive1, k2a, _I64MAX)
 
@@ -536,8 +547,12 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
     cnt = jnp.where(alive, count, 0)
 
     # compact alive T1 rows (stable); payload packed into sort values
+    # (flip: the driver's orientation rides at bit 47 — it becomes the
+    # emitted bcomp)
     v1 = ((plen.astype(jnp.int64) << 40) | (cont.astype(jnp.int64) << 28)
           | post.astype(jnp.int64))
+    if flip:
+        v1 = v1 | (comp.astype(jnp.int64) << 47)
     y0 = ins - dnc
     v2 = (y0.astype(jnp.int64) << 8) | cnt.astype(jnp.int64)
     kc = jnp.where(alive, jnp.int64(0), jnp.int64(1) << 58) \
@@ -572,18 +587,32 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
               | (T2[5].astype(jnp.int64) << 6) | mb2)
     tg = t2pack[yc]
 
-    pl = (g1 >> 40).astype(jnp.int32)
-    ac = ((g1 >> 28) & (MAX_CONT - 1)).astype(jnp.int32)
-    ap = (g1 & (MAX_POST - 1)).astype(jnp.int32)
-    bp = (tg >> 19).astype(jnp.int32)
-    bc = ((tg >> 7) & (MAX_CONT - 1)).astype(jnp.int32)
-    bo = ((tg >> 6) & 1).astype(jnp.int32)
+    pl = (g1 >> 40).astype(jnp.int32) & 63
     valid_slot = sidx < nseeds
+    if flip:
+        # roles swap: A side = forward member (from T2 = genome 1),
+        # B side = driver (genome 2) with its own orientation
+        ac = ((tg >> 7) & (MAX_CONT - 1)).astype(jnp.int32)
+        ap = (tg >> 19).astype(jnp.int32)
+        bc = ((g1 >> 28) & (MAX_CONT - 1)).astype(jnp.int32)
+        bp = (g1 & (MAX_POST - 1)).astype(jnp.int32)
+        bo = ((g1 >> 47) & 1).astype(jnp.int32)
+        member_fwd = ((tg >> 6) & 1) == 0
+    else:
+        ac = ((g1 >> 28) & (MAX_CONT - 1)).astype(jnp.int32)
+        ap = (g1 & (MAX_POST - 1)).astype(jnp.int32)
+        bp = (tg >> 19).astype(jnp.int32)
+        bc = ((tg >> 7) & (MAX_CONT - 1)).astype(jnp.int32)
+        bo = ((tg >> 6) & 1).astype(jnp.int32)
 
-    if has_masks:
-        mby = (tg & 63).astype(jnp.int32)
-        mlen_y = jnp.where(soft_mask, pl, kmer + 1)
-        keep = valid_slot & (mby < mlen_y)
+    if has_masks or flip:
+        keep = valid_slot
+        if flip:
+            keep = keep & member_fwd   # A side forward only
+        if has_masks:
+            mby = (tg & 63).astype(jnp.int32)
+            mlen_y = jnp.where(soft_mask, pl, kmer + 1)
+            keep = keep & (mby < mlen_y)
         s1 = ((pl.astype(jnp.int64) << 40) | (ac.astype(jnp.int64) << 28)
               | ap.astype(jnp.int64))
         s2 = ((bc.astype(jnp.int64) << 29) | (bp.astype(jnp.int64) << 1)
@@ -1120,6 +1149,54 @@ def _merge_jit(E1, E2, nscap, acap, freq, soft, masks):
     return fn
 
 
+def _sym_jit(E1, E2, nscap1, nscap2, acap1, acap2, freq, soft, masks):
+    """-S symmetric merge: normal pass + flip pass (FastGA.c:2410-2470)
+    concatenated compactly into one seed stream."""
+    import jax
+    import jax.numpy as jnp
+    key = ("sym2", E1, E2, nscap1, nscap2, acap1, acap2, freq, soft,
+           masks)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        def mg(T1, T2, mb1, mb2):
+            o1 = merge_seeds(T1, T2, nscap1, freq, acap1, soft, masks,
+                             mb1, mb2)
+            o2 = merge_seeds(T2, T1, nscap2, freq, acap2, soft, masks,
+                             mb2, mb1, flip=True)
+            (plA, acA, apA, bcA, bpA, boA, nsA, nalA) = o1
+            (plB, acB, apB, bcB, bpB, boB, nsB, nalB) = o2
+            nsAc = jnp.minimum(nsA, nscap1)
+
+            def place(a1, a2):
+                out = jnp.zeros(nscap1 + nscap2, jnp.int32)
+                out = out.at[:nscap1].set(a1.astype(jnp.int32))
+                # flip rows slide up against the normal pass's tail
+                # ([nsA, nscap1) is padding, so overwriting is safe)
+                return jax.lax.dynamic_update_slice(
+                    out, a2.astype(jnp.int32), (nsAc,))
+
+            pl = place(plA, plB)
+            ac = place(acA, acB)
+            ap = place(apA, apB)
+            bcn = place(bcA, bcB)
+            bp = place(bpA, bpB)
+            bo = place(boA, boB)
+            ns = nsA + nsB
+            over = ((nsA > nscap1).astype(jnp.int32)
+                    + (nsB > nscap2).astype(jnp.int32)
+                    + (nalA > acap1).astype(jnp.int32)
+                    + (nalB > acap2).astype(jnp.int32))
+            i1 = jnp.arange(nscap1, dtype=jnp.int32)
+            i2 = jnp.arange(nscap2, dtype=jnp.int32)
+            plsum = (jnp.sum(jnp.where(i1 < nsA, plA, 0))
+                     + jnp.sum(jnp.where(i2 < nsB, plB, 0)))
+            return pl, ac, ap, bcn, bp, bo, ns, over, plsum
+
+        fn = jax.jit(mg)
+        _jit_cache[key] = fn
+    return fn
+
+
 def _chain_jit(nscap, tcap, chain_break, chain_min):
     import jax
     key = ("ch2", nscap, tcap, chain_break, chain_min)
@@ -1393,11 +1470,12 @@ def _self_jit(E1, nscap, acap, freq, soft, masks):
 def device_tubes_tables(t1, t2, alens_by_rank, amax: int, bmax: int,
                         freq: int = 10, chain_break: int = 2000,
                         chain_min: int = 170, tcap: int = 1 << 15,
-                        soft_mask: bool = False):
+                        soft_mask: bool = False,
+                        symmetric: bool = False):
     """TubeBatch from host GixTables uploaded to the device (pair when
     t2 is not t1, else self comparison).  Used when mask bytes are in
     play (they only exist on host tables); returns None when caps or
-    field widths are exceeded."""
+    field widths are exceeded.  ``symmetric`` adds the -S flip pass."""
     from jax import enable_x64
 
     selfish = t2 is t1
@@ -1418,6 +1496,18 @@ def device_tubes_tables(t1, t2, alens_by_rank, amax: int, bmax: int,
         if selfish:
             sfn = _self_jit(E1, NSCAP, ACAP, freq, soft_mask, has_masks)
             out = sfn(T1, mb1)
+        elif symmetric:
+            T2, mb2, E2 = _upload_table(t2)
+            NSCAP2 = max(E2 * 2, 1 << 13)
+            ACAP2 = max(E2, 1 << 12)
+            yfn = _sym_jit(E1, E2, NSCAP, NSCAP2, ACAP, ACAP2, freq,
+                           soft_mask, has_masks)
+            (pl, ac, ap, bcn, bp, bo, ns, over, plsum) = yfn(
+                T1, T2, mb1, mb2)
+            if int(np.asarray(over)) > 0:
+                return None
+            NSCAP = NSCAP + NSCAP2
+            out = (pl, ac, ap, bcn, bp, bo, ns, np.int32(0), plsum)
         else:
             T2, mb2, E2 = _upload_table(t2)
             mfn = _merge_jit(E1, E2, NSCAP, ACAP, freq, soft_mask,
@@ -1744,10 +1834,14 @@ def device_tubes_self(gdb1, alens_by_rank, freq: int = 10,
 
 def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
                  chain_break: int = 2000, chain_min: int = 170,
-                 tcap: int = 1 << 15, verbose: bool = False):
+                 tcap: int = 1 << 15, verbose: bool = False,
+                 symmetric: bool = False):
     """TubeBatch for a genome pair via the device pipeline, or None when
     the device path does not apply (self comparison and masked tables
-    are handled by the table-upload variant; here: size/caps exceeded)."""
+    are handled by the table-upload variant; here: size/caps exceeded).
+    ``symmetric`` adds the -S flip pass (genome 1 then gets a full
+    two-orientation table, since flip members need rc entries for the
+    lcp/frequency windows)."""
     import jax
     import jax.numpy as jnp
 
@@ -1793,39 +1887,66 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
 
     # x64 context: the packed keys / fill scans are int64 (int32 would
     # silently truncate under the default x64-disabled config)
+    def _full_table(cache, gdb, lens, N):
+        """Two-orientation sorted table for one genome, cached."""
+        T = cache.get(("tab", N))
+        if T is None:
+            bps, coff, clen, _, invp, nc, _n = _prep_genome(gdb, lens)
+            Ef = max(1 << 12, N)
+            Tf = _gix_jit(N, len(coff), Ef)(bps, coff, clen, invp, nc)
+            ne = int(np.asarray(Tf[7]))
+            if ne > Ef:
+                return None    # entry cap exceeded -> host fallback
+            Et = min(_pad_bucket(ne), Ef)
+            T = tuple(x[:Et] for x in Tf[:7]) + (Tf[7], Tf[8][:Et])
+            cache[("tab", N)] = T
+        return T
+
+    # x64 context: the packed keys / fill scans are int64 (int32 would
+    # silently truncate under the default x64-disabled config)
     with enable_x64():
         t0 = _time.time()
-        T1 = cache1.get(("drv", N1))
+        if symmetric:
+            # flip members need genome 1's rc entries too
+            T1 = _full_table(cache1, gdb1, lens1, N1)
+        else:
+            T1 = cache1.get(("drv", N1))
+            if T1 is None:
+                # unsorted forward candidates -> count -> tight
+                # compacted driver table (one half-size sort; cached
+                # per GDB)
+                bps1, coff1, clen1, _, invp1, nc1, _n = \
+                    _prep_genome(gdb1, lens1)
+                C1 = _cand_jit(N1, len(coff1))(bps1, coff1, clen1,
+                                               invp1, nc1)
+                E1t = _pad_bucket(int(np.asarray(C1[7])))
+                T1 = _drvtab_jit(N1, min(E1t, N1))(C1)
+                C1 = None
+                cache1[("drv", N1)] = T1
         if T1 is None:
-            # unsorted forward candidates -> count -> tight compacted
-            # driver table (one half-size sort; cached per GDB)
-            bps1, coff1, clen1, _, invp1, nc1, _n = \
-                _prep_genome(gdb1, lens1)
-            C1 = _cand_jit(N1, len(coff1))(bps1, coff1, clen1,
-                                           invp1, nc1)
-            E1t = _pad_bucket(int(np.asarray(C1[7])))
-            T1 = _drvtab_jit(N1, min(E1t, N1))(C1)
-            C1 = None
-            cache1[("drv", N1)] = T1
+            return None
         E1 = T1[0].shape[0]
         t0 = _tick("gix1", t0, T1[:6])
-        T2 = cache2.get(("tab", N2))
+        T2 = _full_table(cache2, gdb2, lens2, N2)
         if T2 is None:
-            bps2, coff2, clen2, _, invp2, nc2, _n = \
-                _prep_genome(gdb2, lens2)
-            E2f = max(1 << 12, N2)
-            T2f = _gix_jit(N2, len(coff2), E2f)(bps2, coff2, clen2,
-                                                invp2, nc2)
-            ne2 = int(np.asarray(T2f[7]))
-            if ne2 > E2f:
-                return None    # entry cap exceeded -> host fallback
-            E2t = min(_pad_bucket(ne2), E2f)
-            T2 = tuple(x[:E2t] for x in T2f[:7]) + (T2f[7], T2f[8][:E2t])
-            cache2[("tab", N2)] = T2
+            return None
         E2 = T2[0].shape[0]
         t0 = _tick("gix2", t0, T2)
-        mout = _merge_jit(E1, E2, NSCAP, ACAP, freq, False, False)(
-            T1, T2, None, None)
+        if symmetric:
+            NSCAP2 = max(N2, 1 << 13)
+            ACAP2 = max(N2 // 2, 1 << 12)
+            yfn = _sym_jit(E1, E2, NSCAP, NSCAP2, ACAP, ACAP2, freq,
+                           False, False)
+            (spl, sac, sap, sbc, sbp, sbo, sns, sover, spls) = yfn(
+                T1, T2, None, None)
+            if int(np.asarray(sover)) > 0:
+                return None
+            NSCAP = NSCAP + NSCAP2
+            mout = (spl, sac, sap, sbc, sbp, sbo, sns, np.int32(0),
+                    spls)
+        else:
+            mout = _merge_jit(E1, E2, NSCAP, ACAP, freq, False, False)(
+                T1, T2, None, None)
         (pl, ac, ap, bcn, bp, bo, ns, nalive, plsum) = mout
         t0 = _tick("merge", t0, ns)
         ne1, ne2 = T1[7], T2[7]

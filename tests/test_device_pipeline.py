@@ -251,3 +251,81 @@ def test_host_chain_fallback_match(monkeypatch):
     monkeypatch.setattr(dp, "CHAIN_DEV_CAP", 1 << 8)
     monkeypatch.setattr(dp, "CHAIN_PANEL_MAX", 1 << 30)
     _check_big_chain(*args)
+
+
+def _sym_seeds_host(t1h, t2h, soft=False):
+    seeds = mergem.adaptamer_seeds(t1h, t2h, freq=10, soft_mask=soft)
+    extra = mergem.adaptamer_seeds_flip(t1h, t2h, freq=10,
+                                        soft_mask=soft)
+    return mergem.SeedBatch(*[
+        np.concatenate([getattr(seeds, f), getattr(extra, f)])
+        for f in ("plen", "acont", "apost", "bcont", "bpost", "bcomp")])
+
+
+def test_device_tubes_symmetric_match_host():
+    """-S symmetric mode through the device pipeline (normal + flip
+    merge passes) must give the host path's tubes."""
+    rng = np.random.default_rng(67)
+    A = [rng.integers(0, 4, int(rng.integers(3000, 9000)))
+         .astype(np.uint8) for _ in range(4)]
+    # B repeats an A segment twice so the flip pass finds seeds the
+    # normal pass drops (unique in G2, repetitive in G1)
+    B = []
+    for i, a in enumerate(A):
+        b = _mutate(a, 0.04, rng)
+        B.append(b)
+    A[1] = np.concatenate([A[1], _mutate(A[1][:2000], 0.02, rng),
+                           _mutate(A[1][:2000], 0.02, rng)])
+    g1, g2 = _gdb(A), _gdb(B)
+    t1h, t2h = gixm.build_gix(g1), gixm.build_gix(g2)
+    seeds_h = _sym_seeds_host(t1h, t2h)
+    lens1 = g1.contig_lengths()
+    lens2 = g2.contig_lengths()
+    perm1 = np.asarray(t1h.perm)
+    alens = np.where(perm1 < len(lens1),
+                     lens1[np.minimum(perm1, len(lens1) - 1)], 40)
+    amax, bmax = int(lens1.max()), int(lens2.max())
+    tubes_h = chainm.chain_tubes(seeds_h, amax, bmax, alens)
+
+    dres = dp.device_tubes(g1, g2, alens, symmetric=True)
+    assert dres is not None
+    tubes_d, nseeds, plsum = dres
+    assert nseeds == seeds_h.n
+    assert plsum == int(seeds_h.plen.astype(np.int64).sum())
+    _tube_eq(tubes_d, tubes_h)
+
+    # the table-upload variant (mask path) with symmetric
+    dres2 = dp.device_tubes_tables(t1h, t2h, alens, amax, bmax,
+                                   symmetric=True)
+    assert dres2 is not None
+    tubes_d2, nseeds2, plsum2 = dres2
+    assert nseeds2 == seeds_h.n
+    assert plsum2 == int(seeds_h.plen.astype(np.int64).sum())
+    _tube_eq(tubes_d2, tubes_h)
+
+
+def test_device_tubes_symmetric_masked_match_host():
+    rng = np.random.default_rng(71)
+    A = [rng.integers(0, 4, 6000).astype(np.uint8) for _ in range(3)]
+    B = [_mutate(a, 0.04, rng) for a in A]
+    g1, g2 = _gdb(A), _gdb(B)
+    masks1 = [gdbm.MaskIval(0, 100, 1500)]
+    masks2 = [gdbm.MaskIval(1, 500, 2500)]
+    t1 = gixm.build_gix(g1, masks=masks1)
+    t2 = gixm.build_gix(g2, masks=masks2)
+    for soft in (False, True):
+        seeds_h = _sym_seeds_host(t1, t2, soft=soft)
+        lens1 = g1.contig_lengths()
+        lens2 = g2.contig_lengths()
+        perm1 = np.asarray(t1.perm)
+        alens = np.where(perm1 < len(lens1),
+                         lens1[np.minimum(perm1, len(lens1) - 1)], 40)
+        amax, bmax = int(lens1.max()), int(lens2.max())
+        tubes_h = chainm.chain_tubes(seeds_h, amax, bmax, alens)
+        dres = dp.device_tubes_tables(t1, t2, alens, amax, bmax,
+                                      soft_mask=soft, symmetric=True)
+        assert dres is not None
+        tubes_d, nseeds, plsum = dres
+        assert nseeds == seeds_h.n, (nseeds, seeds_h.n, soft)
+        assert plsum == int(seeds_h.plen.astype(np.int64).sum())
+        _tube_eq(tubes_d, tubes_h)
