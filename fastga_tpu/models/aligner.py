@@ -572,8 +572,18 @@ def _get_engine(gdb1, gdb2, spec):
     if eng is None:
         # n=512: one engine batch covers a whole scheduling round for
         # typical tube counts — every extra batch costs tunnel round
-        # trips (alive polls + result fetch), which dominate compute
-        cfg = wavek.WaveConfig(n=512, w=256, chunk=96, max_chunks=512)
+        # trips (alive polls + result fetch), which dominate compute.
+        # FASTGA_TPU_WAVE_CFG="n=512,w=256,chunk=96,max_chunks=512"
+        # overrides for tuning without a code edit (new shapes pay one
+        # cold kernel compile).
+        import os
+        kw = dict(n=512, w=256, chunk=96, max_chunks=512)
+        for part in os.environ.get("FASTGA_TPU_WAVE_CFG", "").split(","):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                if k.strip() in kw:
+                    kw[k.strip()] = int(v)
+        cfg = wavek.WaveConfig(**kw)
         eng = wavek.WaveEngine(spec, cfg)
         eng.begin_warmup(bucket)
         _ENGINE_CACHE[key] = eng
