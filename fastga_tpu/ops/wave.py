@@ -925,14 +925,19 @@ class WaveEngine:
                        for a in (st_np[:15] + (alive0,) + st_np[16:]))
             targs = tuple(jnp.asarray(t) for t in targs_np)
 
-        # pipelined chunk loop: chunk i+1 is dispatched (async) before
-        # chunk i's aliveness is read; the aliveness bytes start their
-        # tunnel crossing as soon as chunk i completes (async copy), so
-        # the read overlaps chunk i+1's compute and every chunk can be
-        # polled (a dead-state chunk is an identity on every output
-        # field, so the one speculative chunk in flight is harmless)
+        # pipelined chunk loop: chunks are dispatched (async) ahead of
+        # the aliveness read; the aliveness bytes start their tunnel
+        # crossing as soon as a chunk completes (async copy), so reads
+        # overlap later chunks' compute.  A dead-state chunk is an
+        # identity on every output field and its logs are inert in the
+        # backtrack (masked by trim_wave), so we only POLL every
+        # `spec_k` chunks: each poll costs a tunnel round trip
+        # (~180 ms on the remote dev setup) while a wasted speculative
+        # chunk costs ~30 ms of device compute.  FASTGA_TPU_WAVE_SPEC
+        # tunes the depth (1 = poll every chunk).
         chs = []
         bls = []
+        spec_k = max(1, int(os.environ.get("FASTGA_TPU_WAVE_SPEC", "2")))
 
         def start_alive_copy(s):
             try:
@@ -949,13 +954,18 @@ class WaveEngine:
                 with prof.span("wave.chunk_dispatch"):
                     st2, chlog, bandlog = chunk(pool, targs, st)
                 start_alive_copy(st2)
-                with prof.span("wave.alive_sync"):
-                    any_alive = bool(np.asarray(st[15]).any())
-                if not any_alive:
-                    break           # st2 was speculative
-                st = st2
                 chs.append(chlog)
                 bls.append(bandlog)
+                if len(chs) % spec_k == 0 or ci == cfg.max_chunks - 2:
+                    with prof.span("wave.alive_sync"):
+                        # st is one chunk behind st2: the copy has been
+                        # in flight since before st2's dispatch
+                        any_alive = bool(np.asarray(st[15]).any())
+                    if not any_alive:
+                        # st2 (and up to spec_k-1 logged chunks) were
+                        # speculative identities; the logs are harmless
+                        break
+                st = st2
 
         if chs:
             # pad the chunk count to a power of two so the backtrack
