@@ -207,11 +207,16 @@ def open_aln(path: str, prog: str):
             if af.cpath:
                 tries.append(Path(af.cpath) / name)
             tries.append(p.parent / name)
+        else:
+            # stale absolute reference (e.g. recorded under a temp dir
+            # that is gone): fall back to the basename beside the .1aln,
+            # the same relocation ALNreset exists to repair
+            tries.append(p.parent / cand.name)
         for t in tries:
             try:
                 infer_source(str(t))
                 return resolve_gdb(str(t))
-            except SystemExit:
+            except (SystemExit, FileNotFoundError):
                 continue
         raise ArgError(prog, f"cannot find source {name} referenced by {p}")
 

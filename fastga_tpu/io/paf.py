@@ -29,6 +29,13 @@ _MBASE = "ACGT"
 _DBASE = "acgt"
 
 
+def short_name(header: str) -> str:
+    """GDB headers truncated to first white-space, as ALNtoPAF/ALNtoPSL
+    do before emitting names (ALNtoPAF.c:763-783, ALNtoPSL.c:489-510)."""
+    parts = header.split(None, 1)
+    return parts[0] if parts else header
+
+
 def paf_line(o: Overlap, gdb1: GDB, gdb2: GDB, swap: bool = False,
              tags_extra: str = "") -> str:
     c1 = gdb1.contigs[o.aread]
@@ -43,9 +50,8 @@ def paf_line(o: Overlap, gdb1: GDB, gdb2: GDB, swap: bool = False,
         boff = c2.sbeg
         b0, b1 = boff + o.bbpos, boff + o.bepos
     strand = "-" if o.bcomp else "+"
-    # the reference prints the full stored header (stoa ALNtoPAF.c:186)
-    q = (s1.header, s1.slen, aoff + o.abpos, aoff + o.aepos)
-    t = (s2.header, s2.slen, b0, b1)
+    q = (short_name(s1.header), s1.slen, aoff + o.abpos, aoff + o.aepos)
+    t = (short_name(s2.header), s2.slen, b0, b1)
     if swap:
         q, t = t, q
     aspan = o.aepos - o.abpos

@@ -16,6 +16,7 @@ import numpy as np
 
 from .alncode import Overlap
 from .gdb import GDB
+from .paf import short_name
 from ..ops import tracerec
 
 
@@ -121,8 +122,9 @@ def psl_line(o: Overlap, gdb1: GDB, gdb2: GDB, A: np.ndarray, B: np.ndarray,
         tst = "".join(f"{boff + b},"for b in bstarts)
 
     return (f"{X}\t{S}\t0\t0\t{DB}\t{D}\t{IB}\t{I}\t{strand}\t"
-            f"{s1.header}\t{s1.slen}\t{aoff + abpos}\t{aoff + aepos}\t"
-            f"{s2.header}\t{s2.slen}\t{tpos[0]}\t{tpos[1]}\t"
+            f"{short_name(s1.header)}\t{s1.slen}\t"
+            f"{aoff + abpos}\t{aoff + aepos}\t"
+            f"{short_name(s2.header)}\t{s2.slen}\t{tpos[0]}\t{tpos[1]}\t"
             f"{bcnt}\t{bsz}\t{qst}\t{tst}")
 
 

@@ -91,3 +91,27 @@ def test_alnshow_border0(ours_aln):
     want = (GOLD / "ref_show_a_b0_sel.txt").read_text().replace(
         "\nours:", f"\n{ours_aln.stem}:")
     assert got == want
+
+
+def test_paf_psl_names_truncate_at_whitespace():
+    """ALNtoPAF/ALNtoPSL truncate GDB headers to the first white-space
+    before emitting names (ALNtoPAF.c:763-783, ALNtoPSL.c:489-510);
+    verified byte-identical vs the C tools on a spaced-header pair."""
+    from fastga_tpu.io.alncode import Overlap
+    from fastga_tpu.io.gdb import GDB, Contig, Scaffold
+    from fastga_tpu.io.paf import paf_line
+    from fastga_tpu.io.psl import psl_line
+    import numpy as np
+
+    g = GDB()
+    g.contigs.append(Contig(1000, 0, 0, 0))
+    g.scaffolds.append(Scaffold(1000, 0, 1, "scaf0 descriptive text"))
+    o = Overlap(aread=0, bread=0, abpos=0, aepos=100, bbpos=0, bepos=100,
+                diffs=0, bcomp=False, trace=[(0, 100)])
+    line = paf_line(o, g, g)
+    assert line.startswith("scaf0\t1000\t")
+    assert "\tscaf0\t" in line
+    seq = np.zeros(1000, dtype=np.uint8)
+    pline = psl_line(o, g, g, seq, seq, 100)
+    flds = pline.split("\t")
+    assert flds[9] == "scaf0" and flds[13] == "scaf0"
