@@ -760,7 +760,9 @@ class WaveEngine:
         # remains as the CPU/fallback implementation
         mode = os.environ.get("FASTGA_TPU_WAVE", "auto")
         on_tpu = jax.devices()[0].platform == "tpu"
-        if mode == "pallas" or (mode == "auto" and on_tpu):
+        self._pallas = mode == "pallas" or (mode == "auto" and on_tpu)
+        self._interp = not on_tpu
+        if self._pallas:
             from . import wave_pallas
             self.fwd_chunk = wave_pallas.build_chunk_pallas(
                 cfg, spec.ave_path, spec.mscore, spec.dscore, +1,
@@ -841,32 +843,52 @@ class WaveEngine:
         import jax.numpy as jnp
         CW, N, W = self.cfg.chunk, self.cfg.n, self.cfg.w
 
+        G = k * CW
+        walk = None
+        if self._pallas and G % 8 == 0:
+            from . import wave_pallas
+            walk = wave_pallas.build_backtrack_walk(
+                self.cfg, G, interpret=self._interp)
+
         def bt(chs, bls, st):
             trim_diag, trim_wave = st[14], st[13]
             ch = jnp.concatenate(chs, axis=0)        # [k*CW, N, W]
             kb = jnp.concatenate([b[:, :, 2] for b in bls], axis=0)
-            rows = jnp.arange(N)
 
-            def body(diag, w):
-                wv = w + 1
-                active = wv <= trim_wave
-                slot = jnp.clip(diag - kb[w], 0, W - 1)
-                cc = ch[w, rows, slot]
-                nd = jnp.where(active & (cc == CH_LOW), diag - 1,
-                               jnp.where(active & (cc == CH_HIGH),
-                                         diag + 1, diag))
-                return nd, diag                      # emit diag AT wave wv
+            if walk is not None:
+                # in-VMEM pallas walk over [G, W, N] logs (one transposed
+                # HBM copy; the walk itself never touches HBM per wave)
+                d0, Ds = walk(jnp.transpose(ch, (0, 2, 1)), kb,
+                              trim_diag, trim_wave)
+                D = jnp.concatenate([d0[None], Ds], axis=0)
+                delta = (D[1:] - D[:-1] + 1).astype(jnp.uint32)
+                KP = G // 16
+                sh = (2 * jnp.arange(16, dtype=jnp.uint32))[:, None]
+                packed = (delta.reshape(KP, 16, N) << sh[None]).sum(
+                    axis=1, dtype=jnp.uint32)
+            else:
+                rows = jnp.arange(N)
 
-            d0, Ds = jax.lax.scan(
-                body, trim_diag,
-                jnp.arange(k * CW - 1, -1, -1, dtype=jnp.int32))
-            D = jnp.concatenate([d0[None], jnp.flip(Ds, 0)], axis=0)
-            # per-wave deltas are in {-1,0,1}: ship 2 bits each
-            delta = (D[1:] - D[:-1] + 1).astype(jnp.uint32)  # [kCW, N]
-            KP = (k * CW) // 16
-            sh = (2 * jnp.arange(16, dtype=jnp.uint32))[:, None]
-            packed = (delta.reshape(KP, 16, N) << sh[None]).sum(
-                axis=1, dtype=jnp.uint32)
+                def body(diag, w):
+                    wv = w + 1
+                    active = wv <= trim_wave
+                    slot = jnp.clip(diag - kb[w], 0, W - 1)
+                    cc = ch[w, rows, slot]
+                    nd = jnp.where(active & (cc == CH_LOW), diag - 1,
+                                   jnp.where(active & (cc == CH_HIGH),
+                                             diag + 1, diag))
+                    return nd, diag                  # emit diag AT wave wv
+
+                d0, Ds = jax.lax.scan(
+                    body, trim_diag,
+                    jnp.arange(G - 1, -1, -1, dtype=jnp.int32))
+                D = jnp.concatenate([d0[None], jnp.flip(Ds, 0)], axis=0)
+                # per-wave deltas are in {-1,0,1}: ship 2 bits each
+                delta = (D[1:] - D[:-1] + 1).astype(jnp.uint32)  # [kCW, N]
+                KP = G // 16
+                sh = (2 * jnp.arange(16, dtype=jnp.uint32))[:, None]
+                packed = (delta.reshape(KP, 16, N) << sh[None]).sum(
+                    axis=1, dtype=jnp.uint32)
             # one transfer: result fields + wave-0 diagonal + deltas —
             # built in-jit so the host issues a single op per run
             fields = jnp.stack(

@@ -644,3 +644,98 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
         return st2, chlog, bandlog[:, :, :4]
 
     return jax.jit(chunk_fn)
+
+
+def build_backtrack_walk(cfg: WaveConfig, G: int, interpret: bool = False):
+    """In-VMEM path walk over G waves of choice logs.
+
+    The XLA formulation (WaveEngine._backtrack_fn) is a lax.scan whose
+    per-step ``ch[w, rows, slot]`` gather lowers to N scalar loads — the
+    walk dominated the wave phase (~0.8 s/run at bench geometry).  Here
+    the walk runs as a sequential pallas grid over wave blocks with the
+    carried diagonal vector resident in VMEM and the per-wave choice
+    pick as a one-hot sublane select (TPU grids execute blocks in order,
+    so the reverse-wave iteration is just a reversed index_map).
+
+    Layout: tubes ride the lane dimension ([*, N] everywhere, N is the
+    full last dim so any cfg.n is block-legal); the choice logs are
+    transposed to [G, W, N] once in the caller's jit (~1 ms at bench
+    geometry, HBM-bandwidth bound).
+
+    Returns fn(chT [G, W, N] u8, kb [G, N] i32, trim_diag [N] i32,
+    trim_wave [N] i32) -> (d0 [N], D [G, N]) with D[w] = path diagonal
+    at wave w+1 (diag *before* stepping wave w), d0 = diagonal at wave 0
+    — matching the scan's emission order.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, W = cfg.n, cfg.w
+    WB = 16 if G % 16 == 0 else (8 if G % 8 == 0 else 1)
+    GB = G // WB
+    assert GB * WB == G
+
+    def kernel(ch_r, kb_r, td_r, tw_r, Do_r, d0_r, diag_r):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            diag_r[:, :] = td_r[:, :]
+
+        base = (GB - 1 - j) * WB
+        subl = jax.lax.broadcasted_iota(jnp.int32, (W, N), 0)
+        tw = tw_r[:, :]                                # [1, N]
+        diag = diag_r[:, :]                            # [1, N]
+        for i in range(WB):          # unrolled: static slices only
+            w = WB - 1 - i           # block-local wave, descending
+            wv = base + w + 1
+            ch_w = ch_r[w].astype(jnp.int32)           # [W, N]
+            kb_w = kb_r[w:w + 1, :]                    # [1, N]
+            slot = jnp.clip(diag - kb_w, 0, W - 1)
+            cc = jnp.where(subl == slot, ch_w, 0).max(
+                axis=0, keepdims=True)                 # [1, N]
+            active = wv <= tw
+            Do_r[w:w + 1, :] = diag
+            diag = jnp.where(active & (cc == CH_LOW), diag - 1,
+                             jnp.where(active & (cc == CH_HIGH),
+                                       diag + 1, diag))
+        diag_r[:, :] = diag
+
+        @pl.when(j == GB - 1)
+        def _():
+            d0_r[:, :] = diag
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(GB,),
+        in_specs=[
+            pl.BlockSpec((WB, W, N), lambda j: (GB - 1 - j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WB, N), lambda j: (GB - 1 - j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((WB, N), lambda j: (GB - 1 - j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, N), jnp.int32),
+            jax.ShapeDtypeStruct((1, N), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, N), jnp.int32)],
+        interpret=interpret,
+    )
+
+    def fn(chT, kb, trim_diag, trim_wave):
+        D, d0 = call(chT, kb, trim_diag[None, :], trim_wave[None, :])
+        return d0[0], D
+
+    return fn

@@ -70,3 +70,43 @@ def test_pallas_chunk_matches_xla(direction):
             f"chunk {ch} choice log"
         assert np.array_equal(np.asarray(bx), np.asarray(bp)), \
             f"chunk {ch} band log"
+
+
+def test_backtrack_walk_matches_scan():
+    """The pallas path walk must reproduce the XLA scan's emissions
+    (d0 and D[w+1] = diag before stepping wave w) on random logs."""
+    import jax.numpy as jnp
+
+    from fastga_tpu.ops import wave as wavek, wave_pallas
+
+    rng = np.random.default_rng(3)
+    cfg = wavek.WaveConfig(n=32, w=256, chunk=24, max_chunks=64)
+    N, W = cfg.n, cfg.w
+    G = 2 * cfg.chunk
+    ch = rng.integers(0, 4, (G, N, W)).astype(np.uint8)
+    kb = rng.integers(-40, 40, (G, N)).astype(np.int32)
+    trim_diag = rng.integers(-100, 100, N).astype(np.int32)
+    trim_wave = rng.integers(0, G + 1, N).astype(np.int32)
+
+    # scalar reference of the scan emission
+    D_ref = np.zeros((G + 1, N), np.int32)
+    diag = trim_diag.copy()
+    for w in range(G - 1, -1, -1):
+        D_ref[w + 1] = diag
+        wv = w + 1
+        for n in range(N):
+            if wv <= trim_wave[n]:
+                slot = min(max(diag[n] - kb[w, n], 0), W - 1)
+                cc = ch[w, n, slot]
+                if cc == wavek.CH_LOW:
+                    diag[n] -= 1
+                elif cc == wavek.CH_HIGH:
+                    diag[n] += 1
+    D_ref[0] = diag
+
+    walk = wave_pallas.build_backtrack_walk(cfg, G, interpret=True)
+    d0, Ds = walk(jnp.asarray(np.transpose(ch, (0, 2, 1)).copy()),
+                  jnp.asarray(kb), jnp.asarray(trim_diag),
+                  jnp.asarray(trim_wave))
+    assert np.array_equal(np.asarray(d0), D_ref[0])
+    assert np.array_equal(np.asarray(Ds), D_ref[1:])
