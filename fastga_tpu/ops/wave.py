@@ -817,6 +817,89 @@ class WaveEngine:
             st2, chlog, bandlog = chunk(pool, targs, st)
             jax.block_until_ready(self._backtrack_fn(1)(
                 [chlog], [bandlog], st2))
+        if self._pallas and os.environ.get(
+                "FASTGA_TPU_WAVE_FUSED", "0") == "1":
+            for d in (+1, -1):
+                jax.block_until_ready(
+                    self._fused_fn(d)(pool, targs, st)[0])
+
+    def _fused_fn(self, direction: int):
+        """Single-dispatch runner: the whole chunk loop as a device
+        lax.while_loop with the backtrack walk fused behind it.
+
+        The chunked host loop costs ~2-3 blocking tunnel round trips per
+        engine.run (aliveness polls + the backtrack fetch); over a remote
+        TPU at ~180 ms RTT that latency dominates the wave phase.  Here
+        chunks write their choice/kbase logs into a [KMAX, CW, N, W]
+        device ring, the loop condition reads aliveness on device, and
+        the packed result (fields + path deltas) is the ONLY transfer.
+        Tubes still alive after KMAX chunks are resumed by the classic
+        chunked loop from the returned state (rare; the returned log
+        buffers seed its backtrack).  FASTGA_TPU_WAVE_KMAX overrides the
+        chunk budget (new values pay one cold compile)."""
+        key = ("fused", direction)
+        fn = getattr(self, "_fused_cache", None)
+        if fn is None:
+            self._fused_cache = {}
+        fn = self._fused_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        import jax.numpy as jnp
+        from . import wave_pallas
+
+        cfg = self.cfg
+        CW, N, W = cfg.chunk, cfg.n, cfg.w
+        KMAX = int(os.environ.get("FASTGA_TPU_WAVE_KMAX", "32"))
+        KMAX = max(1, min(KMAX, cfg.max_chunks))
+        G = KMAX * CW
+        chunk = self.fwd_chunk if direction > 0 else self.rev_chunk
+        walk = wave_pallas.build_backtrack_walk(
+            cfg, G, interpret=self._interp) if G % 8 == 0 else None
+        assert walk is not None
+
+        def fused(pool, targs, st):
+            logbuf = jnp.zeros((KMAX, CW, N, W), jnp.uint8)
+            kbbuf = jnp.zeros((KMAX, CW, N), jnp.int32)
+
+            def cond(c):
+                st, lb, kb, k = c
+                return st[15].any() & (k < KMAX)
+
+            def body(c):
+                st, lb, kb, k = c
+                st2, chlog, bandlog = chunk(pool, targs, st)
+                lb = jax.lax.dynamic_update_slice(
+                    lb, chlog[None], (k, 0, 0, 0))
+                kb = jax.lax.dynamic_update_slice(
+                    kb, bandlog[:, :, 2][None], (k, 0, 0))
+                return st2, lb, kb, k + 1
+
+            st, lb, kb, k = jax.lax.while_loop(
+                cond, body, (st, logbuf, kbbuf, jnp.int32(0)))
+            ch = lb.reshape(G, N, W)
+            kbf = kb.reshape(G, N)
+            d0, Ds = walk(jnp.transpose(ch, (0, 2, 1)), kbf,
+                          st[14], st[13])
+            D = jnp.concatenate([d0[None], Ds], axis=0)
+            delta = (D[1:] - D[:-1] + 1).astype(jnp.uint32)
+            KP = G // 16
+            sh = (2 * jnp.arange(16, dtype=jnp.uint32))[:, None]
+            packed = (delta.reshape(KP, 16, N) << sh[None]).sum(
+                axis=1, dtype=jnp.uint32)
+            fields = jnp.stack(
+                [st[10], st[11], st[12], st[13], st[14],
+                 st[15].astype(jnp.int32), st[16].astype(jnp.int32),
+                 st[17]])
+            out = jnp.concatenate(
+                [fields, d0[None],
+                 jax.lax.bitcast_convert_type(packed, jnp.int32)],
+                axis=0)
+            return out, st, lb, kb
+
+        fn = jax.jit(fused)
+        self._fused_cache[key] = fn
+        return fn
 
     def _pool_host(self, pool):
         """Host copy of the device pool, cached per pool object (a strong
@@ -853,7 +936,10 @@ class WaveEngine:
         def bt(chs, bls, st):
             trim_diag, trim_wave = st[14], st[13]
             ch = jnp.concatenate(chs, axis=0)        # [k*CW, N, W]
-            kb = jnp.concatenate([b[:, :, 2] for b in bls], axis=0)
+            # bls entries: [CW, N, 4] band logs (chunked path) or bare
+            # [CW, N] kbase rows (fused-resume path)
+            kb = jnp.concatenate(
+                [b[:, :, 2] if b.ndim == 3 else b for b in bls], axis=0)
 
             if walk is not None:
                 # in-VMEM pallas walk over [G, W, N] logs (one transposed
@@ -959,51 +1045,83 @@ class WaveEngine:
         # tunes the depth (1 = poll every chunk).
         chs = []
         bls = []
+        packed = None
         spec_k = max(1, int(os.environ.get("FASTGA_TPU_WAVE_SPEC", "2")))
+        # Opt-in: one dispatch per direction (while_loop + in-device
+        # walk, single fetch).  Measured on the remote-tunnel dev setup
+        # the speculative chunked dispatch still wins (~0.5 s/run): the
+        # host-queued chunk programs pipeline their DMA prologues across
+        # program boundaries, which the while_loop serializes — and its
+        # polls already overlap compute.  Kept for deployments that need
+        # minimal host involvement per batch.
+        use_fused = (self._pallas
+                     and os.environ.get("FASTGA_TPU_WAVE_FUSED", "0")
+                     == "1")
 
         def start_alive_copy(s):
             try:
                 s[15].copy_to_host_async()
             except Exception:
                 pass
-        if bool(alive0.any()):
-            with prof.span("wave.chunk_dispatch"):
-                st, chlog, bandlog = chunk(pool, targs, st)
-            start_alive_copy(st)
-            chs.append(chlog)
-            bls.append(bandlog)
-            for ci in range(cfg.max_chunks - 1):
+        if bool(alive0.any()) and use_fused:
+            # single dispatch: chunk while_loop + backtrack on device,
+            # one blocking fetch.  Falls through to the chunked loop
+            # only when tubes outlive the KMAX budget.
+            with prof.span("wave.fused"):
+                out, st2, lb, kb = self._fused_fn(direction)(
+                    pool, targs, st)
+                packed = np.asarray(out)
+            if packed[5].any():
+                st = st2
+                K = lb.shape[0]
+                chs = [lb[i] for i in range(K)]
+                bls = [kb[i] for i in range(K)]
+                packed = None
+        if packed is None and bool(alive0.any()):
+            remaining = cfg.max_chunks - len(chs)
+            if remaining > 0 and (not chs
+                                  or bool(np.asarray(st[15]).any())):
                 with prof.span("wave.chunk_dispatch"):
-                    st2, chlog, bandlog = chunk(pool, targs, st)
-                start_alive_copy(st2)
+                    st, chlog, bandlog = chunk(pool, targs, st)
+                start_alive_copy(st)
                 chs.append(chlog)
                 bls.append(bandlog)
-                if len(chs) % spec_k == 0 or ci == cfg.max_chunks - 2:
-                    with prof.span("wave.alive_sync"):
-                        # st is one chunk behind st2: the copy has been
-                        # in flight since before st2's dispatch
-                        any_alive = bool(np.asarray(st[15]).any())
-                    if not any_alive:
-                        # st2 (and up to spec_k-1 logged chunks) were
-                        # speculative identities; the logs are harmless
-                        break
-                st = st2
+                for ci in range(remaining - 1):
+                    with prof.span("wave.chunk_dispatch"):
+                        st2, chlog, bandlog = chunk(pool, targs, st)
+                    start_alive_copy(st2)
+                    chs.append(chlog)
+                    bls.append(bandlog)
+                    if len(chs) % spec_k == 0 or ci == remaining - 2:
+                        with prof.span("wave.alive_sync"):
+                            # st is one chunk behind st2: the copy has
+                            # been in flight since before st2's dispatch
+                            any_alive = bool(np.asarray(st[15]).any())
+                        if not any_alive:
+                            # st2 (and up to spec_k-1 logged chunks) were
+                            # speculative identities; the logs are inert
+                            break
+                    st = st2
 
-        if chs:
+        if packed is None and chs:
             # pad the chunk count to a power of two so the backtrack
             # compiles for O(log) distinct shapes only (waves beyond a
             # tube's trim point are inactive in the walk); the zero pad
             # logs are allocated once per engine and aliased
             kpad = 1 << (len(chs) - 1).bit_length()
+            zkey = tuple(bls[0].shape)
             if getattr(self, "_zero_logs", None) is None:
-                self._zero_logs = (jnp.zeros_like(chs[0]),
-                                   jnp.zeros_like(bls[0]))
+                self._zero_logs = {}
+            if zkey not in self._zero_logs:
+                self._zero_logs[zkey] = (jnp.zeros_like(chs[0]),
+                                         jnp.zeros_like(bls[0]))
             while len(chs) < kpad:
-                chs.append(self._zero_logs[0])
-                bls.append(self._zero_logs[1])
+                chs.append(self._zero_logs[zkey][0])
+                bls.append(self._zero_logs[zkey][1])
             with prof.span("wave.backtrack"):
                 packed = np.asarray(
                     self._backtrack_fn(kpad)(chs, bls, st))
+        if packed is not None:
             d0h = packed[8]
             pk = packed[9:].view(np.uint32)
             unsh = (2 * np.arange(16, dtype=np.uint32))
@@ -1025,7 +1143,10 @@ class WaveEngine:
             diags = packed[8:]                  # all trimmed at wave 0
         alive = packed[5] != 0
         fallback = (packed[6] != 0) | alive   # budget exceeded
-        if os.environ.get("FASTGA_WAVE_DEBUG") and chs:
+        if (os.environ.get("FASTGA_WAVE_DEBUG") and chs
+                and np.asarray(bls[0]).ndim == 3):
+            # band-width stats need low/hgh logs — chunked path only
+            # (the fused path keeps just the kbase row for the walk)
             import sys
             wmax, w95 = 0, []
             for b in bls:

@@ -54,7 +54,8 @@ class BatchAligner:
         self._pool = None
         self.offs = offs
         self.seq = seq_lookup
-        self.stats = {"fallbacks": 0, "device_waves": 0, "items": 0}
+        self.stats = {"fallbacks": 0, "device_waves": 0, "items": 0,
+                      "rerun_fwd": 0, "rerun_rev": 0}
 
     @property
     def pool(self):
@@ -196,6 +197,8 @@ class BatchAligner:
             p.bepos = p.bbpos = (p.bbpos + p.bepos) >> 1
             p.trace = []
 
+        self.stats["rerun_fwd"] += len(fwd_rerun)
+        self.stats["rerun_rev"] += len(rev_rerun)
         if fwd_rerun:
             its = [items[i] for i in fwd_rerun]
             low2 = np.array([paths[i].abpos - paths[i].bbpos

@@ -110,3 +110,52 @@ def test_backtrack_walk_matches_scan():
                   jnp.asarray(trim_wave))
     assert np.array_equal(np.asarray(d0), D_ref[0])
     assert np.array_equal(np.asarray(Ds), D_ref[1:])
+
+
+@pytest.mark.parametrize("kmax,resumes", [(8, False), (2, True)])
+def test_fused_run_matches_chunked(monkeypatch, kmax, resumes):
+    """engine.run via the fused while_loop+walk program must equal the
+    chunked-poll path bit for bit — including the resume-to-chunked
+    handoff when tubes outlive the KMAX budget (kmax=2 forces it)."""
+    import jax.numpy as jnp
+
+    from fastga_tpu.ops import seqpack, wave as wavek
+    from fastga_tpu.ops.wave_ref import AlignSpec
+
+    monkeypatch.setenv("FASTGA_TPU_WAVE", "pallas")
+    rng = np.random.default_rng(11)
+    A = rng.integers(0, 4, 30000).astype(np.uint8)
+    B = _mutate(A, 0.10, rng)
+    pool = seqpack.SeqPool.build({"a": A, "b": B})
+    spec = AlignSpec(0.7, 100, False, (0.25, 0.25, 0.25, 0.25))
+    cfg = wavek.WaveConfig(n=32, w=256, chunk=24, max_chunks=64)
+    aw, alen = pool.offs["a"]
+    bw, blen = pool.offs["b"]
+    n = cfg.n
+    tubes = dict(
+        aw=np.full(n, aw, np.int32), alen=np.full(n, alen, np.int32),
+        bw=np.full(n, bw, np.int32), blen=np.full(n, blen, np.int32),
+        dgmin=np.full(n, -20, np.int32), dgmax=np.full(n, 20, np.int32),
+        anti=np.asarray([2 * (8000 + 137 * i) for i in range(n)],
+                        np.int32))
+    pw = jnp.asarray(pool.words)
+
+    monkeypatch.setenv("FASTGA_TPU_WAVE_FUSED", "0")
+    eng_c = wavek.WaveEngine(spec, cfg)
+    res_c, diags_c = eng_c.run(pw, tubes, +1)
+
+    monkeypatch.setenv("FASTGA_TPU_WAVE_FUSED", "1")
+    monkeypatch.setenv("FASTGA_TPU_WAVE_KMAX", str(kmax))
+    eng_f = wavek.WaveEngine(spec, cfg)
+    res_f, diags_f = eng_f.run(pw, tubes, +1)
+
+    for fc, ff in zip(res_c, res_f):
+        assert np.array_equal(np.asarray(fc), np.asarray(ff))
+    # diags agree wherever both walks are defined (shapes may differ by
+    # chunk padding; compare the common prefix past every trim point)
+    k = min(diags_c.shape[0], diags_f.shape[0])
+    tw = np.asarray(res_c.trim_wave)
+    assert int(tw.max()) < k
+    for i in range(n):
+        assert np.array_equal(diags_c[:tw[i] + 1, i],
+                              diags_f[:tw[i] + 1, i]), f"tube {i}"
