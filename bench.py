@@ -112,7 +112,9 @@ def main():
     # reference baseline number is likewise steady-state C with no JIT).
     runs = int(os.environ.get("BENCH_RUNS", 1))
     t_aln = t_cold
+    from fastga_tpu.utils import prof
     for _ in range(runs):
+        prof.reset()   # report() below covers the last (steady) run only
         t0 = time.time()
         ovls, stats = aligner.align_genomes(g1, g2, engine=engine)
         t_aln = time.time() - t0
@@ -136,7 +138,6 @@ def main():
         f"seed-extensions/sec/chip {exts / t_aln:.1f} "
         f"(waves/sec {waves / t_aln:.0f}); "
         f"stats={ {k: v for k, v in stats.items() if isinstance(v, (int, float))} }\n")
-    from fastga_tpu.utils import prof
     if prof.ENABLED:
         for k, (s, c) in prof.report().items():
             sys.stderr.write(f"  prof {k}: {s:.2f}s x{c}\n")

@@ -374,6 +374,86 @@ def _entry_keys(jnp, T, tag: int):
     return k1, k2, valid
 
 
+def _use_merge_kernel(E1, E2) -> bool:
+    """Route the presorted merge through the Pallas merge-path kernel
+    on real TPUs (ops/merge_pallas.py); XLA bitonic elsewhere."""
+    import os
+
+    import jax
+    if os.environ.get("FASTGA_TPU_MERGE_KERNEL", "auto") == "off":
+        return False
+    if jax.devices()[0].platform != "tpu":
+        return False
+    from . import merge_pallas as mp
+    return mp.supported(E1, E2)
+
+
+def _bitonic_merge_sorted(jax, jnp, e1, ops, num_keys=2):
+    """Merge two individually-sorted int64 operand streams — rows [:e1]
+    ascending, rows [e1:] ascending, invalid rows +MAX suffixes within
+    each stream — into one ascending stream.
+
+    Equals lax.sort's output whenever live keys are unique (they are:
+    every entry key embeds cont/post/comp + a stream tag), but runs as
+    Batcher's bitonic *merge* network: log2(P) compare-exchange stages
+    of regular strided selects, no gathers and ~log(P)x less work than
+    a full sort.  ops[0] (and ops[1] when num_keys=2) are the
+    lexicographic keys; remaining operands ride as payload.  +MAX pad
+    rows injected at the stream boundary keep bitonicity for non-pow2
+    sizes; they carry all-MAX payloads and are truncated off the tail
+    (only ever displacing rows whose keys are also +MAX)."""
+    M = ops[0].shape[0]
+    P = 1 << (M - 1).bit_length()
+    pad = P - M
+    if pad:
+        filler = jnp.full((pad,), _I64MAX, jnp.int64)
+        ops = tuple(jnp.concatenate([x[:e1], filler, x[e1:]])
+                    for x in ops)
+    # ascending ++ reversed-ascending = bitonic
+    ops = tuple(jnp.concatenate([x[:e1 + pad],
+                                 jnp.flip(x[e1 + pad:])]) for x in ops)
+
+    def key_gt(a0, a1, b0, b1):
+        g = a0 > b0
+        if num_keys > 1:
+            g = g | ((a0 == b0) & (a1 > b1))
+        return g
+
+    s = P >> 1
+    # large strides: 2D halves [R, 2s] -> [:, :s] vs [:, s:] (dense
+    # lane-major layouts; a [-1, 2, s] reshape would pad tiny dims)
+    while s >= 2048:
+        x2 = [x.reshape(-1, 2 * s) for x in ops]
+        lo = [x[:, :s] for x in x2]
+        hi = [x[:, s:] for x in x2]
+        swap = key_gt(lo[0], lo[1] if num_keys > 1 else None,
+                      hi[0], hi[1] if num_keys > 1 else None)
+        ops = tuple(
+            jnp.concatenate([jnp.where(swap, h, l),
+                             jnp.where(swap, l, h)], axis=1).reshape(P)
+            for l, h in zip(lo, hi))
+        s >>= 1
+    # small strides: roll-based compare-exchange on the flat array
+    # (rolls keep the 128-lane layout dense at any stride)
+    iota = jnp.arange(P, dtype=jnp.int32)
+    while s >= 1:
+        is_lo = (iota & s) == 0
+        k0d = jnp.roll(ops[0], -s)
+        k1d = jnp.roll(ops[1], -s) if num_keys > 1 else None
+        swap_lo = key_gt(ops[0], ops[1] if num_keys > 1 else None,
+                         k0d, k1d)
+        swap = jnp.where(is_lo, swap_lo, jnp.roll(swap_lo, s))
+        ops = tuple(
+            jnp.where(swap,
+                      jnp.where(is_lo, jnp.roll(x, -s), jnp.roll(x, s)),
+                      x)
+            for x in ops)
+        s >>= 1
+    if pad:
+        ops = tuple(x[:M] for x in ops)
+    return ops
+
+
 def _window_mins(jnp, l2, n2, freq):
     """T2-space rolling minima of the adjacent-lcp array.
 
@@ -410,7 +490,8 @@ def _pack6(jnp, vals, lo_count):
 
 def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
                 soft_mask: bool = False, has_masks: bool = False,
-                maskb1=None, maskb2=None, flip: bool = False):
+                maskb1=None, maskb2=None, flip: bool = False,
+                presorted: bool = False):
     """Adaptamer seeds between two device tables (jit-traceable).
 
     Combined-stream port of ops/merge._merge_chunk: T1-forward and T2
@@ -423,6 +504,17 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
     `acap`: cap on alive T1 rows (default E1//2).  When masks are in
     play pass has_masks=True with per-entry mask bytes; masked-out seeds
     are compacted away exactly like the host path.
+
+    ``presorted=True`` asserts both tables are sorted by the composite
+    entry key (kmer, cont, post, comp) with +MAX-tail validity — true of
+    every device-built table (gix_arrays / _drvtab_jit sort exactly that
+    key).  The combined stream is then produced by a bitonic *merge*
+    (log2(M) strided select stages) instead of a full lax.sort, and
+    non-driving T1 rows stay in place carrying a dead bit (payload bit
+    62) rather than being key-MAXed: interspersed dead rows change no
+    downstream value — segment boundaries (is2), insertion ranks, and
+    window transport are all is2-keyed, and the lcp chains are segmented
+    mins where lcp(a,c) == min(lcp(a,b), lcp(b,c)) for sorted strings.
 
     ``flip=True`` is the -S symmetric second pass (new_merge_thread flip
     branch FastGA.c:833-913, host port ops/merge.adaptamer_seeds_flip):
@@ -449,8 +541,13 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
     # only forward T1 entries drive the merge (flip: any orientation,
     # FastGA.c:916-928 applies to the un-flipped side only)
     drive1 = val1 if flip else (val1 & (T1[5] == 0))
-    k1a = jnp.where(drive1, k1a, _I64MAX)
-    k2a = jnp.where(drive1, k2a, _I64MAX)
+    if presorted:
+        # keep non-driving rows in place (dead bit rides payload bit 62)
+        # so the T1 stream stays sorted for the bitonic merge
+        dead1 = (val1 & ~drive1).astype(jnp.int64)
+    else:
+        k1a = jnp.where(drive1, k1a, _I64MAX)
+        k2a = jnp.where(drive1, k2a, _I64MAX)
 
     # T2-space window minima, packed 6 bits each, ride the sort as values
     # (lo = 6 values, hi = up to 3 more above bit 36; maskb at bit 54)
@@ -462,14 +559,27 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
            else jnp.zeros(E1, jnp.int32)).astype(jnp.int64)
     mb2 = (maskb2 if maskb2 is not None
            else jnp.zeros(E2, jnp.int32)).astype(jnp.int64)
-    vup = jnp.concatenate([mb1 << 54,
+    vup1 = mb1 << 54
+    if presorted:
+        vup1 = vup1 | (dead1 << 62)
+    vup = jnp.concatenate([vup1,
                            (mb2 << 54) | (up_hi2 << 36) | up_lo2])
     vdn = jnp.concatenate([jnp.zeros(E1, jnp.int64),
                            (dn_hi2 << 36) | dn_lo2])
 
-    k1 = jnp.concatenate([k1a, k1b])
-    k2 = jnp.concatenate([k2a, k2b])
-    srt = jax.lax.sort((k1, k2, vup, vdn), num_keys=2)
+    if presorted and _use_merge_kernel(E1, E2):
+        from . import merge_pallas as mp
+        srt = mp.merge_sorted_streams(
+            (k1a, k2a, vup[:E1], vdn[:E1]),
+            (k1b, k2b, vup[E1:], vdn[E1:]))
+    else:
+        k1 = jnp.concatenate([k1a, k1b])
+        k2 = jnp.concatenate([k2a, k2b])
+        if presorted:
+            srt = _bitonic_merge_sorted(jax, jnp, E1,
+                                        (k1, k2, vup, vdn))
+        else:
+            srt = jax.lax.sort((k1, k2, vup, vdn), num_keys=2)
     k1s, k2s, vups, vdns = srt
 
     valid = k2s != _I64MAX
@@ -512,6 +622,8 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
 
     plen = jnp.maximum(lcp_pred, lcp_succ)
     alive0 = (~is2) & valid & (plen >= 12)
+    if presorted:
+        alive0 = alive0 & (((vups >> 62) & 1) == 0)
 
     # transport the T2-row window words to T1 rows (predecessor's wdn
     # fills forward, successor's wup fills backward); high values
@@ -1130,15 +1242,16 @@ def _dev_cache(gdb, N=0):
     return c
 
 
-def _merge_jit(E1, E2, nscap, acap, freq, soft, masks):
+def _merge_jit(E1, E2, nscap, acap, freq, soft, masks,
+               presorted=False):
     import jax
     import jax.numpy as jnp
-    key = ("mg2", E1, E2, nscap, acap, freq, soft, masks)
+    key = ("mg2", E1, E2, nscap, acap, freq, soft, masks, presorted)
     fn = _jit_cache.get(key)
     if fn is None:
         def mg(T1, T2, mb1, mb2):
             out = merge_seeds(T1, T2, nscap, freq, acap, soft, masks,
-                              mb1, mb2)
+                              mb1, mb2, presorted=presorted)
             pl, ac, ap, bcn, bp, bo, ns, nalive = out
             sidx = jnp.arange(nscap, dtype=jnp.int32)
             plsum = jnp.sum(jnp.where(sidx < ns, pl, 0))
@@ -1149,20 +1262,21 @@ def _merge_jit(E1, E2, nscap, acap, freq, soft, masks):
     return fn
 
 
-def _sym_jit(E1, E2, nscap1, nscap2, acap1, acap2, freq, soft, masks):
+def _sym_jit(E1, E2, nscap1, nscap2, acap1, acap2, freq, soft, masks,
+             presorted=False):
     """-S symmetric merge: normal pass + flip pass (FastGA.c:2410-2470)
     concatenated compactly into one seed stream."""
     import jax
     import jax.numpy as jnp
     key = ("sym2", E1, E2, nscap1, nscap2, acap1, acap2, freq, soft,
-           masks)
+           masks, presorted)
     fn = _jit_cache.get(key)
     if fn is None:
         def mg(T1, T2, mb1, mb2):
             o1 = merge_seeds(T1, T2, nscap1, freq, acap1, soft, masks,
-                             mb1, mb2)
+                             mb1, mb2, presorted=presorted)
             o2 = merge_seeds(T2, T1, nscap2, freq, acap2, soft, masks,
-                             mb2, mb1, flip=True)
+                             mb2, mb1, flip=True, presorted=presorted)
             (plA, acA, apA, bcA, bpA, boA, nsA, nalA) = o1
             (plB, acB, apB, bcB, bpB, boB, nsB, nalB) = o2
             nsAc = jnp.minimum(nsA, nscap1)
@@ -1501,7 +1615,7 @@ def device_tubes_tables(t1, t2, alens_by_rank, amax: int, bmax: int,
             NSCAP2 = max(E2 * 2, 1 << 13)
             ACAP2 = max(E2, 1 << 12)
             yfn = _sym_jit(E1, E2, NSCAP, NSCAP2, ACAP, ACAP2, freq,
-                           soft_mask, has_masks)
+                           soft_mask, has_masks, presorted=True)
             (pl, ac, ap, bcn, bp, bo, ns, over, plsum) = yfn(
                 T1, T2, mb1, mb2)
             if int(np.asarray(over)) > 0:
@@ -1511,7 +1625,7 @@ def device_tubes_tables(t1, t2, alens_by_rank, amax: int, bmax: int,
         else:
             T2, mb2, E2 = _upload_table(t2)
             mfn = _merge_jit(E1, E2, NSCAP, ACAP, freq, soft_mask,
-                             has_masks)
+                             has_masks, presorted=True)
             out = mfn(T1, T2, mb1, mb2)
         res, ns, nalive, plsum = _run_chain(
             None, out, NSCAP, tcap, chain_break, chain_min, amax, bmax,
@@ -1729,7 +1843,7 @@ def device_tubes_paneled(gdb1, gdb2, alens_by_rank, freq: int = 10,
             sfn = _self_jit(cap1, NSCAP_P, acap_p, freq, False, False)
         else:
             mfn = _merge_jit(cap1, cap2c, NSCAP_P, acap_p,
-                             freq, False, False)
+                             freq, False, False, presorted=True)
         afn = _append_seeds_jit(NSCAP_P, GCAP)
 
         g1 = jnp.full(GCAP, _I64MAX, jnp.int64)
@@ -1936,7 +2050,7 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
             NSCAP2 = max(N2, 1 << 13)
             ACAP2 = max(N2 // 2, 1 << 12)
             yfn = _sym_jit(E1, E2, NSCAP, NSCAP2, ACAP, ACAP2, freq,
-                           False, False)
+                           False, False, presorted=True)
             (spl, sac, sap, sbc, sbp, sbo, sns, sover, spls) = yfn(
                 T1, T2, None, None)
             if int(np.asarray(sover)) > 0:
@@ -1945,8 +2059,8 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
             mout = (spl, sac, sap, sbc, sbp, sbo, sns, np.int32(0),
                     spls)
         else:
-            mout = _merge_jit(E1, E2, NSCAP, ACAP, freq, False, False)(
-                T1, T2, None, None)
+            mout = _merge_jit(E1, E2, NSCAP, ACAP, freq, False, False,
+                              presorted=True)(T1, T2, None, None)
         (pl, ac, ap, bcn, bp, bo, ns, nalive, plsum) = mout
         t0 = _tick("merge", t0, ns)
         ne1, ne2 = T1[7], T2[7]

@@ -1046,7 +1046,7 @@ class WaveEngine:
         chs = []
         bls = []
         packed = None
-        spec_k = max(1, int(os.environ.get("FASTGA_TPU_WAVE_SPEC", "2")))
+        spec_k = max(1, int(os.environ.get("FASTGA_TPU_WAVE_SPEC", "4")))
         # Opt-in: one dispatch per direction (while_loop + in-device
         # walk, single fetch).  Measured on the remote-tunnel dev setup
         # the speculative chunked dispatch still wins (~0.5 s/run): the
