@@ -658,39 +658,33 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
         alive = alive & (mb_own < mlen)
     cnt = jnp.where(alive, count, 0)
 
-    # compact alive T1 rows (stable); payload packed into sort values
-    # (flip: the driver's orientation rides at bit 47 — it becomes the
-    # emitted bcomp)
+    # ragged expansion DIRECTLY over the merged stream (no compaction
+    # sort): per-seed owner rows come from a scatter-max of merged-row
+    # indices at each chain start + a cummax fill — owners appear in
+    # increasing row order, so the fill is exact.  (flip: the driver's
+    # orientation rides at bit 47 — it becomes the emitted bcomp)
     v1 = ((plen.astype(jnp.int64) << 40) | (cont.astype(jnp.int64) << 28)
           | post.astype(jnp.int64))
     if flip:
         v1 = v1 | (comp.astype(jnp.int64) << 47)
     y0 = ins - dnc
-    v2 = (y0.astype(jnp.int64) << 8) | cnt.astype(jnp.int64)
-    kc = jnp.where(alive, jnp.int64(0), jnp.int64(1) << 58) \
-        | ridx.astype(jnp.int64)
-    csrt = jax.lax.sort((kc, jnp.where(alive, v1, 0),
-                         jnp.where(alive, v2, 0)), num_keys=1)
-    v1c = csrt[1][:acap]
-    v2c = csrt[2][:acap]
     nalive = jnp.sum(alive.astype(jnp.int32))
 
-    # ragged expansion: scatter chain starts, cumsum, bounded gathers
-    cntc = (v2c & 0xFF).astype(jnp.int32)
-    aix = jnp.arange(acap, dtype=jnp.int32)
-    alive_c = aix < nalive
-    cum_incl = jnp.cumsum(cntc)
-    cum_excl = cum_incl - cntc
-    nseeds = cum_incl[acap - 1]
-    starts = jnp.where(alive_c, cum_excl, ns_cap)
+    cnt64 = cnt.astype(jnp.int64)
+    cum_incl = jnp.cumsum(cnt64)
+    cum_excl = (cum_incl - cnt64).astype(jnp.int32)
+    nseeds = cum_incl[M - 1].astype(jnp.int32)
+    starts = jnp.where(alive, cum_excl, ns_cap)
     marks = jnp.zeros(ns_cap, jnp.int32).at[starts].add(
         1, mode="drop")
-    e = jnp.cumsum(marks) - 1
-    v3c = (cum_excl.astype(jnp.int64) << 28) | (v2c >> 8)
+    row0 = jnp.zeros(ns_cap, jnp.int32).at[starts].max(
+        ridx, mode="drop")
+    rowf = jax.lax.cummax(jnp.where(marks > 0, row0, -1), axis=0)
+    v3 = (cum_excl.astype(jnp.int64) << 28) | y0.astype(jnp.int64)
     sidx = jnp.arange(ns_cap, dtype=jnp.int32)
-    ec = jnp.clip(e, 0, acap - 1)
-    g1 = v1c[ec]
-    g3 = v3c[ec]
+    ec = jnp.clip(rowf, 0, M - 1)
+    g1 = v1[ec]
+    g3 = v3[ec]
     y = ((g3 & (MAX_POST - 1)) + (sidx - (g3 >> 28))).astype(jnp.int32)
     yc = jnp.clip(y, 0, E2 - 1)
 
@@ -790,34 +784,31 @@ def self_seeds(T1, ns_cap: int, freq: int = F, acap: int = 0,
         alive = alive & (mb1v < mlen)
     cnt = jnp.where(alive, upc + dnc, 0)
 
+    # ragged expansion directly over the table rows (no compaction
+    # sort) — owner rows via scatter-max + cummax fill, as in
+    # merge_seeds
     v1 = ((plen.astype(jnp.int64) << 40) | (c1.astype(jnp.int64) << 28)
           | p1.astype(jnp.int64))
     y0 = iota - dnc
     v2 = ((y0.astype(jnp.int64) << 16) | (dnc.astype(jnp.int64) << 8)
           | cnt.astype(jnp.int64))
-    kc = jnp.where(alive, jnp.int64(0), jnp.int64(1) << 58) \
-        | iota.astype(jnp.int64)
     vown = (o1.astype(jnp.int64) << 28) | iota.astype(jnp.int64)
-    csrt = jax.lax.sort((kc, jnp.where(alive, v1, 0),
-                         jnp.where(alive, v2, 0),
-                         jnp.where(alive, vown, 0)), num_keys=1)
-    v1c, v2c, vognc = csrt[1][:acap], csrt[2][:acap], csrt[3][:acap]
     nalive = jnp.sum(alive.astype(jnp.int32))
 
-    cntc = (v2c & 0xFF).astype(jnp.int32)
-    aix = jnp.arange(acap, dtype=jnp.int32)
-    alive_c = aix < nalive
-    cum_incl = jnp.cumsum(cntc)
-    cum_excl = cum_incl - cntc
-    nseeds = cum_incl[acap - 1]
-    starts = jnp.where(alive_c & (cntc > 0), cum_excl, ns_cap)
+    cnt64 = cnt.astype(jnp.int64)
+    cum_incl = jnp.cumsum(cnt64)
+    cum_excl = (cum_incl - cnt64).astype(jnp.int32)
+    nseeds = cum_incl[E1 - 1].astype(jnp.int32)
+    starts = jnp.where(alive & (cnt > 0), cum_excl, ns_cap)
     marks = jnp.zeros(ns_cap, jnp.int32).at[starts].add(1, mode="drop")
-    e = jnp.cumsum(marks) - 1
+    row0 = jnp.zeros(ns_cap, jnp.int32).at[starts].max(
+        iota, mode="drop")
+    rowf = jax.lax.cummax(jnp.where(marks > 0, row0, -1), axis=0)
     sidx = jnp.arange(ns_cap, dtype=jnp.int32)
-    ec = jnp.clip(e, 0, acap - 1)
-    g1 = v1c[ec]
-    g2 = v2c[ec]
-    gown = vognc[ec]
+    ec = jnp.clip(rowf, 0, E1 - 1)
+    g1 = v1[ec]
+    g2 = v2[ec]
+    gown = vown[ec]
     xcomp = (gown >> 28).astype(jnp.int32)
     start_slot = _ffill_tagged(
         jax, jnp, marks > 0,
@@ -906,26 +897,40 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
     sidx = jnp.arange(NS, dtype=jnp.int32)
     svalid = sidx < ns
 
-    def dup(lowv, upv):
-        return jnp.concatenate([lowv, upv])
-
-    ga = dup(acont, acont).astype(jnp.int64)
-    gb = dup(bcont, bcont).astype(jnp.int64)
-    gc = dup(bcf, bcf).astype(jnp.int64)
-    pairing = dup(dbuck, dbuck - 1).astype(jnp.int64) + _POFF
-    tag = dup(jnp.zeros(NS, jnp.int64), jnp.ones(NS, jnp.int64))
-    dg = dup(drem, drem + BUCK_WIDTH).astype(jnp.int64)
-    aa = dup(anti, anti).astype(jnp.int64)
-    ll = dup(lcp2, lcp2).astype(jnp.int64)
-    valid = dup(svalid, svalid)
-    iota = jnp.arange(M2, dtype=jnp.int64)
-
-    k1 = (ga << 39) | (gb << 27) | (gc << 26) | pairing
-    k2 = (aa << 28) | (tag << 27) | iota
-    vB = (dg << 8) | ll
-    k1 = jnp.where(valid, k1, _I64MAX)
-    k2 = jnp.where(valid, k2, _I64MAX)
-    srt = jax.lax.sort((k1, k2, jnp.where(valid, vB, 0)), num_keys=2)
+    # Every seed participates in two bucket pairings: (dbuck, tag 0)
+    # and (dbuck-1, tag 1).  The doubled stream's sort keys for the
+    # upper copy are exact monotone transforms of the lower copy's
+    # (k1-1; k2 + tagbit + NS in the iota field; vB + BUCK_WIDTH<<8),
+    # so ONE sort of NS rows + a merge of the two derived sorted
+    # streams equals the reference 2NS-row sort bit-for-bit (keys are
+    # unique via the iota tie-break, which matches the doubled
+    # layout's lower-i / upper-NS+i numbering).
+    k1l = ((acont.astype(jnp.int64) << 39)
+           | (bcont.astype(jnp.int64) << 27)
+           | (bcf.astype(jnp.int64) << 26)
+           | (dbuck.astype(jnp.int64) + _POFF))
+    k2l = ((anti.astype(jnp.int64) << 28)
+           | sidx.astype(jnp.int64))
+    vBl = ((drem.astype(jnp.int64) << 8)
+           | lcp2.astype(jnp.int64))
+    k1l = jnp.where(svalid, k1l, _I64MAX)
+    k2l = jnp.where(svalid, k2l, _I64MAX)
+    vBl = jnp.where(svalid, vBl, 0)
+    k1ls, k2ls, vBls = jax.lax.sort((k1l, k2l, vBl), num_keys=2)
+    lvalid = k1ls != _I64MAX
+    k1u = jnp.where(lvalid, k1ls - 1, _I64MAX)
+    k2u = jnp.where(lvalid, k2ls + ((jnp.int64(1) << 27) + NS),
+                    _I64MAX)
+    vBu = vBls + (jnp.int64(BUCK_WIDTH) << 8)
+    if _use_merge_kernel(NS, NS):
+        from . import merge_pallas as mp
+        srt = mp.merge_sorted_streams((k1ls, k2ls, vBls),
+                                      (k1u, k2u, vBu))
+    else:
+        srt = _bitonic_merge_sorted(
+            jax, jnp, NS,
+            tuple(jnp.concatenate([a, b]) for a, b in
+                  ((k1ls, k1u), (k2ls, k2u), (vBls, vBu))))
     k1s, k2s, vBs = srt
 
     valid = k1s != _I64MAX
@@ -1981,7 +1986,16 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
     cache2 = _dev_cache(gdb2, N2)
     # seed/alive caps track the genome size, not the (tighter) entry
     # buckets: seed fan-out per driving entry is up to `freq`
-    NSCAP = max(N1, 1 << 13)
+    NSCAP_FULL = max(N1, 1 << 13)
+    # steady-state runs against the same pair reuse the previous seed
+    # count to size the expansion tightly (the reference analog: seed
+    # temp files are exactly sized on re-import, FastGA.c:4256-4345);
+    # an overflow against the tight cap retries at the full cap
+    est_key = ("ns_est", N1, N2, freq, symmetric)
+    est = cache1.get(est_key)
+    NSCAP = (min(_pad_bucket(max(est + (est >> 2), 1 << 13)),
+                 NSCAP_FULL)
+             if est is not None else NSCAP_FULL)
     ACAP = max(N1 // 2, 1 << 12)
 
     import os
@@ -2046,21 +2060,31 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
             return None
         E2 = T2[0].shape[0]
         t0 = _tick("gix2", t0, T2)
-        if symmetric:
-            NSCAP2 = max(N2, 1 << 13)
-            ACAP2 = max(N2 // 2, 1 << 12)
-            yfn = _sym_jit(E1, E2, NSCAP, NSCAP2, ACAP, ACAP2, freq,
-                           False, False, presorted=True)
-            (spl, sac, sap, sbc, sbp, sbo, sns, sover, spls) = yfn(
-                T1, T2, None, None)
-            if int(np.asarray(sover)) > 0:
-                return None
-            NSCAP = NSCAP + NSCAP2
-            mout = (spl, sac, sap, sbc, sbp, sbo, sns, np.int32(0),
-                    spls)
-        else:
-            mout = _merge_jit(E1, E2, NSCAP, ACAP, freq, False, False,
-                              presorted=True)(T1, T2, None, None)
+        caps = [NSCAP] + ([NSCAP_FULL] if NSCAP < NSCAP_FULL else [])
+        for ci, nscap_try in enumerate(caps):
+            if symmetric:
+                NSCAP2 = max(N2, 1 << 13)
+                ACAP2 = max(N2 // 2, 1 << 12)
+                yfn = _sym_jit(E1, E2, nscap_try, NSCAP2, ACAP, ACAP2,
+                               freq, False, False, presorted=True)
+                (spl, sac, sap, sbc, sbp, sbo, sns, sover, spls) = yfn(
+                    T1, T2, None, None)
+                if int(np.asarray(sover)) > 0:
+                    if ci + 1 < len(caps):
+                        continue   # tight estimate overflowed: full cap
+                    return None
+                NSCAP = nscap_try + NSCAP2
+                mout = (spl, sac, sap, sbc, sbp, sbo, sns, np.int32(0),
+                        spls)
+                cache1[est_key] = int(np.asarray(sns))
+                break
+            mout = _merge_jit(E1, E2, nscap_try, ACAP, freq, False,
+                              False, presorted=True)(T1, T2, None, None)
+            ns_host = int(np.asarray(mout[6]))
+            if ns_host <= nscap_try or ci + 1 == len(caps):
+                NSCAP = nscap_try
+                cache1[est_key] = ns_host
+                break
         (pl, ac, ap, bcn, bp, bo, ns, nalive, plsum) = mout
         t0 = _tick("merge", t0, ns)
         ne1, ne2 = T1[7], T2[7]
