@@ -388,6 +388,23 @@ def _use_merge_kernel(E1, E2) -> bool:
     return mp.supported(E1, E2)
 
 
+def _use_scan_kernel(M) -> bool:
+    """Route stream scans through the fused Pallas scan kernel
+    (ops/scan_pallas.py) on real TPUs; XLA scans elsewhere.
+    FASTGA_TPU_SCAN_KERNEL: auto (default) | off | force (any backend —
+    pair with FASTGA_TPU_SCAN_INTERPRET=1 for CPU tests)."""
+    import os
+
+    import jax
+    mode = os.environ.get("FASTGA_TPU_SCAN_KERNEL", "auto")
+    if mode == "off":
+        return False
+    if mode != "force" and jax.devices()[0].platform != "tpu":
+        return False
+    from . import scan_pallas as spk
+    return spk.supported(M)
+
+
 def _bitonic_merge_sorted(jax, jnp, e1, ops, num_keys=2):
     """Merge two individually-sorted int64 operand streams — rows [:e1]
     ascending, rows [e1:] ascending, invalid rows +MAX suffixes within
@@ -602,22 +619,57 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
     alcp = jnp.minimum(lz >> 1, kmer)
     alcp = jnp.where((ridx > 0) & valid & jnp.roll(valid, 1), alcp, 0)
 
-    m2cum = jnp.cumsum(is2.astype(jnp.int64))
-    ins = (m2cum - is2.astype(jnp.int64)).astype(jnp.int32)
-
-    # lcp to nearest preceding / following T2 row: segmented min-scans of
-    # alcp with resets after / before T2 rows (min via negated cummax)
-    startp = (ridx == 0) | jnp.roll(is2, 1)
-    segmin_p = -_seg_cummax(jax, jnp, -alcp, startp)
-    lcp_pred = jnp.where(ins > 0, segmin_p, -1)
-
+    use_scan = _use_scan_kernel(M)
     nalcp = jnp.roll(alcp, -1)          # lcp(row i, row i+1)
-    f_is2 = jnp.flip(is2)
-    f_nalcp = jnp.flip(nalcp)
-    f_start = (ridx == 0) | jnp.roll(f_is2, 1)
-    f_min = -_seg_cummax(jax, jnp, -f_nalcp, f_start)
-    segmin_s = jnp.flip(f_min)
-    n2_after = (n2.astype(jnp.int64) - m2cum).astype(jnp.int32)
+    is2i = is2.astype(jnp.int32)
+    startp = (ridx == 0) | jnp.roll(is2, 1)
+    if use_scan:
+        # one fused forward pass: T2 insertion ranks, pred-side
+        # segmented lcp minima, and the T2 window words (18-bit planes)
+        # transported to following rows; one reverse pass for the
+        # succ-side equivalents
+        from . import scan_pallas as spk
+        m18 = jnp.int64(0x3FFFF)
+        fwd = spk.fused_scan(
+            (is2i, -alcp,
+             (vdns & m18).astype(jnp.int32),
+             ((vdns >> 18) & m18).astype(jnp.int32),
+             ((vdns >> 36) & m18).astype(jnp.int32)),
+            (("sum", None), ("max", 0),
+             ("last", 1), ("last", 1), ("last", 1)),
+            (startp.astype(jnp.int32), is2i))
+        m2cum32, nsegp, dn_p0, dn_p1, dn_p2 = fwd
+        segmin_p = -nsegp
+        # reverse flag: reset at the nearest following T2 row (the
+        # flipped-scan formulation's (p==0)|roll(flip(is2),1) start)
+        g_succ = jnp.where(ridx == M - 1, 1, jnp.roll(is2i, -1))
+        rev = spk.fused_scan(
+            (-nalcp,
+             (vups & m18).astype(jnp.int32),
+             ((vups >> 18) & m18).astype(jnp.int32),
+             ((vups >> 36) & m18).astype(jnp.int32)),
+            (("max", 0), ("last", 1), ("last", 1), ("last", 1)),
+            (g_succ, is2i), reverse=True)
+        segmin_s = -rev[0]
+        up_p0, up_p1, up_p2 = rev[1], rev[2], rev[3]
+        ins = m2cum32 - is2i
+        n2_after = n2.astype(jnp.int32) - m2cum32
+    else:
+        m2cum = jnp.cumsum(is2.astype(jnp.int64))
+        ins = (m2cum - is2.astype(jnp.int64)).astype(jnp.int32)
+
+        # lcp to nearest preceding / following T2 row: segmented
+        # min-scans of alcp with resets after / before T2 rows (min via
+        # negated cummax)
+        segmin_p = -_seg_cummax(jax, jnp, -alcp, startp)
+
+        f_is2 = jnp.flip(is2)
+        f_nalcp = jnp.flip(nalcp)
+        f_start = (ridx == 0) | jnp.roll(f_is2, 1)
+        f_min = -_seg_cummax(jax, jnp, -f_nalcp, f_start)
+        segmin_s = jnp.flip(f_min)
+        n2_after = (n2.astype(jnp.int64) - m2cum).astype(jnp.int32)
+    lcp_pred = jnp.where(ins > 0, segmin_p, -1)
     lcp_succ = jnp.where(n2_after > 0, segmin_s, -1)
 
     plen = jnp.maximum(lcp_pred, lcp_succ)
@@ -625,29 +677,49 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
     if presorted:
         alive0 = alive0 & (((vups >> 62) & 1) == 0)
 
-    # transport the T2-row window words to T1 rows (predecessor's wdn
-    # fills forward, successor's wup fills backward); high values
-    # (beyond 6 packed) travel as an 18-bit field
-    m36 = (jnp.int64(1) << 36) - 1
-    dn_at = _ffill_tagged(jax, jnp, is2, vdns & m36, 36)
-    hi_at_p = _ffill_tagged(jax, jnp, is2, (vdns >> 36) & 0x3FFFF, 18)
-    up_at = _bfill_tagged(jax, jnp, is2, vups & m36, 36)
-    hi_at_s = _bfill_tagged(jax, jnp, is2, (vups >> 36) & 0x3FFFF, 18)
-
-    def win_ok_counts(lo, hi):
-        cnt = jnp.zeros(M, jnp.int32)
-        for u in range(1, freq):
-            if u - 1 < nlo:
-                wv = ((lo >> (6 * (u - 1))) & 63).astype(jnp.int32)
-            else:
-                wv = ((hi >> (6 * (u - 1 - nlo))) & 63).astype(jnp.int32)
-            cnt = cnt + (wv >= plen).astype(jnp.int32)
-        return cnt
-
     up0 = (lcp_succ >= plen) & (n2_after > 0) & alive0
     dn0 = (lcp_pred >= plen) & (ins > 0) & alive0
-    upc = jnp.where(up0, 1 + win_ok_counts(up_at, hi_at_s), 0)
-    dnc = jnp.where(dn0, 1 + win_ok_counts(dn_at, hi_at_p), 0)
+    if use_scan:
+        # window words arrived as 18-bit planes (3 packed 6-bit values
+        # each, contiguous from bit 0 across planes)
+        def win_ok_counts3(p0, p1, p2):
+            cnt = jnp.zeros(M, jnp.int32)
+            planes = (p0, p1, p2)
+            for u in range(1, freq):
+                pi, off = divmod(u - 1, 3)
+                wv = (planes[pi] >> (6 * off)) & 63
+                cnt = cnt + (wv >= plen).astype(jnp.int32)
+            return cnt
+
+        upcw = win_ok_counts3(up_p0, up_p1, up_p2)
+        dncw = win_ok_counts3(dn_p0, dn_p1, dn_p2)
+    else:
+        # transport the T2-row window words to T1 rows (predecessor's
+        # wdn fills forward, successor's wup fills backward); high
+        # values (beyond 6 packed) travel as an 18-bit field
+        m36 = (jnp.int64(1) << 36) - 1
+        dn_at = _ffill_tagged(jax, jnp, is2, vdns & m36, 36)
+        hi_at_p = _ffill_tagged(jax, jnp, is2, (vdns >> 36) & 0x3FFFF,
+                                18)
+        up_at = _bfill_tagged(jax, jnp, is2, vups & m36, 36)
+        hi_at_s = _bfill_tagged(jax, jnp, is2, (vups >> 36) & 0x3FFFF,
+                                18)
+
+        def win_ok_counts(lo, hi):
+            cnt = jnp.zeros(M, jnp.int32)
+            for u in range(1, freq):
+                if u - 1 < nlo:
+                    wv = ((lo >> (6 * (u - 1))) & 63).astype(jnp.int32)
+                else:
+                    wv = ((hi >> (6 * (u - 1 - nlo)))
+                          & 63).astype(jnp.int32)
+                cnt = cnt + (wv >= plen).astype(jnp.int32)
+            return cnt
+
+        upcw = win_ok_counts(up_at, hi_at_s)
+        dncw = win_ok_counts(dn_at, hi_at_p)
+    upc = jnp.where(up0, 1 + upcw, 0)
+    dnc = jnp.where(dn0, 1 + dncw, 0)
 
     count = upc + dnc
     alive = alive0 & (count < freq)
@@ -670,16 +742,14 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
     y0 = ins - dnc
     nalive = jnp.sum(alive.astype(jnp.int32))
 
-    cnt64 = cnt.astype(jnp.int64)
-    cum_incl = jnp.cumsum(cnt64)
-    cum_excl = (cum_incl - cnt64).astype(jnp.int32)
-    nseeds = cum_incl[M - 1].astype(jnp.int32)
+    cnt32 = cnt.astype(jnp.int32)
+    cum_incl = jnp.cumsum(cnt32)        # nseeds < 2^31
+    cum_excl = cum_incl - cnt32
+    nseeds = cum_incl[M - 1]
     starts = jnp.where(alive, cum_excl, ns_cap)
-    marks = jnp.zeros(ns_cap, jnp.int32).at[starts].add(
-        1, mode="drop")
-    row0 = jnp.zeros(ns_cap, jnp.int32).at[starts].max(
+    row0 = jnp.full(ns_cap, -1, jnp.int32).at[starts].max(
         ridx, mode="drop")
-    rowf = jax.lax.cummax(jnp.where(marks > 0, row0, -1), axis=0)
+    rowf = jax.lax.cummax(row0, axis=0)
     v3 = (cum_excl.astype(jnp.int64) << 28) | y0.astype(jnp.int64)
     sidx = jnp.arange(ns_cap, dtype=jnp.int32)
     ec = jnp.clip(rowf, 0, M - 1)
@@ -795,25 +865,31 @@ def self_seeds(T1, ns_cap: int, freq: int = F, acap: int = 0,
     vown = (o1.astype(jnp.int64) << 28) | iota.astype(jnp.int64)
     nalive = jnp.sum(alive.astype(jnp.int32))
 
-    cnt64 = cnt.astype(jnp.int64)
-    cum_incl = jnp.cumsum(cnt64)
-    cum_excl = (cum_incl - cnt64).astype(jnp.int32)
-    nseeds = cum_incl[E1 - 1].astype(jnp.int32)
+    cnt32 = cnt.astype(jnp.int32)
+    cum_incl = jnp.cumsum(cnt32)        # nseeds < 2^31
+    cum_excl = cum_incl - cnt32
+    nseeds = cum_incl[E1 - 1]
     starts = jnp.where(alive & (cnt > 0), cum_excl, ns_cap)
-    marks = jnp.zeros(ns_cap, jnp.int32).at[starts].add(1, mode="drop")
-    row0 = jnp.zeros(ns_cap, jnp.int32).at[starts].max(
+    row0 = jnp.full(ns_cap, -1, jnp.int32).at[starts].max(
         iota, mode="drop")
-    rowf = jax.lax.cummax(jnp.where(marks > 0, row0, -1), axis=0)
+    rowf = jax.lax.cummax(row0, axis=0)
+    mk = row0 >= 0
     sidx = jnp.arange(ns_cap, dtype=jnp.int32)
     ec = jnp.clip(rowf, 0, E1 - 1)
     g1 = v1[ec]
     g2 = v2[ec]
     gown = vown[ec]
     xcomp = (gown >> 28).astype(jnp.int32)
-    start_slot = _ffill_tagged(
-        jax, jnp, marks > 0,
-        jnp.where(marks > 0, sidx.astype(jnp.int64), 0), 34
-    ).astype(jnp.int32)
+    if _use_scan_kernel(ns_cap):
+        from . import scan_pallas as spk
+        start_slot = spk.fused_scan(
+            (sidx,), (("last", 0),),
+            (mk.astype(jnp.int32),))[0]
+    else:
+        start_slot = _ffill_tagged(
+            jax, jnp, mk,
+            jnp.where(mk, sidx.astype(jnp.int64), 0), 34
+        ).astype(jnp.int32)
     off = sidx - start_slot
     y0g = (g2 >> 16).astype(jnp.int32)
     dncg = ((g2 >> 8) & 0xFF).astype(jnp.int32)
@@ -952,25 +1028,51 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
 
     # per-segment flags, broadcast to every row (scan fwd, bfill back)
     seg_end = jnp.roll(seg, -1) | (ridx == M2 - 1)
-    flags = jnp.stack([
-        (valid & (tag == 0)).astype(jnp.int32),
-        (valid & (tag == 1)).astype(jnp.int32)])
-    run = _seg_cummax_stack(jax, jnp, flags, seg)
-    ends = jnp.where(seg_end[None, :], run, -1)
-    bf = jnp.flip(
-        _seg_cummax_stack(jax, jnp, jnp.flip(ends, 1), jnp.flip(seg_end)),
-        1).astype(jnp.int32)
-    has_lower = bf[0] != 0
-    has_upper = bf[1] != 0
-
+    use_scan = _use_scan_kernel(M2)
     same_prev = (ridx > 0) & same_g & (k1s == pk1 + 1)
-    prev_has_lower = jnp.roll(has_lower, 1) & (ridx > 0)
-    prev_adj_row = (seg & same_prev & prev_has_lower).astype(jnp.int32)
-    run2 = _seg_cummax_stack(jax, jnp, prev_adj_row[None], seg)
-    ends2 = jnp.where(seg_end[None, :], run2, -1)
-    prev_adjacent = jnp.flip(
-        _seg_cummax_stack(jax, jnp, jnp.flip(ends2, 1),
-                          jnp.flip(seg_end)), 1)[0] != 0
+    fl0 = (valid & (tag == 0)).astype(jnp.int32)
+    fl1 = (valid & (tag == 1)).astype(jnp.int32)
+    if use_scan:
+        from . import scan_pallas as spk
+        segf = seg.astype(jnp.int32)
+        run0, run1 = spk.fused_scan((fl0, fl1),
+                                    (("max", 0), ("max", 0)), (segf,))
+        # the previous row of a segment start is the previous segment's
+        # END row, where the forward scan already holds the whole
+        # segment's OR — no backward pass needed for prev_has_lower
+        prev_has_lower = (jnp.roll(run0, 1) != 0) & (ridx > 0)
+        prev_adj_row = (seg & same_prev
+                        & prev_has_lower).astype(jnp.int32)
+        # prev_adjacent is constant per segment and set at its start:
+        # broadcast = forward fill from segment starts
+        prev_adjacent = spk.fused_scan(
+            (prev_adj_row,), (("last", 0),), (segf,))[0] != 0
+        ends0 = jnp.where(seg_end, run0, -1)
+        ends1 = jnp.where(seg_end, run1, -1)
+        bf0, bf1 = spk.fused_scan(
+            (ends0, ends1), (("max", 0), ("max", 0)),
+            (seg_end.astype(jnp.int32),), reverse=True)
+        has_lower = bf0 != 0
+        has_upper = bf1 != 0
+    else:
+        flags = jnp.stack([fl0, fl1])
+        run = _seg_cummax_stack(jax, jnp, flags, seg)
+        ends = jnp.where(seg_end[None, :], run, -1)
+        bf = jnp.flip(
+            _seg_cummax_stack(jax, jnp, jnp.flip(ends, 1),
+                              jnp.flip(seg_end)),
+            1).astype(jnp.int32)
+        has_lower = bf[0] != 0
+        has_upper = bf[1] != 0
+
+        prev_has_lower = jnp.roll(has_lower, 1) & (ridx > 0)
+        prev_adj_row = (seg & same_prev
+                        & prev_has_lower).astype(jnp.int32)
+        run2 = _seg_cummax_stack(jax, jnp, prev_adj_row[None], seg)
+        ends2 = jnp.where(seg_end[None, :], run2, -1)
+        prev_adjacent = jnp.flip(
+            _seg_cummax_stack(jax, jnp, jnp.flip(ends2, 1),
+                              jnp.flip(seg_end)), 1)[0] != 0
 
     examine = has_lower & (~prev_adjacent | has_upper)
     new_row = (~prev_adjacent).astype(jnp.int32)
@@ -1002,7 +1104,15 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
 
     # chain segmentation with two-sided break test + exact fixpoint
     cps = aa + ll
-    Mx = _seg_cummax(jax, jnp, cps, seg)
+
+    def segmax1(x, f):
+        if use_scan:
+            from . import scan_pallas as spk
+            return spk.fused_scan((x,), (("max", 0),),
+                                  (f.astype(jnp.int32),))[0]
+        return _seg_cummax(jax, jnp, x, f)
+
+    Mx = segmax1(cps, seg)
     Mprev = jnp.roll(Mx, 1)
     cps_prev = jnp.roll(cps, 1)
     inner = (~seg) & valid
@@ -1016,35 +1126,48 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
 
     def fix_body(st):
         brk, _ = st
-        Mc = _seg_cummax(jax, jnp, cps, brk)
+        Mc = segmax1(cps, brk)
         Mcp = jnp.roll(Mc, 1)
         nb = brk | (amb & (aa >= Mcp + chain_break))
         return nb, jnp.any(nb != brk)
 
     brk, _ = jax.lax.while_loop(fix_cond, fix_body, (brk0, jnp.bool_(True)))
 
-    ahgh_run = _seg_cummax(jax, jnp, cps, brk)
-    prev_ahgh = jnp.where(ridx == 0, 0, jnp.roll(ahgh_run, 1))
-    novel = jnp.where(brk, ll,
-                      jnp.clip(jnp.minimum(cps - prev_ahgh, ll), 0, None))
-    novel = jnp.where(valid, novel, 0)
-
     # per-chain aggregates: stacked forward scans, values at chain ends
     ch_end = jnp.roll(brk, -1) | (ridx == M2 - 1)
-    aggs = jnp.stack([
-        jnp.where(valid, dg, big),            # min via negate below
+    agg_vals = (
+        jnp.where(valid, -dg, -big),          # min via negation
         jnp.where(valid, dg, -big),
         jnp.where(valid, cps, -big),
         jnp.where(valid & (tag == 0), 1, 0),
         jnp.where(valid & (tag == 1), 1, 0),
-        valid.astype(jnp.int32)])
-    aggs = aggs.at[0].set(-aggs[0])
-    run = _seg_cummax_stack(jax, jnp, aggs, brk)
-    cov_run = _seg_cumsum(jax, jnp, novel, brk)
-    # first-of values: direct at brk rows, fill forward to the end row
-    firsts = jnp.stack([ga, gb, gc, pairing + (1 << 25), new_row, aa])
-    f_run = _seg_cummax_stack(
-        jax, jnp, jnp.where(brk[None, :], firsts, -1), brk)
+        valid.astype(jnp.int32))
+    first_vals = tuple(
+        jnp.where(brk, x, -1)
+        for x in (ga, gb, gc, pairing + (1 << 25), new_row, aa))
+    if use_scan:
+        from . import scan_pallas as spk
+        outs = spk.fused_scan(
+            (cps,) + agg_vals + first_vals,
+            (("max", 0),) * 13, (brk.astype(jnp.int32),))
+        ahgh_run = outs[0]
+        run = outs[1:7]
+        f_run = outs[7:13]
+    else:
+        ahgh_run = _seg_cummax(jax, jnp, cps, brk)
+        run = _seg_cummax_stack(jax, jnp, jnp.stack(agg_vals), brk)
+        f_run = _seg_cummax_stack(jax, jnp, jnp.stack(first_vals), brk)
+    prev_ahgh = jnp.where(ridx == 0, 0, jnp.roll(ahgh_run, 1))
+    novel = jnp.where(brk, ll,
+                      jnp.clip(jnp.minimum(cps - prev_ahgh, ll), 0, None))
+    novel = jnp.where(valid, novel, 0)
+    # segmented coverage sum: per-chain i32 is safe while 255 * M2
+    # fits (novel <= 2*KMER+..<= 255 per row)
+    if use_scan and 255 * M2 < (1 << 31):
+        cov_run = spk.fused_scan((novel,), (("sum", 0),),
+                                 (brk.astype(jnp.int32),))[0]
+    else:
+        cov_run = _seg_cumsum(jax, jnp, novel, brk)
 
     ch_dgmin = (-run[0]).astype(jnp.int32)
     ch_dgmax = run[1].astype(jnp.int32)

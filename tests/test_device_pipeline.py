@@ -329,3 +329,47 @@ def test_device_tubes_symmetric_masked_match_host():
         assert nseeds == seeds_h.n, (nseeds, seeds_h.n, soft)
         assert plsum == int(seeds_h.plen.astype(np.int64).sum())
         _tube_eq(tubes_d, tubes_h)
+
+
+def test_device_tubes_scan_kernel_path(monkeypatch):
+    """The fused Pallas scan-kernel path (forced, interpret mode) must
+    produce the same tubes as the XLA scan fallback the other tests
+    cover."""
+    monkeypatch.setenv("FASTGA_TPU_SCAN_KERNEL", "force")
+    monkeypatch.setenv("FASTGA_TPU_SCAN_INTERPRET", "1")
+    rng = np.random.default_rng(77)
+    A = [rng.integers(0, 4, int(rng.integers(3000, 9000)))
+         .astype(np.uint8) for _ in range(4)]
+    B = []
+    for i, a in enumerate(A):
+        b = _mutate(a, 0.05, rng)
+        if i % 2 == 1:
+            q = len(b) // 3
+            b[q:2 * q] = (3 - b[q:2 * q])[::-1]
+        B.append(b)
+    g1, g2 = _gdb(A), _gdb(B)
+    t1h, t2h = gixm.build_gix(g1), gixm.build_gix(g2)
+    seeds_h = mergem.adaptamer_seeds(t1h, t2h, freq=10)
+    lens1 = g1.contig_lengths()
+    lens2 = g2.contig_lengths()
+    perm1 = np.asarray(t1h.perm)
+    alens = np.where(perm1 < len(lens1),
+                     lens1[np.minimum(perm1, len(lens1) - 1)], 40)
+    tubes_h = chainm.chain_tubes(seeds_h, int(lens1.max()),
+                                 int(lens2.max()), alens)
+    dres = dp.device_tubes(g1, g2, alens)
+    assert dres is not None
+    tubes_d, nseeds, plsum = dres
+    assert nseeds == seeds_h.n
+    assert plsum == int(seeds_h.plen.astype(np.int64).sum())
+    _tube_eq(tubes_d, tubes_h)
+
+    # self-comparison path (start_slot fill via the kernel)
+    seeds_s = mergem.self_adaptamer_seeds(t1h, freq=10)
+    amax = int(lens1.max())
+    tubes_sh = chainm.chain_tubes(seeds_s, amax, amax, alens)
+    dress = dp.device_tubes_self(g1, alens)
+    assert dress is not None
+    tubes_sd, nseeds_s, plsum_s = dress
+    assert nseeds_s == seeds_s.n
+    _tube_eq(tubes_sd, tubes_sh)
