@@ -990,10 +990,15 @@ class WaveEngine:
         self._bt_cache[key] = fn
         return fn
 
-    def run(self, pool, tubes: dict, direction: int):
+    def run(self, pool, tubes: dict, direction: int, overlap=None):
         """tubes: dict of int32 [n<=N] arrays: aw, alen, bw, blen, dgmin,
         dgmax, anti, minp, maxp.  Returns (WaveResult, diags) where
-        diags[w, tube] is the path diagonal at wave w."""
+        diags[w, tube] is the path diagonal at wave w.
+
+        ``overlap``: optional callable invoked exactly once while the
+        first speculative chunks occupy the device (host-side work —
+        e.g. the previous pass's trace replays — rides the device
+        window for free)."""
         import jax
         import jax.numpy as jnp
         # serialize against the background warmup BEFORE any jax work:
@@ -1070,6 +1075,9 @@ class WaveEngine:
             with prof.span("wave.fused"):
                 out, st2, lb, kb = self._fused_fn(direction)(
                     pool, targs, st)
+                if overlap is not None:
+                    overlap()
+                    overlap = None
                 packed = np.asarray(out)
             if packed[5].any():
                 st = st2
@@ -1092,6 +1100,11 @@ class WaveEngine:
                     start_alive_copy(st2)
                     chs.append(chlog)
                     bls.append(bandlog)
+                    if overlap is not None and len(chs) >= spec_k:
+                        # the device has a queue to chew through: run
+                        # the caller's host-side work under it
+                        overlap()
+                        overlap = None
                     if len(chs) % spec_k == 0 or ci == remaining - 2:
                         with prof.span("wave.alive_sync"):
                             # st is one chunk behind st2: the copy has
@@ -1102,6 +1115,10 @@ class WaveEngine:
                             # speculative identities; the logs are inert
                             break
                     st = st2
+
+        if overlap is not None:
+            overlap()   # dead batch / short loop: still exactly-once
+            overlap = None
 
         if packed is None and chs:
             # pad the chunk count to a power of two so the backtrack

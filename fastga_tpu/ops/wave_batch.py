@@ -70,9 +70,11 @@ class BatchAligner:
     # -- internals -----------------------------------------------------------
 
     def _run_dir(self, items: Sequence[WorkItem], dgmin, dgmax, anti,
-                 direction: int):
+                 direction: int, overlap=None):
         """One direction over all items (auto-batched); returns per-item
-        (result row, per-wave path diagonals) with fallback flags."""
+        (result row, per-wave path diagonals) with fallback flags.
+        ``overlap`` (exactly-once host work) rides the first batch's
+        device window."""
         n = len(items)
         rows = [None] * n
         logs = [None] * n
@@ -95,7 +97,9 @@ class BatchAligner:
             )
             from ..utils import prof
             with prof.span("batch.engine_run"):
-                res, diags = self.engine.run(self.pool, tubes, direction)
+                res, diags = self.engine.run(self.pool, tubes, direction,
+                                             overlap=overlap)
+            overlap = None
             prof.count("batch.tubes", len(sel))
             self.stats["device_waves"] += int(res.nwaves.sum())
             for j, i in enumerate(sel):
@@ -144,28 +148,42 @@ class BatchAligner:
         # ---- forward pass ----
         rows, logs, fall = self._run_dir(items, low, hgh, anti, +1)
         host |= fall
+        # the seam the reverse wave starts from is the forward path's
+        # wave-0 diagonal — already in the device backtrack (diags[0]);
+        # replay_forward returns the same value, so the reverse batch
+        # can dispatch immediately and the forward replays run as the
+        # engine's overlap work inside its device window
         seam = np.zeros(n, np.int64)
-        with prof.span("batch.replay_fwd"):
-            for i in range(n):
-                if host[i]:
-                    continue
-                (trima, trimx, trimd, twave, tslot, kb0, nw, fb) = rows[i]
-                A = self.seq(items[i].akey)
-                Bs = self.seq(items[i].bkey)
-                try:
-                    seam[i] = wrep.replay_forward(
-                        A, Bs, int(anti[i]), int(aoff[i]), logs[i],
-                        trima, trimx, trimd, paths[i], tspace)
-                except AssertionError:
-                    host[i] = True
-                    paths[i] = Path()
+        for i in range(n):
+            if not host[i] and logs[i] is not None and len(logs[i]):
+                seam[i] = int(logs[i][0])
+        rows_f, logs_f = rows, logs
+
+        def _fwd_replays():
+            with prof.span("batch.replay_fwd"):
+                for i in range(n):
+                    if host[i]:
+                        continue
+                    (trima, trimx, trimd, twave, tslot, kb0, nw,
+                     fb) = rows_f[i]
+                    A = self.seq(items[i].akey)
+                    Bs = self.seq(items[i].bkey)
+                    try:
+                        wrep.replay_forward(
+                            A, Bs, int(anti[i]), int(aoff[i]),
+                            logs_f[i], trima, trimx, trimd, paths[i],
+                            tspace)
+                    except AssertionError:
+                        host[i] = True
+                        paths[i] = Path()
+
+        # ---- reverse pass (from the forward seam diagonal) ----
+        rows, logs, fall = self._run_dir(items, seam, seam, anti, -1,
+                                         overlap=_fwd_replays)
+        host |= fall
 
         fshort = np.array([(p.aepos + p.bepos) - anti[i] < DUB_TRIM
                            for i, p in enumerate(paths)])
-
-        # ---- reverse pass (from the forward seam diagonal) ----
-        rows, logs, fall = self._run_dir(items, seam, seam, anti, -1)
-        host |= fall
         with prof.span("batch.replay_rev"):
             for i in range(n):
                 if host[i]:
