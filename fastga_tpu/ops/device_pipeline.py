@@ -388,6 +388,11 @@ def _use_merge_kernel(E1, E2) -> bool:
     return mp.supported(E1, E2)
 
 
+def _env(name: str) -> str:
+    import os
+    return os.environ.get(name, "")
+
+
 def _use_scan_kernel(M) -> bool:
     """Route stream scans through the fused Pallas scan kernel
     (ops/scan_pallas.py) on real TPUs; XLA scans elsewhere.
@@ -747,15 +752,47 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
     cum_excl = cum_incl - cnt32
     nseeds = cum_incl[M - 1]
     starts = jnp.where(alive, cum_excl, ns_cap)
-    row0 = jnp.full(ns_cap, -1, jnp.int32).at[starts].max(
-        ridx, mode="drop")
-    rowf = jax.lax.cummax(row0, axis=0)
-    v3 = (cum_excl.astype(jnp.int64) << 28) | y0.astype(jnp.int64)
     sidx = jnp.arange(ns_cap, dtype=jnp.int32)
-    ec = jnp.clip(rowf, 0, M - 1)
-    g1 = v1[ec]
-    g3 = v3[ec]
-    y = ((g3 & (MAX_POST - 1)) + (sidx - (g3 >> 28))).astype(jnp.int32)
+    if M <= (1 << 23) and not _env("FASTGA_TPU_WIDE_EXPAND"):
+        # owner transport WITHOUT per-slot gathers: the scatter-max
+        # values carry the owner's payload beneath its row index (top
+        # bits — monotone across winning slots, so the cummax fill
+        # moves payload and identity together); the owner's first-slot
+        # index comes from a mark fill over the slot axis
+        ridx64 = ridx.astype(jnp.int64)
+        s1pack = jnp.full(ns_cap, -1, jnp.int64).at[starts].max(
+            (ridx64 << 40) | (v1 & ((jnp.int64(1) << 40) - 1)),
+            mode="drop")
+        s2pack = jnp.full(ns_cap, -1, jnp.int64).at[starts].max(
+            (ridx64 << 36) | ((v1 >> 40) << 28) | y0.astype(jnp.int64),
+            mode="drop")
+        f1 = jax.lax.cummax(s1pack, axis=0)
+        f2 = jax.lax.cummax(s2pack, axis=0)
+        mk = (s1pack >= 0).astype(jnp.int32)
+        if _use_scan_kernel(ns_cap):
+            from . import scan_pallas as spk
+            start_slot = spk.fused_scan((sidx,), (("last", 0),),
+                                        (mk,))[0]
+        else:
+            start_slot = _ffill_tagged(
+                jax, jnp, mk > 0,
+                jnp.where(mk > 0, sidx.astype(jnp.int64), 0), 34
+            ).astype(jnp.int32)
+        g1 = (((f2 >> 28) & 0xFF) << 40) \
+            | (f1 & ((jnp.int64(1) << 40) - 1))
+        y = ((f2 & (MAX_POST - 1)).astype(jnp.int32)
+             + (sidx - start_slot))
+    else:
+        # wide streams (row ids past bit 23): bounded owner gathers
+        row0 = jnp.full(ns_cap, -1, jnp.int32).at[starts].max(
+            ridx, mode="drop")
+        rowf = jax.lax.cummax(row0, axis=0)
+        v3 = (cum_excl.astype(jnp.int64) << 28) | y0.astype(jnp.int64)
+        ec = jnp.clip(rowf, 0, M - 1)
+        g1 = v1[ec]
+        g3 = v3[ec]
+        y = ((g3 & (MAX_POST - 1))
+             + (sidx - (g3 >> 28))).astype(jnp.int32)
     yc = jnp.clip(y, 0, E2 - 1)
 
     t2pack = ((T2[4].astype(jnp.int64) << 19)
@@ -870,16 +907,39 @@ def self_seeds(T1, ns_cap: int, freq: int = F, acap: int = 0,
     cum_excl = cum_incl - cnt32
     nseeds = cum_incl[E1 - 1]
     starts = jnp.where(alive & (cnt > 0), cum_excl, ns_cap)
-    row0 = jnp.full(ns_cap, -1, jnp.int32).at[starts].max(
-        iota, mode="drop")
-    rowf = jax.lax.cummax(row0, axis=0)
-    mk = row0 >= 0
     sidx = jnp.arange(ns_cap, dtype=jnp.int32)
-    ec = jnp.clip(rowf, 0, E1 - 1)
-    g1 = v1[ec]
-    g2 = v2[ec]
-    gown = vown[ec]
-    xcomp = (gown >> 28).astype(jnp.int32)
+    if E1 <= (1 << 23) and not _env("FASTGA_TPU_WIDE_EXPAND"):
+        # gather-free owner transport (see merge_seeds): payload rides
+        # beneath the owner row index in the scatter-max values
+        iota64 = iota.astype(jnp.int64)
+        s1pack = jnp.full(ns_cap, -1, jnp.int64).at[starts].max(
+            (iota64 << 40) | (v1 & ((jnp.int64(1) << 40) - 1)),
+            mode="drop")
+        s2pack = jnp.full(ns_cap, -1, jnp.int64).at[starts].max(
+            (iota64 << 38) | ((v1 >> 40) << 32)
+            | (o1.astype(jnp.int64) << 31)
+            | (y0.astype(jnp.int64) << 8) | dnc.astype(jnp.int64),
+            mode="drop")
+        f1 = jax.lax.cummax(s1pack, axis=0)
+        f2 = jax.lax.cummax(s2pack, axis=0)
+        mk = s1pack >= 0
+        g1 = (((f2 >> 32) & 63) << 40) \
+            | (f1 & ((jnp.int64(1) << 40) - 1))
+        xcomp = ((f2 >> 31) & 1).astype(jnp.int32)
+        y0g = ((f2 >> 8) & ((jnp.int64(1) << 23) - 1)).astype(jnp.int32)
+        dncg = (f2 & 0xFF).astype(jnp.int32)
+    else:
+        row0 = jnp.full(ns_cap, -1, jnp.int32).at[starts].max(
+            iota, mode="drop")
+        rowf = jax.lax.cummax(row0, axis=0)
+        mk = row0 >= 0
+        ec = jnp.clip(rowf, 0, E1 - 1)
+        g1 = v1[ec]
+        g2 = v2[ec]
+        gown = vown[ec]
+        xcomp = (gown >> 28).astype(jnp.int32)
+        y0g = (g2 >> 16).astype(jnp.int32)
+        dncg = ((g2 >> 8) & 0xFF).astype(jnp.int32)
     if _use_scan_kernel(ns_cap):
         from . import scan_pallas as spk
         start_slot = spk.fused_scan(
@@ -891,8 +951,6 @@ def self_seeds(T1, ns_cap: int, freq: int = F, acap: int = 0,
             jnp.where(mk, sidx.astype(jnp.int64), 0), 34
         ).astype(jnp.int32)
     off = sidx - start_slot
-    y0g = (g2 >> 16).astype(jnp.int32)
-    dncg = ((g2 >> 8) & 0xFF).astype(jnp.int32)
     # window rows skip x itself: offsets [0, dnc) map below x, the rest
     # one past it
     y = jnp.where(off < dncg, y0g + off, y0g + off + 1).astype(jnp.int32)
