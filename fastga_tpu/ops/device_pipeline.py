@@ -603,6 +603,9 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
         else:
             srt = jax.lax.sort((k1, k2, vup, vdn), num_keys=2)
     k1s, k2s, vups, vdns = srt
+    _stage = _env("FASTGA_TPU_MERGE_STAGE")   # perf attribution hook
+    if _stage == "merge":
+        return k1s, k2s, vups, vdns
 
     valid = k2s != _I64MAX
     is2 = ((k2s >> 46) & 1).astype(jnp.bool_) & valid
@@ -676,6 +679,8 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
         n2_after = (n2.astype(jnp.int64) - m2cum).astype(jnp.int32)
     lcp_pred = jnp.where(ins > 0, segmin_p, -1)
     lcp_succ = jnp.where(n2_after > 0, segmin_s, -1)
+    if _stage == "scan":
+        return lcp_pred, lcp_succ, ins
 
     plen = jnp.maximum(lcp_pred, lcp_succ)
     alive0 = (~is2) & valid & (plen >= 12)
@@ -734,6 +739,8 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
     if has_masks:
         alive = alive & (mb_own < mlen)
     cnt = jnp.where(alive, count, 0)
+    if _stage == "count":
+        return cnt, plen, alive
 
     # ragged expansion DIRECTLY over the merged stream (no compaction
     # sort): per-seed owner rows come from a scatter-max of merged-row
@@ -753,47 +760,29 @@ def merge_seeds(T1, T2, ns_cap: int, freq: int = F, acap: int = 0,
     nseeds = cum_incl[M - 1]
     starts = jnp.where(alive, cum_excl, ns_cap)
     sidx = jnp.arange(ns_cap, dtype=jnp.int32)
-    if M <= (1 << 23) and not _env("FASTGA_TPU_WIDE_EXPAND"):
-        # owner transport WITHOUT per-slot gathers: the scatter-max
-        # values carry the owner's payload beneath its row index (top
-        # bits — monotone across winning slots, so the cummax fill
-        # moves payload and identity together); the owner's first-slot
-        # index comes from a mark fill over the slot axis
-        ridx64 = ridx.astype(jnp.int64)
-        s1pack = jnp.full(ns_cap, -1, jnp.int64).at[starts].max(
-            (ridx64 << 40) | (v1 & ((jnp.int64(1) << 40) - 1)),
-            mode="drop")
-        s2pack = jnp.full(ns_cap, -1, jnp.int64).at[starts].max(
-            (ridx64 << 36) | ((v1 >> 40) << 28) | y0.astype(jnp.int64),
-            mode="drop")
-        f1 = jax.lax.cummax(s1pack, axis=0)
-        f2 = jax.lax.cummax(s2pack, axis=0)
-        mk = (s1pack >= 0).astype(jnp.int32)
-        if _use_scan_kernel(ns_cap):
-            from . import scan_pallas as spk
-            start_slot = spk.fused_scan((sidx,), (("last", 0),),
-                                        (mk,))[0]
-        else:
-            start_slot = _ffill_tagged(
-                jax, jnp, mk > 0,
-                jnp.where(mk > 0, sidx.astype(jnp.int64), 0), 34
-            ).astype(jnp.int32)
-        g1 = (((f2 >> 28) & 0xFF) << 40) \
-            | (f1 & ((jnp.int64(1) << 40) - 1))
-        y = ((f2 & (MAX_POST - 1)).astype(jnp.int32)
-             + (sidx - start_slot))
+    # owner transport: ONE int32 scatter-max of the owner row index
+    # (int64 scatters run ~6.5x slower on the sparse core) + cummax
+    # fill; payloads come by bounded monotone gathers, and the owner's
+    # first slot from a mark fill over the slot axis
+    row0 = jnp.full(ns_cap, -1, jnp.int32).at[starts].max(
+        ridx, mode="drop")
+    rowf = jax.lax.cummax(row0, axis=0)
+    mk = (row0 >= 0).astype(jnp.int32)
+    if _use_scan_kernel(ns_cap):
+        from . import scan_pallas as spk
+        start_slot = spk.fused_scan((sidx,), (("last", 0),), (mk,))[0]
     else:
-        # wide streams (row ids past bit 23): bounded owner gathers
-        row0 = jnp.full(ns_cap, -1, jnp.int32).at[starts].max(
-            ridx, mode="drop")
-        rowf = jax.lax.cummax(row0, axis=0)
-        v3 = (cum_excl.astype(jnp.int64) << 28) | y0.astype(jnp.int64)
-        ec = jnp.clip(rowf, 0, M - 1)
-        g1 = v1[ec]
-        g3 = v3[ec]
-        y = ((g3 & (MAX_POST - 1))
-             + (sidx - (g3 >> 28))).astype(jnp.int32)
+        start_slot = _ffill_tagged(
+            jax, jnp, mk > 0,
+            jnp.where(mk > 0, sidx.astype(jnp.int64), 0), 34
+        ).astype(jnp.int32)
+    ec = jnp.clip(rowf, 0, M - 1)
+    g1 = v1[ec]
+    y0g = y0[ec]                        # int32 gather
+    y = y0g + (sidx - start_slot)
     yc = jnp.clip(y, 0, E2 - 1)
+    if _stage == "expand":
+        return g1, yc
 
     t2pack = ((T2[4].astype(jnp.int64) << 19)
               | (T2[3].astype(jnp.int64) << 7)
@@ -897,9 +886,6 @@ def self_seeds(T1, ns_cap: int, freq: int = F, acap: int = 0,
     v1 = ((plen.astype(jnp.int64) << 40) | (c1.astype(jnp.int64) << 28)
           | p1.astype(jnp.int64))
     y0 = iota - dnc
-    v2 = ((y0.astype(jnp.int64) << 16) | (dnc.astype(jnp.int64) << 8)
-          | cnt.astype(jnp.int64))
-    vown = (o1.astype(jnp.int64) << 28) | iota.astype(jnp.int64)
     nalive = jnp.sum(alive.astype(jnp.int32))
 
     cnt32 = cnt.astype(jnp.int32)
@@ -908,38 +894,19 @@ def self_seeds(T1, ns_cap: int, freq: int = F, acap: int = 0,
     nseeds = cum_incl[E1 - 1]
     starts = jnp.where(alive & (cnt > 0), cum_excl, ns_cap)
     sidx = jnp.arange(ns_cap, dtype=jnp.int32)
-    if E1 <= (1 << 23) and not _env("FASTGA_TPU_WIDE_EXPAND"):
-        # gather-free owner transport (see merge_seeds): payload rides
-        # beneath the owner row index in the scatter-max values
-        iota64 = iota.astype(jnp.int64)
-        s1pack = jnp.full(ns_cap, -1, jnp.int64).at[starts].max(
-            (iota64 << 40) | (v1 & ((jnp.int64(1) << 40) - 1)),
-            mode="drop")
-        s2pack = jnp.full(ns_cap, -1, jnp.int64).at[starts].max(
-            (iota64 << 38) | ((v1 >> 40) << 32)
-            | (o1.astype(jnp.int64) << 31)
-            | (y0.astype(jnp.int64) << 8) | dnc.astype(jnp.int64),
-            mode="drop")
-        f1 = jax.lax.cummax(s1pack, axis=0)
-        f2 = jax.lax.cummax(s2pack, axis=0)
-        mk = s1pack >= 0
-        g1 = (((f2 >> 32) & 63) << 40) \
-            | (f1 & ((jnp.int64(1) << 40) - 1))
-        xcomp = ((f2 >> 31) & 1).astype(jnp.int32)
-        y0g = ((f2 >> 8) & ((jnp.int64(1) << 23) - 1)).astype(jnp.int32)
-        dncg = (f2 & 0xFF).astype(jnp.int32)
-    else:
-        row0 = jnp.full(ns_cap, -1, jnp.int32).at[starts].max(
-            iota, mode="drop")
-        rowf = jax.lax.cummax(row0, axis=0)
-        mk = row0 >= 0
-        ec = jnp.clip(rowf, 0, E1 - 1)
-        g1 = v1[ec]
-        g2 = v2[ec]
-        gown = vown[ec]
-        xcomp = (gown >> 28).astype(jnp.int32)
-        y0g = (g2 >> 16).astype(jnp.int32)
-        dncg = ((g2 >> 8) & 0xFF).astype(jnp.int32)
+    # one int32 owner scatter + cummax fill; payload by two bounded
+    # monotone gathers (int64 v1 with the orientation riding bit 47,
+    # int32 y0/dnc pack) — see merge_seeds
+    row0 = jnp.full(ns_cap, -1, jnp.int32).at[starts].max(
+        iota, mode="drop")
+    rowf = jax.lax.cummax(row0, axis=0)
+    mk = row0 >= 0
+    ec = jnp.clip(rowf, 0, E1 - 1)
+    g1 = (v1 | (o1.astype(jnp.int64) << 47))[ec]
+    ydn = ((y0 << 8) | dnc)[ec]         # int32 gather
+    xcomp = ((g1 >> 47) & 1).astype(jnp.int32)
+    y0g = (ydn >> 8).astype(jnp.int32)
+    dncg = (ydn & 0xFF).astype(jnp.int32)
     if _use_scan_kernel(ns_cap):
         from . import scan_pallas as spk
         start_slot = spk.fused_scan(
@@ -961,7 +928,7 @@ def self_seeds(T1, ns_cap: int, freq: int = F, acap: int = 0,
              | (o1.astype(jnp.int64) << 6) | mb1v)
     tg = tpack[yc]
 
-    pl = (g1 >> 40).astype(jnp.int32)
+    pl = (g1 >> 40).astype(jnp.int32) & 63
     ac = ((g1 >> 28) & (MAX_CONT - 1)).astype(jnp.int32)
     ap = (g1 & (MAX_POST - 1)).astype(jnp.int32)
     bp = (tg >> 19).astype(jnp.int32)

@@ -40,7 +40,8 @@ def count(name, n=1):
 
 
 def report():
-    return {k: (round(_acc[k], 3), _cnt[k]) for k in sorted(_acc or _cnt)}
+    return {k: (round(_acc[k], 3), _cnt[k])
+            for k in sorted(set(_acc) | set(_cnt))}
 
 
 def reset():

@@ -373,36 +373,3 @@ def test_device_tubes_scan_kernel_path(monkeypatch):
     tubes_sd, nseeds_s, plsum_s = dress
     assert nseeds_s == seeds_s.n
     _tube_eq(tubes_sd, tubes_sh)
-
-
-def test_device_tubes_wide_expand_path(monkeypatch):
-    """The wide-stream expansion fallback (bounded owner gathers) must
-    match the packed scatter transport the other tests exercise."""
-    monkeypatch.setenv("FASTGA_TPU_WIDE_EXPAND", "1")
-    rng = np.random.default_rng(91)
-    A = [rng.integers(0, 4, 6000).astype(np.uint8) for _ in range(3)]
-    B = [_mutate(a, 0.05, rng) for a in A]
-    g1, g2 = _gdb(A), _gdb(B)
-    t1h, t2h = gixm.build_gix(g1), gixm.build_gix(g2)
-    seeds_h = mergem.adaptamer_seeds(t1h, t2h, freq=10)
-    lens1 = g1.contig_lengths()
-    lens2 = g2.contig_lengths()
-    perm1 = np.asarray(t1h.perm)
-    alens = np.where(perm1 < len(lens1),
-                     lens1[np.minimum(perm1, len(lens1) - 1)], 40)
-    tubes_h = chainm.chain_tubes(seeds_h, int(lens1.max()),
-                                 int(lens2.max()), alens)
-    dres = dp.device_tubes(g1, g2, alens)
-    assert dres is not None
-    tubes_d, nseeds, _ = dres
-    assert nseeds == seeds_h.n
-    _tube_eq(tubes_d, tubes_h)
-
-    seeds_s = mergem.self_adaptamer_seeds(t1h, freq=10)
-    amax = int(lens1.max())
-    tubes_sh = chainm.chain_tubes(seeds_s, amax, amax, alens)
-    dress = dp.device_tubes_self(g1, alens)
-    assert dress is not None
-    tubes_sd, nseeds_s, _ = dress
-    assert nseeds_s == seeds_s.n
-    _tube_eq(tubes_sd, tubes_sh)
