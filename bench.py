@@ -110,6 +110,8 @@ def main():
 
     # steady pass: executables resident — the serving-regime rate (the
     # reference baseline number is likewise steady-state C with no JIT).
+    if engine == "jax":
+        aligner.wait_engine_warmups()   # chained small-batch compiles
     runs = int(os.environ.get("BENCH_RUNS", 1))
     t_aln = t_cold
     from fastga_tpu.utils import prof

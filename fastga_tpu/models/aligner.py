@@ -587,7 +587,43 @@ def _get_engine(gdb1, gdb2, spec):
         eng = wavek.WaveEngine(spec, cfg)
         eng.begin_warmup(bucket)
         _ENGINE_CACHE[key] = eng
+        # small-batch variant (late scheduling rounds carry a handful
+        # of continuation tubes; an n=64 chunk kernel runs them at 1/8
+        # the lane cost).  Its warmup chains after the main engine's so
+        # pallas traces stay serialized (concurrent tracing perturbs
+        # persistent-cache keys); runs fall back to the main engine
+        # until it is warm.
+        if kw["n"] > 64:
+            import threading
+            seng = wavek.WaveEngine(
+                spec, wavek.WaveConfig(n=64, w=kw["w"], chunk=kw["chunk"],
+                                       max_chunks=kw["max_chunks"]))
+            evt2 = threading.Event()
+            seng._warm_evt = evt2
+            seng._warm_exc = None
+
+            def _chained(first=eng, second=seng, b=bucket, e2=evt2):
+                first._warm_evt.wait()
+                try:
+                    second.warmup(b)
+                except Exception as e:
+                    second._warm_exc = e
+                finally:
+                    e2.set()
+
+            threading.Thread(target=_chained, daemon=True).start()
+            eng._small = seng
     return eng, bucket
+
+
+def wait_engine_warmups(timeout=None):
+    """Block until every cached engine (and small-batch sibling) has
+    finished its background warmup — call between a cold and a steady
+    pass so one-time chained compiles land in the persistent cache."""
+    for eng in list(_ENGINE_CACHE.values()):
+        for e in (eng, getattr(eng, "_small", None)):
+            if e is not None and e._warm_evt is not None:
+                e._warm_evt.wait(timeout)
 
 
 def prewarm(gdb1, gdb2, params: FastGAParams = FastGAParams()):

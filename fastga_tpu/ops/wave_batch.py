@@ -67,6 +67,25 @@ class BatchAligner:
             self.engine._pool_np = (self._pool, self._pool_words)
         return self._pool
 
+    def _pick_engine(self, nsel: int):
+        """The main engine, or its warm small-batch sibling when the
+        batch fits: late scheduling rounds carry a handful of
+        continuation tubes, and an n=64 chunk kernel runs their waves
+        at a fraction of the lane cost.  Cold siblings are skipped (no
+        mid-run compile stalls) — their chained background warmup makes
+        them available to later runs."""
+        s = getattr(self.engine, "_small", None)
+        if (s is None or nsel > s.cfg.n
+                or s._warm_evt is None or not s._warm_evt.is_set()
+                or getattr(s, "_warm_exc", None) is not None):
+            return self.engine
+        if getattr(s, "_pool_np", None) is None \
+                or s._pool_np[0] is not self._pool:
+            s._pool_np = (self.pool, self._pool_words)
+        from ..utils import prof
+        prof.count("batch.small_batches")
+        return s
+
     # -- internals -----------------------------------------------------------
 
     def _run_dir(self, items: Sequence[WorkItem], dgmin, dgmax, anti,
@@ -82,6 +101,7 @@ class BatchAligner:
         B = self.cfg.n
         for lo in range(0, n, B):
             sel = list(range(lo, min(lo + B, n)))
+            eng = self._pick_engine(len(sel))
             tubes = dict(
                 aw=np.array([self.offs[items[i].akey][0] for i in sel], np.int32),
                 alen=np.array([items[i].alen for i in sel], np.int32),
@@ -97,8 +117,8 @@ class BatchAligner:
             )
             from ..utils import prof
             with prof.span("batch.engine_run"):
-                res, diags = self.engine.run(self.pool, tubes, direction,
-                                             overlap=overlap)
+                res, diags = eng.run(self.pool, tubes, direction,
+                                     overlap=overlap)
             overlap = None
             prof.count("batch.tubes", len(sel))
             self.stats["device_waves"] += int(res.nwaves.sum())
