@@ -285,9 +285,11 @@ def align_genomes(gdb1: GDB, gdb2: GDB,
                                lens2, spec, params, get_a, get_b, stats,
                                selfcmp, wave_engine=wave_engine,
                                pool_bucket=pool_bucket)
-        for key, ovls in groups:
-            nlas += len(ovls)
-            out.extend(dedup_group(ovls))
+        from ..utils import prof as _prof
+        with _prof.span("aligner.dedup"):
+            for key, ovls in groups:
+                nlas += len(ovls)
+                out.extend(dedup_group(ovls))
         stats["nlas"] = nlas
         stats["nlive"] = len(out)
         stats["cov"] = sum(o.aepos - o.abpos for o in out)
@@ -649,6 +651,7 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
     """
     from ..ops import seqpack, wave as wavek
     from ..ops.wave_batch import BatchAligner, WorkItem
+    from ..utils import prof
 
     n = tubes.n
     # group tubes into per-(acont,bcont,comp,pairing) queues, in order
@@ -663,15 +666,16 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
         queues[key].append(t)
 
     # sequence pool over every contig (rank, strand) appearing in tubes
-    seqs = {}
-    for t in range(n):
-        ar, br = int(tubes.acont[t]), int(tubes.bcont[t])
-        cm = bool(tubes.comp[t])
-        seqs.setdefault(("a", ar, cm), None)
-        seqs.setdefault(("b", br), None)
-    for k in list(seqs):
-        seqs[k] = get_a(k[1], k[2]) if k[0] == "a" else get_b(k[1])
-    pool = seqpack.SeqPool.build(seqs, target_words=pool_bucket)
+    with prof.span("aligner.pool_build"):
+        seqs = {}
+        for t in range(n):
+            ar, br = int(tubes.acont[t]), int(tubes.bcont[t])
+            cm = bool(tubes.comp[t])
+            seqs.setdefault(("a", ar, cm), None)
+            seqs.setdefault(("b", br), None)
+        for k in list(seqs):
+            seqs[k] = get_a(k[1], k[2]) if k[0] == "a" else get_b(k[1])
+        pool = seqpack.SeqPool.build(seqs, target_words=pool_bucket)
 
     # fixed batch geometry so the wave kernels compile once per process
     # (and hit the persistent compilation cache across runs)

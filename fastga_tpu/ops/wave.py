@@ -1033,6 +1033,15 @@ class WaveEngine:
         # padding rows: deactivate
         alive0 = st_np[15].copy()
         alive0[n:] = False
+        snap = os.environ.get("FASTGA_TPU_WAVE_SNAPSHOT")
+        if snap and direction > 0 and not getattr(self, "_snapped", False):
+            # capture real chunk inputs for tools/microbench_wave.py
+            self._snapped = True
+            full_st = st_np[:15] + (alive0,) + st_np[16:]
+            np.savez(snap, pool=self._pool_host(pool), n=n,
+                     **{f"targ{i}": t for i, t in enumerate(targs_np)},
+                     **{f"st{i}": np.asarray(s)
+                        for i, s in enumerate(full_st)})
         with prof.span("wave.upload"):
             st = tuple(jnp.asarray(a)
                        for a in (st_np[:15] + (alive0,) + st_np[16:]))

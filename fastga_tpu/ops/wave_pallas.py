@@ -43,11 +43,16 @@ NSC = 16        # scalar-state columns (padded to a nice width)
 
 def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                        dscore: int, direction: int = +1,
-                       interpret: bool = False):
+                       interpret: bool = False, ablate: tuple = ()):
     """Compile the in-VMEM chunk stepper.
 
     Returns fn(pool_words_u32, targs, state) -> (state2, chlog, bandlog)
     with the state-tuple layout of ops/wave.build_forward_chunk.
+
+    ``ablate`` (perf attribution only — results are WRONG): any of
+    'nosnake' (skip the snake loop), 'nofetch' (snake without sequence
+    fetch, one iteration), 'notrim' (trim test constant-true), 'nored'
+    (skip the suffix/prefix band scans), 'norecenter'.
     """
     import jax
     import jax.numpy as jnp
@@ -55,6 +60,7 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
     from jax.experimental.pallas import tpu as pltpu
 
     N, W, CW = cfg.n, cfg.w, cfg.chunk
+    _abl = frozenset(ablate)
     assert N % BT == 0
     NB = N // BT
     fwd = direction > 0
@@ -195,6 +201,8 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
             return (v >> 16) | (v << 16)
 
         def suffix_max(c):
+            if "nored" in _abl:
+                return c
             v = c
             sh = 1
             while sh < W:
@@ -203,6 +211,8 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
             return v
 
         def prefix_min(c):
+            if "nored" in _abl:
+                return c
             v = c
             sh = 1
             while sh < W:
@@ -345,10 +355,16 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                 iwb = sb_ >> 4
                 sha = (sa & 15) << 1
                 shb = (sb_ & 15) << 1
-                ab = refill(awin_r, ab_, aw_r, iwa, cont, 0)
-                bb = refill(bwin_r, bb_, bw_r, iwb, cont, 1)
-                was = fetch64(awin_r, awf_r, ab, aw_r, iwa, sha, cont)
-                wbs = fetch64(bwin_r, bwf_r, bb, bw_r, iwb, shb, cont)
+                if "nofetch" in _abl:
+                    zz = jnp.zeros((BT, W), jnp.uint32)
+                    was = [zz, zz, zz, zz]
+                    wbs = [zz + jnp.uint32(1)] * 4
+                    ab, bb = ab_, bb_
+                else:
+                    ab = refill(awin_r, ab_, aw_r, iwa, cont, 0)
+                    bb = refill(bwin_r, bb_, bw_r, iwb, cont, 1)
+                    was = fetch64(awin_r, awf_r, ab, aw_r, iwa, sha, cont)
+                    wbs = fetch64(bwin_r, bwf_r, bb, bw_r, iwb, shb, cont)
                 if not fwd:
                     was = [rev2(w) for w in was][::-1]
                     wbs = [rev2(w) for w in wbs][::-1]
@@ -383,9 +399,13 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                 cont2 = (cont & (run == 64)).astype(jnp.int32)
                 return x2, thi2, tlo2, m2, cont2, ab, bb
 
-            x, thi, tlo, m, _, abase2, bbase2 = jax.lax.while_loop(
-                scond, sbody,
-                (x, thi, tlo, m, in_band.astype(jnp.int32), abase, bbase))
+            if "nosnake" in _abl:
+                abase2, bbase2 = abase, bbase
+            else:
+                x, thi, tlo, m, _, abase2, bbase2 = jax.lax.while_loop(
+                    scond, sbody,
+                    (x, thi, tlo, m, in_band.astype(jnp.int32), abase,
+                     bbase))
             y = x - k
             if fwd:
                 b_sent = (y < 0) | (y >= blen)
@@ -430,7 +450,8 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                 l_upd = alive & el_any & (l_val < besta)
             lasta2 = jnp.where(l_upd, l_val, lasta)
 
-            tok = trim_ok(thi, tlo)
+            tok = (jnp.zeros((BT, W), jnp.int32) == 0) \
+                if "notrim" in _abl else trim_ok(thi, tlo)
             et = el & tok
             et_c = jnp.where(et, c, BAR)
             et_any = et.any(axis=1)[:, None]
@@ -527,9 +548,13 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                 V2, Thi2, Tlo2, M2, kbase, low4, hgh4, alive2 = args
                 return V2, Thi2, Tlo2, M2, kbase, low4, hgh4
 
-            V3, Thi3, Tlo3, M3, kbase2, low5, hgh5 = jax.lax.cond(
-                need, do_recenter, no_recenter,
-                (V2, Thi2, Tlo2, M2, kbase, low4, hgh4, alive2))
+            if "norecenter" in _abl:
+                V3, Thi3, Tlo3, M3, kbase2, low5, hgh5 = (
+                    V2, Thi2, Tlo2, M2, kbase, low4, hgh4)
+            else:
+                V3, Thi3, Tlo3, M3, kbase2, low5, hgh5 = jax.lax.cond(
+                    need, do_recenter, no_recenter,
+                    (V2, Thi2, Tlo2, M2, kbase, low4, hgh4, alive2))
 
             # ---- logs ----
             chlog_r[pl.ds(wi, 1)] = choice[None]
