@@ -673,16 +673,29 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
             cm = bool(tubes.comp[t])
             seqs.setdefault(("a", ar, cm), None)
             seqs.setdefault(("b", br), None)
-        for k in list(seqs):
-            seqs[k] = get_a(k[1], k[2]) if k[0] == "a" else get_b(k[1])
-        pool = seqpack.SeqPool.build(seqs, target_words=pool_bucket)
+        # steady-state runs over the same pair reuse the packed pool
+        # (sequences are immutable; the tube set keys the contig cover)
+        pkey = (id(gdb2), pool_bucket, frozenset(seqs))
+        cached = getattr(gdb1, "_fastga_pool_cache", None)
+        if cached is not None and cached[0] == pkey:
+            seqs, pool = cached[1], cached[2]
+        else:
+            for k in list(seqs):
+                seqs[k] = get_a(k[1], k[2]) if k[0] == "a" else get_b(k[1])
+            pool = seqpack.SeqPool.build(seqs, target_words=pool_bucket)
+            if sum(len(s) for s in seqs.values()) <= (1 << 27):
+                try:
+                    gdb1._fastga_pool_cache = (pkey, seqs, pool)
+                except Exception:
+                    pass
 
     # fixed batch geometry so the wave kernels compile once per process
     # (and hit the persistent compilation cache across runs)
     cfg = (wave_engine.cfg if wave_engine is not None
            else wavek.WaveConfig(n=512, w=256, chunk=96, max_chunks=512))
     ba = BatchAligner(spec, pool.words, pool.offs, lambda k: seqs[k], cfg,
-                      engine=wave_engine)
+                      engine=wave_engine,
+                      pool_dev=getattr(pool, "_dev", None))
 
     class QState:
         __slots__ = ("key", "tubes", "ti", "alast", "dgmin", "dgmax",
@@ -806,6 +819,8 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
 
     stats["device_calls"] = total_calls
     stats.update({f"wave_{k}": v for k, v in ba.stats.items()})
+    if ba._pool is not None:
+        pool._dev = ba._pool   # cached pools skip next run's upload
     # emit per (acont,bcont,comp) group in tube order for dedup
     merged = {}
     gorder = []

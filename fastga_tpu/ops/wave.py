@@ -756,6 +756,7 @@ class WaveEngine:
         self.cfg = cfg
         self._pool_np = None
         self._warm_evt = None   # set while a background warmup is running
+        self._chunk_pred = {}   # batch fingerprint -> chunks-to-death
         # the Pallas in-VMEM kernel is the TPU path; the XLA graph stepper
         # remains as the CPU/fallback implementation
         mode = os.environ.get("FASTGA_TPU_WAVE", "auto")
@@ -1095,6 +1096,23 @@ class WaveEngine:
                 bls = [kb[i] for i in range(K)]
                 packed = None
         if packed is None and bool(alive0.any()):
+            # steady-state chunk-count prediction: repeated workloads
+            # (serving the same pair, the bench's second run) die at the
+            # same chunk as last time, so speculate straight to that
+            # depth and poll ONCE — each poll costs a tunnel round trip
+            # while a wasted speculative chunk is ~30 ms of device time
+            pkey = (direction, n,
+                    int(np.asarray(tubes["anti"], np.int64).sum()),
+                    int(np.asarray(tubes["aw"], np.int64).sum()),
+                    int(np.asarray(tubes["dgmin"], np.int64).sum()))
+            pred = self._chunk_pred.get(pkey)
+
+            def _poll_now(k, last):
+                if last:
+                    return True
+                if pred is not None:
+                    return k >= pred and (k - pred) % spec_k == 0
+                return k % spec_k == 0
             remaining = cfg.max_chunks - len(chs)
             if remaining > 0 and (not chs
                                   or bool(np.asarray(st[15]).any())):
@@ -1114,7 +1132,7 @@ class WaveEngine:
                         # the caller's host-side work under it
                         overlap()
                         overlap = None
-                    if len(chs) % spec_k == 0 or ci == remaining - 2:
+                    if _poll_now(len(chs), ci == remaining - 2):
                         with prof.span("wave.alive_sync"):
                             # st is one chunk behind st2: the copy has
                             # been in flight since before st2's dispatch
@@ -1122,6 +1140,9 @@ class WaveEngine:
                         if not any_alive:
                             # st2 (and up to spec_k-1 logged chunks) were
                             # speculative identities; the logs are inert
+                            if len(self._chunk_pred) > 4096:
+                                self._chunk_pred.clear()
+                            self._chunk_pred[pkey] = len(chs)
                             break
                     st = st2
 

@@ -41,7 +41,8 @@ class BatchAligner:
     def __init__(self, spec: AlignSpec, pool_words: np.ndarray,
                  offs: Dict, seq_lookup: Callable[[object], np.ndarray],
                  cfg: wavek.WaveConfig = wavek.WaveConfig(),
-                 engine: Optional[wavek.WaveEngine] = None):
+                 engine: Optional[wavek.WaveEngine] = None,
+                 pool_dev=None):
         self.spec = spec
         self.cfg = cfg
         self.engine = engine if engine is not None \
@@ -51,7 +52,9 @@ class BatchAligner:
         # would trace jax ops concurrently with the warmup thread and
         # perturb compilation-cache keys)
         self._pool_words = pool_words
-        self._pool = None
+        self._pool = pool_dev   # pre-uploaded device copy, when cached
+        if pool_dev is not None:
+            self.engine._pool_np = (pool_dev, pool_words)
         self.offs = offs
         self.seq = seq_lookup
         self.stats = {"fallbacks": 0, "device_waves": 0, "items": 0,
