@@ -1,16 +1,30 @@
 """Benchmark: end-to-end genome-pair alignment throughput on one chip.
 
-Generates a deterministic synthetic genome pair (multi-contig, ~1%
-divergence with inversions — the FastGA design envelope), runs the full
-fastga_tpu pipeline with the device wave engine, and prints ONE JSON line:
+Two deterministic synthetic scenarios (fastga_tpu/utils/synth.py):
+
+- PRIMARY "repeatrich": a repeat-bearing haplotype pair matching the
+  reference's design envelope (EXAMPLE/sample_session:51 — hundreds of
+  thousands of ~2 kb alignments, ~7-8x of the genome aligned, dispersed
+  repeat subfamilies at the -f frequency cutoff, tandem arrays,
+  inversions).  This is the number of record.
+- SECONDARY "uniform": 192 x 50 kb near-identical contigs (~1%
+  divergence) — the long-collinear-alignment regime.
+
+Prints ONE JSON line for the primary scenario:
 
     {"metric": "aligned_bp_per_s", "value": N, "unit": "bp/s",
      "vs_baseline": R}
 
-vs_baseline compares the alignment-search phase rate against the reference
-C FastGA's 8-thread CPU rate on the HAP1/HAP2 example: 380,294 alignments
-of avg 1,930 bp in 32.3 s  =>  22.7 Mbp aligned /s
-(EXAMPLE/sample_session:51-55; BASELINE.md).
+vs_baseline compares the alignment-search phase rate against the
+reference C FastGA's 8-thread CPU rate on the HAP1/HAP2 example:
+380,294 alignments of avg 1,930 bp in 32.3 s  =>  22.7 Mbp aligned /s
+(EXAMPLE/sample_session:51-55; BASELINE.md).  Secondary-scenario numbers
+and per-phase detail go to stderr.
+
+Env knobs: BENCH_RR_MBP (primary size/side, default 24),
+BENCH_NCONTIG/BENCH_CLEN (secondary geometry), BENCH_SCENARIOS
+("repeatrich,uniform"), BENCH_RUNS (steady passes, default 1),
+BENCH_ENGINE (jax|ref).
 """
 
 import faulthandler
@@ -27,23 +41,48 @@ if os.environ.get("BENCH_STALL_DUMP"):
     faulthandler.dump_traceback_later(
         int(os.environ["BENCH_STALL_DUMP"]), repeat=True)
 
+BASELINE = 22.7e6  # reference 8-thread CPU aligned-bp/s (BASELINE.md)
 
-def make_pair(rng, ncontig, clen, div=0.01):
-    genomes = {"A": [], "B": []}
-    for i in range(ncontig):
-        a = rng.integers(0, 4, clen).astype(np.uint8)
-        b = a.copy()
-        mut = rng.random(clen) < div * 0.8
-        b[mut] = (b[mut] + rng.integers(1, 4, mut.sum())) % 4
-        b = np.delete(b, rng.integers(0, len(b), int(div * 0.1 * clen) + 1))
-        ins = rng.integers(0, len(b), int(div * 0.1 * clen) + 1)
-        b = np.insert(b, ins, rng.integers(0, 4, len(ins)))
-        if i % 4 == 3:
-            q = len(b) // 3
-            b[q:2 * q] = (3 - b[q:2 * q])[::-1]
-        genomes["A"].append(a)
-        genomes["B"].append(b)
-    return genomes
+
+def run_scenario(name, g1, g2, engine, runs):
+    from fastga_tpu.models import aligner
+    from fastga_tpu.utils import prof
+
+    if engine == "jax":
+        aligner.prewarm(g1, g2)
+
+    # cold pass: one-time per-process costs (kernel trace/lower, compile
+    # cache load over the tunnel, device upload)
+    t0 = time.time()
+    ovls, stats = aligner.align_genomes(g1, g2, engine=engine)
+    t_cold = time.time() - t0
+
+    if engine == "jax":
+        aligner.wait_engine_warmups()   # chained small-batch compiles
+    t_aln = t_cold
+    for _ in range(max(runs, 1)):
+        prof.reset()   # prof report covers the last (steady) run only
+        t0 = time.time()
+        ovls, stats = aligner.align_genomes(g1, g2, engine=engine)
+        t_aln = time.time() - t0
+
+    aligned = sum(o.aepos - o.abpos for o in ovls)
+    rate = aligned / t_aln if t_aln > 0 else 0.0
+    exts = stats.get("device_calls", 0)
+    waves = stats.get("wave_device_waves", 0)
+    alens = ([o.aepos - o.abpos for o in ovls]) or [0]
+    sys.stderr.write(
+        f"bench[{name}]: engine={engine}; cold {t_cold:.1f}s steady "
+        f"{t_aln:.1f}s; {len(ovls)} alns avg {np.mean(alens):.0f} bp, "
+        f"{aligned:,} bp aligned ({rate / 1e6:.2f} Mbp/s, "
+        f"{rate / BASELINE:.3f}x baseline); "
+        f"seed-extensions/sec/chip {exts / t_aln:.1f} "
+        f"(waves/sec {waves / t_aln:.0f}); "
+        f"stats={ {k: v for k, v in stats.items() if isinstance(v, (int, float))} }\n")
+    if prof.ENABLED:
+        for k, (s, c) in prof.report().items():
+            sys.stderr.write(f"  prof {k}: {s:.2f}s x{c}\n")
+    return rate, t_cold, t_aln, stats
 
 
 def main():
@@ -58,91 +97,46 @@ def main():
     except Exception:
         pass
 
-    from fastga_tpu.io import gdb as gdbm
-    from fastga_tpu.io import gix as gixm
-    from fastga_tpu.models import aligner
-    from fastga_tpu.utils import dna
+    from fastga_tpu.utils import synth
 
-    ncontig = int(os.environ.get("BENCH_NCONTIG", 192))
-    clen = int(os.environ.get("BENCH_CLEN", 50_000))
     engine = os.environ.get("BENCH_ENGINE", "jax")
-
-    rng = np.random.default_rng(0xBE7C4)
-    pair = make_pair(rng, ncontig, clen)
-
-    def to_gdb(name, contigs):
-        g = gdbm.GDB()
-        import numpy as _np
-        from fastga_tpu.utils.dna import compress
-        packs = []
-        boff = 0
-        spos = 0
-        counts = _np.zeros(4, dtype=_np.int64)
-        for i, c in enumerate(contigs):
-            g.contigs.append(gdbm.Contig(len(c), 0, boff, i))
-            g.scaffolds.append(gdbm.Scaffold(len(c), i, i + 1,
-                                             f"{name}{i}"))
-            pk = compress(c)
-            packs.append(pk)
-            boff += len(pk)
-            counts += _np.bincount(c, minlength=4)[:4]
-            g.maxctg = max(g.maxctg, len(c))
-        g.seqtot = int(counts.sum())
-        g.freq = counts / g.seqtot
-        g._bps = _np.concatenate(packs)
-        return g
-
-    t0 = time.time()
-    g1 = to_gdb("a", pair["A"])
-    g2 = to_gdb("b", pair["B"])
-    t_gdb = time.time() - t0
-
-    if engine == "jax":
-        aligner.prewarm(g1, g2)   # overlap executable load with gix build
-
-    # cold pass: includes one-time per-process costs (kernel trace/lower,
-    # compile-cache load over the axon tunnel, device upload).  The GIX
-    # is built on device inside align_genomes (host tables stay unbuilt
-    # unless the device pipeline declines and falls back).
-    t0 = time.time()
-    ovls, stats = aligner.align_genomes(g1, g2, engine=engine)
-    t_cold = time.time() - t0
-
-    # steady pass: executables resident — the serving-regime rate (the
-    # reference baseline number is likewise steady-state C with no JIT).
-    if engine == "jax":
-        aligner.wait_engine_warmups()   # chained small-batch compiles
     runs = int(os.environ.get("BENCH_RUNS", 1))
-    t_aln = t_cold
-    from fastga_tpu.utils import prof
-    for _ in range(runs):
-        prof.reset()   # report() below covers the last (steady) run only
+    scenarios = os.environ.get("BENCH_SCENARIOS",
+                               "repeatrich,uniform").split(",")
+
+    primary = None
+    if "repeatrich" in scenarios:
+        mbp = float(os.environ.get("BENCH_RR_MBP", 24))
+        rng = np.random.default_rng(0xBE7C4)
         t0 = time.time()
-        ovls, stats = aligner.align_genomes(g1, g2, engine=engine)
-        t_aln = time.time() - t0
+        pair, masks = synth.repeat_rich_pair(
+            rng, int(mbp * 1e6), ncontig=max(8, int(mbp)),
+            repeat_frac=0.55, copies_per_subfam=12)
+        g1, _ = synth.to_gdb("a", pair["A"])
+        g2, _ = synth.to_gdb("b", pair["B"])
+        sys.stderr.write(
+            f"bench[repeatrich]: {mbp:g} Mbp/side x{len(pair['A'])} "
+            f"contigs (gen {time.time() - t0:.1f}s)\n")
+        primary = run_scenario("repeatrich", g1, g2, engine, runs)
 
-    aligned = sum(o.aepos - o.abpos for o in ovls)
-    rate = aligned / t_aln if t_aln > 0 else 0.0
-    baseline = 22.7e6  # reference 8-thread CPU aligned-bp/s (BASELINE.md)
+    if "uniform" in scenarios:
+        ncontig = int(os.environ.get("BENCH_NCONTIG", 192))
+        clen = int(os.environ.get("BENCH_CLEN", 50_000))
+        rng = np.random.default_rng(0xBE7C4)
+        pair = synth.uniform_pair(rng, ncontig, clen)
+        g1, _ = synth.to_gdb("a", pair["A"])
+        g2, _ = synth.to_gdb("b", pair["B"])
+        res = run_scenario("uniform", g1, g2, engine, runs)
+        if primary is None:
+            primary = res
 
+    rate = primary[0]
     print(json.dumps({
         "metric": "aligned_bp_per_s",
         "value": round(rate),
         "unit": "bp/s",
-        "vs_baseline": round(rate / baseline, 4),
+        "vs_baseline": round(rate / BASELINE, 4),
     }))
-    exts = stats.get("device_calls", 0)      # Local_Alignment extensions
-    waves = stats.get("wave_device_waves", 0)
-    sys.stderr.write(
-        f"bench detail: genomes {ncontig}x{clen}bp, engine={engine}; "
-        f"gdb {t_gdb:.1f}s cold {t_cold:.1f}s steady {t_aln:.1f}s; "
-        f"{len(ovls)} alns, {aligned:,} bp aligned; "
-        f"seed-extensions/sec/chip {exts / t_aln:.1f} "
-        f"(waves/sec {waves / t_aln:.0f}); "
-        f"stats={ {k: v for k, v in stats.items() if isinstance(v, (int, float))} }\n")
-    if prof.ENABLED:
-        for k, (s, c) in prof.report().items():
-            sys.stderr.write(f"  prof {k}: {s:.2f}s x{c}\n")
     return 0
 
 

@@ -638,6 +638,15 @@ def prewarm(gdb1, gdb2, params: FastGAParams = FastGAParams()):
     return _get_engine(gdb1, gdb2, spec)[0]
 
 
+def release_pool_cache(gdb1):
+    """Drop the per-GDB packed-pool cache (host sequences + the pool's
+    device buffer), reclaiming host RAM and HBM after alignment."""
+    try:
+        del gdb1._fastga_pool_cache
+    except AttributeError:
+        pass
+
+
 def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
                   params, get_a, get_b, stats, selfcmp=False,
                   wave_engine=None, pool_bucket=0):
@@ -674,18 +683,25 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
             seqs.setdefault(("a", ar, cm), None)
             seqs.setdefault(("b", br), None)
         # steady-state runs over the same pair reuse the packed pool
-        # (sequences are immutable; the tube set keys the contig cover)
-        pkey = (id(gdb2), pool_bucket, frozenset(seqs))
+        # (sequences are immutable; the tube set keys the contig cover).
+        # gdb2 itself rides in the cache entry and is compared with
+        # `is`: a key of id(gdb2) alone could false-hit when gdb2 is
+        # freed and a new GDB reuses the address (ADVICE r2).
+        pkey = (pool_bucket, frozenset(seqs))
         cached = getattr(gdb1, "_fastga_pool_cache", None)
-        if cached is not None and cached[0] == pkey:
+        if (cached is not None and cached[0] == pkey
+                and cached[3] is gdb2):
             seqs, pool = cached[1], cached[2]
         else:
             for k in list(seqs):
                 seqs[k] = get_a(k[1], k[2]) if k[0] == "a" else get_b(k[1])
             pool = seqpack.SeqPool.build(seqs, target_words=pool_bucket)
+            # single-slot cache: pins up to 128 MB of host sequences (and
+            # the packed pool's HBM buffer via pool._dev) for gdb1's
+            # lifetime; release with release_pool_cache(gdb1).
             if sum(len(s) for s in seqs.values()) <= (1 << 27):
                 try:
-                    gdb1._fastga_pool_cache = (pkey, seqs, pool)
+                    gdb1._fastga_pool_cache = (pkey, seqs, pool, gdb2)
                 except Exception:
                     pass
 
@@ -699,7 +715,7 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
 
     class QState:
         __slots__ = ("key", "tubes", "ti", "alast", "dgmin", "dgmax",
-                     "alow", "ahgh", "started", "ovls")
+                     "alow", "ahgh", "started", "ovls", "hint")
 
         def __init__(self, key, tube_list):
             self.key = key
@@ -708,6 +724,7 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
             self.alast = -1
             self.started = False
             self.ovls = []
+            self.hint = -1
 
     states = [QState(k, queues[k]) for k in order]
     aln_min = params.align_min - 50
@@ -755,6 +772,78 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
     for q in active:
         q.started = False
     total_calls = 0
+    rounds = 0
+    chunks0 = sum(e.n_chunk_calls for e in
+                  (wave_engine, getattr(wave_engine, "_small", None))
+                  if e is not None) if wave_engine is not None else 0
+
+    import os as _os
+    use_stream = (_os.environ.get("FASTGA_TPU_STREAM", "1") == "1"
+                  and wave_engine is not None)
+    if use_stream:
+        # pipelined scheduler: queues feed a device-batch stream; the
+        # engine keeps several speculatively-dispatched batches in
+        # flight so host work (wave-0 init, replays, dedup) overlaps
+        # device compute and no blocking aliveness polls remain
+        def emit(q):
+            """Next device item for queue q (self main-diagonal
+            crossings resolve to zero-length results inline)."""
+            nonlocal total_calls
+            while True:
+                amid = next_item(q)
+                if amid is None:
+                    return None
+                ar, br, cm, _ = q.key
+                ctg1 = int(perm1[ar])
+                ctg2 = int(perm2[br])
+                alen = int(lens1[ctg1])
+                blen = int(lens2[ctg2])
+                lbord = hbord = -1
+                if selfcmp and ctg1 == ctg2 and not cm:
+                    if q.dgmin > 0:
+                        lbord = q.dgmin - 1
+                    elif q.dgmax < 0:
+                        hbord = -(q.dgmax + 1)
+                    else:
+                        # crossing the main diagonal: zero-length result
+                        q.alow = int(amid)
+                        if q.alow >= q.ahgh:
+                            q.alast = q.alow
+                            q.started = False
+                        continue
+                total_calls += 1
+                item = WorkItem(("a", ar, cm), ("b", br),
+                                q.dgmin, q.dgmax, int(amid), cm,
+                                alen, blen, lbord=lbord, hbord=hbord,
+                                waves_hint=q.hint)
+                return ((q, int(amid), alen, blen, ctg1, ctg2), item)
+
+        def more_fn(token, p, waves=-1):
+            q, amid, alen, blen, ctg1, ctg2 = token
+            q.hint = waves
+            cm = q.key[2]
+            rlen = p.aepos - p.abpos
+            if rlen >= aln_min and aln_rate * rlen >= p.diffs:
+                q.ovls.append(Overlap(
+                    aread=ctg1, bread=ctg2, abpos=p.abpos,
+                    aepos=p.aepos, bbpos=p.bbpos, bepos=p.bepos,
+                    diffs=p.diffs, bcomp=cm, trace=list(p.trace)))
+            eant = (alen + blen) - (p.abpos + p.bbpos) if cm \
+                else p.aepos + p.bepos
+            q.alow = amid if eant <= q.alow else eant
+            if q.alow >= q.ahgh:
+                q.alast = q.alow
+                q.started = False
+            nxt = emit(q)
+            return [nxt] if nxt is not None else []
+
+        first = []
+        for q in active:
+            nxt = emit(q)
+            if nxt is not None:
+                first.append(nxt)
+        ba.run_stream(first, more_fn)
+        active = []
     while active:
         batch_items = []
         batch_q = []
@@ -797,6 +886,7 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
                 continue
             break
         total_calls += len(batch_items)
+        rounds += 1
         paths = ba.run(batch_items)
         nxt = []
         for (q, amid, alen, blen, ctg1, ctg2), p in zip(batch_q, paths):
@@ -818,7 +908,20 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
         active = nxt
 
     stats["device_calls"] = total_calls
+    stats["wave_rounds"] = rounds
     stats.update({f"wave_{k}": v for k, v in ba.stats.items()})
+    if wave_engine is not None:
+        nch = sum(e.n_chunk_calls for e in
+                  (wave_engine, getattr(wave_engine, "_small", None))
+                  if e is not None) - chunks0
+        stats["wave_chunk_calls"] = nch
+        # occupancy: fraction of dispatched (tube-lane x wave) slots a
+        # live tube actually used (chunk programs run cfg.n tubes for
+        # cfg.chunk waves whether alive or not)
+        denom = nch * wave_engine.cfg.chunk * wave_engine.cfg.n
+        if denom:
+            stats["wave_occupancy"] = round(
+                ba.stats["device_waves"] / denom, 4)
     if ba._pool is not None:
         pool._dev = ba._pool   # cached pools skip next run's upload
     # emit per (acont,bcont,comp) group in tube order for dedup

@@ -72,6 +72,17 @@ def get_tracerec():
                 i8p, c.c_int64, i8p, c.c_int64, c.c_int64, i32p,
                 c.c_int, c.c_int64, c.c_int,
                 c.POINTER(c.c_int64)]
+            lib.trw_replay_fwd.restype = c.c_int
+            lib.trw_replay_fwd.argtypes = [
+                i8p, c.c_int64, i8p, c.c_int64, c.c_int64, i32p,
+                c.c_int, c.c_int64, c.c_int64, c.c_int64,
+                c.c_int64, c.c_int64, i32p, c.c_int, i32p]
+            lib.trw_replay_rev.restype = c.c_int
+            lib.trw_replay_rev.argtypes = [
+                i8p, c.c_int64, i8p, c.c_int64, c.c_int64, i32p,
+                c.c_int, c.c_int64, c.c_int64, c.c_int64,
+                c.c_int64, c.c_int64, c.c_int, i32p, c.c_int, i32p,
+                i32p, i32p, c.POINTER(c.c_int)]
             _lib = lib
         except Exception:
             _lib = None

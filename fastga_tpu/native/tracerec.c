@@ -718,3 +718,186 @@ int trw_path_reach(const int8_t *A, int64_t alen,
       return (xs[ntw] <= trimx) ? 0 : -1;
     }
 }
+
+/* ---- full wave replay (ops/wave_replay.py in C) -----------------------
+   Rebuilds the trace-point pairs from a tube's per-wave path diagonals
+   in one pass (reach re-extension fused with grid-crossing emission and
+   trace assembly; align.c:805-870 forward / 1325-1414 reverse
+   semantics).  Returns 0 ok, -1 reach short of trim point (caller falls
+   back to the exact engine), -2 output capacity exceeded. */
+
+int trw_replay_fwd(const int8_t *A, int64_t alen,
+                   const int8_t *B, int64_t blen,
+                   int64_t anti, const int32_t *diags, int ntw,
+                   int64_t trima, int64_t trimx, int64_t trimd,
+                   int64_t aoff, int64_t tspace,
+                   int32_t *tr, int cap, int32_t *ntr)
+{ int64_t d0 = diags[0];
+  int64_t x0 = (anti + d0) >> 1;
+  int64_t na0 = ((x0 + (tspace - aoff)) / tspace) * tspace - tspace + aoff;
+  int64_t x, last, b, e, k, trimy;
+  int     w, n = 0;
+
+  x = x0 + fwd_snake_len(A, alen, B, blen, x0, d0);
+  last = na0;
+  k = d0;
+  b = (anti - d0) >> 1;
+  e = 0;
+  for (w = 0; w <= ntw; w++)
+    { int64_t kc;
+      if (w > 0)
+        { int64_t dcur = diags[w], dprev = diags[w-1];
+          int64_t c_pre = 2*x - dprev + (dcur == dprev ? 2 : 1);
+          x = (c_pre + dcur) >> 1;
+          x += fwd_snake_len(A, alen, B, blen, x, dcur);
+        }
+      kc = diags[w];
+      while (last + tspace <= x)
+        { int64_t m = last + tspace;
+          int64_t a = m - kc;
+          if (n >= cap)
+            return -2;
+          tr[2*n]   = (int32_t)(w - e);
+          tr[2*n+1] = (int32_t)(a - b);
+          n += 1;
+          b = a;  e = w;  k = kc;
+          last = m;
+        }
+    }
+  if (x < trimx)
+    return -1;
+  trimy = trima - trimx;
+  if (b + k != trimx)
+    { if (n >= cap)
+        return -2;
+      tr[2*n]   = (int32_t)(trimd - e);
+      tr[2*n+1] = (int32_t)(trimy - b);
+      n += 1;
+    }
+  else if (b != trimy && n > 0)
+    { tr[2*(n-1)]   += (int32_t)(trimd - e);
+      tr[2*(n-1)+1] += (int32_t)(trimy - b);
+    }
+  *ntr = n;
+  return 0;
+}
+
+/* Reverse replay.  ``pre`` receives the prepend pairs in build order
+   (the caller reverses); when the first emission must merge into the
+   caller's existing trace[0] (align.c:1340-1414 seam merge), the delta
+   is returned in first_dd/first_db with *first_mod = 1.
+   has_existing = (path.tlen != 0) on entry. */
+
+int trw_replay_rev(const int8_t *A, int64_t alen,
+                   const int8_t *B, int64_t blen,
+                   int64_t anti, const int32_t *diags, int ntw,
+                   int64_t trima, int64_t trimx, int64_t trimd,
+                   int64_t aoff, int64_t tspace, int has_existing,
+                   int32_t *pre, int cap, int32_t *npre,
+                   int32_t *first_dd, int32_t *first_db,
+                   int *first_mod)
+{ int64_t d0 = diags[0];
+  int64_t x0 = (anti + d0) >> 1;
+  int64_t na0 = ((x0 + (tspace - aoff) - 1) / tspace - 1) * tspace + aoff;
+  int64_t x, last, b, e, trimy;
+  int     w, n = 0;
+  int     started = 0;   /* pebble 0 consumed as the (b,e) origin */
+  int64_t kprev = d0;
+
+  *first_mod = 0;
+  *first_dd = *first_db = 0;
+  trimy = trima - trimx;
+
+  /* pebble 0 = (d0, x0, wave 0) pre-snake */
+  b = x0 - d0;
+  e = 0;
+  x = x0 - rev_snake_len(A, alen, B, blen, x0, d0);
+  last = na0 + tspace;
+
+  /* Python: if x0 not on the grid, the first crossing (or the trim
+     point when none) merges with/creates the seam pair */
+  { int64_t xm = x0;        /* b + k = pebble 0's mark x0 */
+    int64_t r = xm % tspace;  if (r < 0) r += tspace;
+    if (r != aoff)
+      started = -1;   /* defer: first crossing handles the seam */
+    else
+      started = 1;    /* pebble 0 is a regular origin */
+  }
+
+  for (w = 0; w <= ntw; w++)
+    { int64_t kc;
+      if (w > 0)
+        { int64_t dcur = diags[w], dprev = diags[w-1];
+          int64_t c_pre = 2*x - dprev - (dcur == dprev ? 2 : 1);
+          x = (c_pre + dcur) >> 1;
+          x -= rev_snake_len(A, alen, B, blen, x, dcur);
+        }
+      kc = diags[w];
+      while (last - tspace >= x)
+        { int64_t m = last - tspace;
+          int64_t a = m - kc;
+          if (started == -1)
+            { /* seam emission: (w - e, b - a) merges or prepends */
+              if (has_existing)
+                { *first_dd = (int32_t)(w - e);
+                  *first_db = (int32_t)(b - a);
+                  *first_mod = 1;
+                }
+              else
+                { if (n >= cap) return -2;
+                  pre[2*n]   = (int32_t)(w - e);
+                  pre[2*n+1] = (int32_t)(b - a);
+                  n += 1;
+                }
+              started = 1;
+            }
+          else
+            { if (n >= cap) return -2;
+              pre[2*n]   = (int32_t)(w - e);
+              pre[2*n+1] = (int32_t)(b - a);
+              n += 1;
+            }
+          b = a;  e = w;  kprev = kc;
+          last = m;
+        }
+    }
+  if (x > trimx)
+    return -1;
+
+  if (started == -1)
+    { /* no crossings at all: seam goes straight to the trim point */
+      if (has_existing)
+        { *first_dd = (int32_t)(trimd - e);
+          *first_db = (int32_t)(b - trimy);
+          *first_mod = 1;
+        }
+      else
+        { if (cap < 1) return -2;
+          pre[0] = (int32_t)(trimd - e);
+          pre[1] = (int32_t)(b - trimy);
+          n = 1;
+        }
+      *npre = n;
+      return 0;
+    }
+
+  if (b + kprev != trimx)
+    { if (n >= cap) return -2;
+      pre[2*n]   = (int32_t)(trimd - e);
+      pre[2*n+1] = (int32_t)(b - trimy);
+      n += 1;
+    }
+  else if (b != trimy)
+    { if (n > 0)
+        { pre[2*(n-1)]   += (int32_t)(trimd - e);
+          pre[2*(n-1)+1] += (int32_t)(b - trimy);
+        }
+      else
+        { *first_dd = (int32_t)(trimd - e);
+          *first_db = (int32_t)(b - trimy);
+          *first_mod = 1;
+        }
+    }
+  *npre = n;
+  return 0;
+}

@@ -757,6 +757,7 @@ class WaveEngine:
         self._pool_np = None
         self._warm_evt = None   # set while a background warmup is running
         self._chunk_pred = {}   # batch fingerprint -> chunks-to-death
+        self.n_chunk_calls = 0  # dispatched chunk programs (occupancy)
         # the Pallas in-VMEM kernel is the TPU path; the XLA graph stepper
         # remains as the CPU/fallback implementation
         mode = os.environ.get("FASTGA_TPU_WAVE", "auto")
@@ -991,6 +992,252 @@ class WaveEngine:
         self._bt_cache[key] = fn
         return fn
 
+    # -- pipelined API: submit dispatches everything speculatively (no
+    # polls); collect blocks on the packed result and handles the rare
+    # under-predicted continuation.  Chunk-count predictions are exact
+    # after the first batch (the packed result carries per-tube wave
+    # counts), so steady state runs p o l l - f r e e: one async
+    # host transfer per batch, overlapped with later batches' compute.
+
+    def _unpack_fn(self):
+        """One-upload state splitter: the submit path ships a single
+        [N, 4W+20] int32 array (one tunnel transfer instead of ~24) and
+        splits it into the state/targs tuples on device."""
+        fn = getattr(self, "_unpack_cache", None)
+        if fn is not None:
+            return fn
+        import jax
+        import jax.numpy as jnp
+        W = self.cfg.w
+
+        def up(big):
+            V = big[:, :W]
+            Thi = jax.lax.bitcast_convert_type(big[:, W:2 * W],
+                                               jnp.uint32)
+            Tlo = jax.lax.bitcast_convert_type(big[:, 2 * W:3 * W],
+                                               jnp.uint32)
+            M = big[:, 3 * W:4 * W]
+            s = [big[:, 4 * W + j] for j in range(20)]
+            st = (V, Thi, Tlo, M) + tuple(s[:11]) + (s[11] > 0,
+                                                     s[12] > 0, s[13])
+            targs = tuple(s[14:20])
+            return st, targs
+
+        fn = jax.jit(up)
+        self._unpack_cache = fn
+        return fn
+
+    def _prep(self, pool, tubes, direction, pack=False):
+        """Common prologue: wave-0 init on host, state upload.  With
+        ``pack`` the upload is a single packed array + device split."""
+        import jax.numpy as jnp
+        if self._warm_evt is not None:
+            self._warm_evt.wait()
+            if getattr(self, "_warm_exc", None) is not None:
+                exc, self._warm_exc = self._warm_exc, None
+                raise RuntimeError("wave engine warmup failed") from exc
+        cfg = self.cfg
+        n = len(tubes["aw"])
+        assert n <= cfg.n
+
+        def padn(x, fill=0):
+            a = np.full(cfg.n, fill, dtype=np.int32)
+            a[:n] = x
+            return a
+
+        targs_np = (padn(tubes["aw"]), padn(tubes["alen"], 1),
+                    padn(tubes["bw"]), padn(tubes["blen"], 1),
+                    padn(tubes.get("minp", np.full(n, -(1 << 30)))),
+                    padn(tubes.get("maxp", np.full(n, 1 << 30))))
+        from ..utils import prof
+        with prof.span("wave.wave0"):
+            st_np, kbase0 = host_wave0(
+                self._pool_host(pool), targs_np, padn(tubes["dgmin"]),
+                padn(tubes["dgmax"]), padn(tubes["anti"]), cfg, direction)
+        alive0 = st_np[15].copy()
+        alive0[n:] = False
+        with prof.span("wave.upload"):
+            if pack:
+                N, W = cfg.n, cfg.w
+                big = np.empty((N, 4 * W + 20), np.int32)
+                big[:, :W] = st_np[0]
+                big[:, W:2 * W] = st_np[1].view(np.int32)
+                big[:, 2 * W:3 * W] = st_np[2].view(np.int32)
+                big[:, 3 * W:4 * W] = st_np[3]
+                for j in range(11):
+                    big[:, 4 * W + j] = st_np[4 + j]
+                big[:, 4 * W + 11] = alive0
+                big[:, 4 * W + 12] = st_np[16]
+                big[:, 4 * W + 13] = st_np[17]
+                for j, t in enumerate(targs_np):
+                    big[:, 4 * W + 14 + j] = t
+                st, targs = self._unpack_fn()(jnp.asarray(big))
+            else:
+                st = tuple(jnp.asarray(a)
+                           for a in (st_np[:15] + (alive0,)
+                                     + st_np[16:]))
+                targs = tuple(jnp.asarray(t) for t in targs_np)
+        return n, st, targs, kbase0, bool(alive0.any())
+
+    def _pkey(self, tubes, direction, n):
+        return (direction, n,
+                int(np.asarray(tubes["anti"], np.int64).sum()),
+                int(np.asarray(tubes["aw"], np.int64).sum()),
+                int(np.asarray(tubes["dgmin"], np.int64).sum()),
+                int(np.asarray(tubes["dgmax"], np.int64).sum()),
+                int(np.asarray(tubes["bw"], np.int64).sum()),
+                int(np.asarray(tubes["blen"], np.int64).sum()))
+
+    def _zero_log_pair(self, like_ch, like_bl):
+        zkey = tuple(like_bl.shape)
+        if getattr(self, "_zero_logs", None) is None:
+            self._zero_logs = {}
+        if zkey not in self._zero_logs:
+            import jax.numpy as jnp
+            self._zero_logs[zkey] = (jnp.zeros_like(like_ch),
+                                     jnp.zeros_like(like_bl))
+        return self._zero_logs[zkey]
+
+    def _dispatch_backtrack(self, chs, bls, st):
+        """Pad chunk logs to a pow2 count and dispatch the device walk;
+        returns the packed result array (device)."""
+        kpad = 1 << (len(chs) - 1).bit_length()
+        z = self._zero_log_pair(chs[0], bls[0])
+        chs = list(chs)
+        bls = list(bls)
+        while len(chs) < kpad:
+            chs.append(z[0])
+            bls.append(z[1])
+        return self._backtrack_fn(kpad)(chs, bls, st)
+
+    def submit(self, pool, tubes: dict, direction: int):
+        """Dispatch one batch fully async: wave-0 + predicted chunk
+        count + backtrack walk + host copy.  No blocking transfers.
+        Returns an opaque handle for collect()."""
+        import threading
+
+        from ..utils import prof
+        cfg = self.cfg
+        n, st, targs, kbase0, any_alive = self._prep(pool, tubes,
+                                                     direction,
+                                                     pack=True)
+        chunk = self.fwd_chunk if direction > 0 else self.rev_chunk
+        pkey = self._pkey(tubes, direction, n)
+        pred = self._chunk_pred.get(pkey)
+        if pred is None:
+            pred = getattr(self, "_pred_default", {}).get(direction, 2)
+        pred = max(1, min(int(pred), cfg.max_chunks))
+        chs, bls = [], []
+        h = dict(n=n, st=st, targs=targs, chs=chs, bls=bls,
+                 kbase0=kbase0, packed_dev=None, pool=pool,
+                 direction=direction, pkey=pkey, fetcher=None)
+        if any_alive:
+            with prof.span("wave.chunk_dispatch"):
+                for _ in range(pred):
+                    st, chlog, bandlog = chunk(pool, targs, st)
+                    chs.append(chlog)
+                    bls.append(bandlog)
+            self.n_chunk_calls += len(chs)
+            h["st"] = st
+            with prof.span("wave.bt_dispatch"):
+                packed_dev = self._dispatch_backtrack(chs, bls, st)
+            h["packed_dev"] = packed_dev
+
+            # the device->host transfer blocks for a tunnel round trip
+            # on remote TPUs; a fetcher thread eats that latency while
+            # the main thread keeps submitting/assembling other batches
+            # (device_get releases the GIL)
+            def _fetch():
+                try:
+                    h["packed_np"] = np.asarray(packed_dev)
+                except Exception as e:
+                    h["fetch_exc"] = e
+
+            t = threading.Thread(target=_fetch, daemon=True)
+            t.start()
+            h["fetcher"] = t
+        return h
+
+    def collect(self, h):
+        """Block on a submitted batch; returns (WaveResult, diags)."""
+        from ..utils import prof
+        cfg = self.cfg
+        CW = cfg.chunk
+        n = h["n"]
+        chunk = self.fwd_chunk if h["direction"] > 0 else self.rev_chunk
+        st = h["st"]
+        chs, bls = h["chs"], h["bls"]
+        packed = None
+        if h["packed_dev"] is not None:
+            with prof.span("wave.collect_fetch"):
+                if h["fetcher"] is not None:
+                    h["fetcher"].join()
+                    if "fetch_exc" in h:
+                        raise h["fetch_exc"]
+                    packed = h["packed_np"]
+                else:
+                    packed = np.asarray(h["packed_dev"])
+            # under-predicted: continue chunking with polls (rare)
+            spec_k = max(1, int(os.environ.get("FASTGA_TPU_WAVE_SPEC",
+                                               "4")))
+            while packed[5].any() and len(chs) < cfg.max_chunks:
+                with prof.span("wave.chunk_dispatch"):
+                    for _ in range(min(spec_k,
+                                       cfg.max_chunks - len(chs))):
+                        st, chlog, bandlog = chunk(h["pool"], h["targs"],
+                                                   st)
+                        chs.append(chlog)
+                        bls.append(bandlog)
+                        self.n_chunk_calls += 1
+                with prof.span("wave.backtrack"):
+                    packed = np.asarray(
+                        self._dispatch_backtrack(chs, bls, st))
+            # exact prediction for the next batch of this shape: the
+            # packed result carries per-tube wave-at-death counts
+            need = max(1, int(-(-int(packed[7][:n].max()) // CW))) \
+                if n else 1
+            if len(self._chunk_pred) > 4096:
+                self._chunk_pred.clear()
+            self._chunk_pred[h["pkey"]] = need
+            dflt = getattr(self, "_pred_default", None)
+            if dflt is None:
+                dflt = self._pred_default = {}
+            prev = dflt.get(h["direction"], 2)
+            # drift toward the observed need, biased upward (an under-
+            # estimate costs a sync continuation; an overestimate only
+            # wastes cheap mostly-dead chunks)
+            dflt[h["direction"]] = max(need, prev - 1)
+            d0h = packed[8]
+            pk = packed[9:].view(np.uint32)
+            unsh = (2 * np.arange(16, dtype=np.uint32))
+            deltas = ((pk[:, None, :] >> unsh[None, :, None]) & 3) \
+                .reshape(-1, cfg.n).astype(np.int8)
+            deltas -= 1
+            diags = np.concatenate(
+                [d0h[None],
+                 d0h[None] + np.cumsum(deltas, 0, dtype=np.int32)],
+                axis=0)
+        else:
+            import jax.numpy as jnp
+            with prof.span("wave.result_xfer"):
+                fields = jnp.stack(
+                    [st[10], st[11], st[12], st[13], st[14],
+                     st[15].astype(jnp.int32), st[16].astype(jnp.int32),
+                     st[17]])
+                packed = np.asarray(jnp.concatenate(
+                    [fields, st[14][None]], axis=0))
+            diags = packed[8:]
+        alive = packed[5] != 0
+        fallback = (packed[6] != 0) | alive
+        res = WaveResult(
+            trima=packed[0][:n], trimx=packed[1][:n],
+            trimd=packed[2][:n], trim_wave=packed[3][:n],
+            trim_slot=packed[4][:n],
+            kbase0=h["kbase0"][:n],
+            nwaves=packed[7][:n],
+            fallback=fallback[:n])
+        return res, diags
+
     def run(self, pool, tubes: dict, direction: int, overlap=None):
         """tubes: dict of int32 [n<=N] arrays: aw, alen, bw, blen, dgmin,
         dgmax, anti, minp, maxp.  Returns (WaveResult, diags) where
@@ -1104,13 +1351,20 @@ class WaveEngine:
             pkey = (direction, n,
                     int(np.asarray(tubes["anti"], np.int64).sum()),
                     int(np.asarray(tubes["aw"], np.int64).sum()),
-                    int(np.asarray(tubes["dgmin"], np.int64).sum()))
+                    int(np.asarray(tubes["dgmin"], np.int64).sum()),
+                    int(np.asarray(tubes["dgmax"], np.int64).sum()),
+                    int(np.asarray(tubes["bw"], np.int64).sum()),
+                    int(np.asarray(tubes["blen"], np.int64).sum()))
             pred = self._chunk_pred.get(pkey)
 
             def _poll_now(k, last):
                 if last:
                     return True
                 if pred is not None:
+                    # one probe below pred lets a stale overestimate
+                    # shrink by spec_k per run instead of ratcheting
+                    if k == max(1, pred - spec_k):
+                        return True
                     return k >= pred and (k - pred) % spec_k == 0
                 return k % spec_k == 0
             remaining = cfg.max_chunks - len(chs)
@@ -1150,6 +1404,7 @@ class WaveEngine:
             overlap()   # dead batch / short loop: still exactly-once
             overlap = None
 
+        self.n_chunk_calls += len(chs)
         if packed is None and chs:
             # pad the chunk count to a power of two so the backtrack
             # compiles for O(log) distinct shapes only (waves beyond a

@@ -33,6 +33,7 @@ class WorkItem:
     selfie: bool = False
     lbord: int = -1
     hbord: int = -1
+    waves_hint: int = -1   # expected per-direction wave count (-1 unknown)
 
 
 class BatchAligner:
@@ -62,10 +63,14 @@ class BatchAligner:
 
     @property
     def pool(self):
+        # the warm gate holds for pre-seeded device pools too: tracing
+        # device ops while the background warmup is mid-trace perturbs
+        # persistent-cache keys (engine.run re-checks, but first device
+        # use may be elsewhere)
+        if self.engine._warm_evt is not None:
+            self.engine._warm_evt.wait()
         if self._pool is None:
             import jax.numpy as jnp
-            if self.engine._warm_evt is not None:
-                self.engine._warm_evt.wait()
             self._pool = jnp.asarray(self._pool_words)
             self.engine._pool_np = (self._pool, self._pool_words)
         return self._pool
@@ -144,6 +149,274 @@ class BatchAligner:
         if it.hbord < 0:
             return -1 if (it.selfie and hgh <= 0) else (1 << 30)
         return hgh + it.hbord
+
+    # -- streaming pipeline ---------------------------------------------------
+
+    def _tubes_of(self, items, dgmin, dgmax, anti):
+        offs = self.offs
+        return dict(
+            aw=np.array([offs[it.akey][0] for it in items], np.int32),
+            alen=np.array([it.alen for it in items], np.int32),
+            bw=np.array([offs[it.bkey][0] for it in items], np.int32),
+            blen=np.array([it.blen for it in items], np.int32),
+            dgmin=np.asarray(dgmin, np.int32),
+            dgmax=np.asarray(dgmax, np.int32),
+            anti=np.asarray(anti, np.int32),
+            minp=np.array([self._minp(it, int(lo)) for it, lo in
+                           zip(items, dgmin)], np.int32),
+            maxp=np.array([self._maxp(it, int(hi)) for it, hi in
+                           zip(items, dgmax)], np.int32),
+        )
+
+    def run_stream(self, first, more_fn, max_inflight: int = 4):
+        """Pipelined Local_Alignment over a dynamic item stream.
+
+        ``first``: initial list of (token, WorkItem).  When an item's
+        Path is done, ``more_fn(token, path)`` is called (in submission
+        order within each batch) and returns an iterable of new
+        (token, WorkItem) pairs unlocked by that result.
+
+        Device batches are dispatched speculatively (engine.submit) and
+        collected in FIFO order; the forward pass of batch k+1 computes
+        while batch k's reverse pass is assembled, and all host work
+        (wave-0 init, trace replays, rerun/fallback handling) runs under
+        outstanding device compute.  Results are delivered in a
+        deterministic order (per-token order depends only on the item
+        stream, not on batching).
+        """
+        from collections import deque
+
+        from ..utils import prof
+
+        eng = self.engine
+        B = self.cfg.n
+        tspace = self.spec.trace_space
+        ready = list(first)
+        inflight = deque()   # entries: dict(kind='fwd'|'rev', ...)
+
+        def take(k):
+            """Pop the k items with the lowest expected wave counts —
+            batches die together, so the chunk budget fits every tube
+            in the batch instead of its stragglers (occupancy)."""
+            ready.sort(key=lambda ti: (ti[1].waves_hint < 0,
+                                       ti[1].waves_hint))
+            out = ready[:k]
+            del ready[:k]
+            return out
+
+        def submit_fwd(batch):
+            tokens = [t for t, _ in batch]
+            items = [it for _, it in batch]
+            n = len(items)
+            hgh = np.array([it.dgmax for it in items], np.int64)
+            anti = np.array([it.anti for it in items], np.int64)
+            low = np.array([it.dgmin for it in items], np.int64)
+            for i in range(n):
+                while ((anti[i] - hgh[i]) >> 1) < 0:
+                    hgh[i] -= 1
+            tubes = self._tubes_of(items, low, hgh, anti)
+            h = eng.submit(self.pool, tubes, +1)
+            self.stats["items"] += n
+            prof.count("batch.tubes", n)
+            inflight.append(dict(kind="fwd", h=h, tokens=tokens,
+                                 items=items, anti=anti, low=low,
+                                 hgh=hgh))
+
+        def on_fwd(fb):
+            res, diags = eng.collect(fb["h"])
+            items = fb["items"]
+            n = len(items)
+            self.stats["device_waves"] += int(res.nwaves.sum())
+            host = np.asarray(res.fallback[:n]).copy()
+            logs = [None] * n
+            seam = np.zeros(n, np.int64)
+            for i in range(n):
+                if not host[i]:
+                    tw = int(res.trim_wave[i])
+                    logs[i] = diags[:tw + 1, i]
+                    seam[i] = int(logs[i][0])
+            rows = [tuple(int(f[i]) for f in res) for i in range(n)]
+            # dispatch the reverse pass NOW (device work first), then do
+            # the forward replays under it
+            tubes = self._tubes_of(items, seam, seam, fb["anti"])
+            h2 = eng.submit(self.pool, tubes, -1)
+            paths = [Path() for _ in range(n)]
+            with prof.span("batch.replay_fwd"):
+                for i in range(n):
+                    if host[i]:
+                        continue
+                    try:
+                        wrep.replay_forward(
+                            self.seq(items[i].akey),
+                            self.seq(items[i].bkey),
+                            int(fb["anti"][i]),
+                            int(items[i].alen % tspace
+                                if items[i].acomp else 0),
+                            logs[i], rows[i][0], rows[i][1], rows[i][2],
+                            paths[i], tspace)
+                    except AssertionError:
+                        host[i] = True
+                        paths[i] = Path()
+            inflight.append(dict(kind="rev", h=h2, tokens=fb["tokens"],
+                                 items=items, anti=fb["anti"],
+                                 paths=paths, host=host,
+                                 fwd_nw=np.asarray(res.nwaves[:n])))
+
+        def on_rev(rb):
+            res, diags = eng.collect(rb["h"])
+            items = rb["items"]
+            n = len(items)
+            anti = rb["anti"]
+            paths = rb["paths"]
+            host = rb["host"]
+            self.stats["device_waves"] += int(res.nwaves.sum())
+            host |= np.asarray(res.fallback[:n])
+            fshort = np.array([(p.aepos + p.bepos) - anti[i] < DUB_TRIM
+                               for i, p in enumerate(paths)])
+            with prof.span("batch.replay_rev"):
+                for i in range(n):
+                    if host[i]:
+                        continue
+                    tw = int(res.trim_wave[i])
+                    try:
+                        wrep.replay_reverse(
+                            self.seq(items[i].akey),
+                            self.seq(items[i].bkey),
+                            int(anti[i]),
+                            int(items[i].alen % tspace
+                                if items[i].acomp else 0),
+                            diags[:tw + 1, i],
+                            int(res.trima[i]), int(res.trimx[i]),
+                            int(res.trimd[i]), paths[i], tspace)
+                    except AssertionError:
+                        host[i] = True
+                        paths[i] = Path()
+            rshort = np.array([anti[i] - (p.abpos + p.bbpos) < DUB_TRIM
+                               for i, p in enumerate(paths)])
+            self._short_reruns(items, paths, host, fshort, rshort, anti)
+            self._host_fallbacks(items, paths, host)
+            self._acomp_flip(items, paths, host)
+            rev_nw = np.asarray(res.nwaves[:n])
+            fwd_nw = rb["fwd_nw"]
+            out = []
+            for i, (tok, p) in enumerate(zip(rb["tokens"], paths)):
+                out.extend(more_fn(
+                    tok, p, int(max(fwd_nw[i], rev_nw[i]))))
+            ready.extend(out)
+
+        while ready or inflight:
+            # keep the device fed: submit full batches up to the window
+            while len(ready) >= B and len(inflight) < max_inflight:
+                submit_fwd(take(B))
+            if not inflight:
+                submit_fwd(take(min(B, len(ready))))
+                continue
+            # drain the tail: nothing ready and only one batch in
+            # flight -> a partial batch keeps the pipeline deep enough
+            if (ready and len(inflight) < 2
+                    and len(ready) + sum(len(e["items"])
+                                         for e in inflight) <= 2 * B):
+                submit_fwd(take(min(B, len(ready))))
+            e = inflight.popleft()
+            if e["kind"] == "fwd":
+                on_fwd(e)
+            else:
+                on_rev(e)
+
+    def _short_reruns(self, items, paths, host, fshort, rshort, anti):
+        """DUB_TRIM short-pass reruns (align.c:1508-1532), synchronous
+        (rare — a few % of items)."""
+        n = len(items)
+        both = [i for i in range(n)
+                if not host[i] and fshort[i] and rshort[i]]
+        for i in both:
+            p = paths[i]
+            p.aepos = p.abpos = (p.abpos + p.aepos) >> 1
+            p.bepos = p.bbpos = (p.bbpos + p.bepos) >> 1
+            p.trace = []
+        fwd_rerun = [i for i in range(n)
+                     if not host[i] and fshort[i] and not rshort[i]]
+        rev_rerun = [i for i in range(n)
+                     if not host[i] and not fshort[i] and rshort[i]]
+        tspace = self.spec.trace_space
+        self.stats["rerun_fwd"] += len(fwd_rerun)
+        self.stats["rerun_rev"] += len(rev_rerun)
+        if fwd_rerun:
+            its = [items[i] for i in fwd_rerun]
+            low2 = np.array([paths[i].abpos - paths[i].bbpos
+                             for i in fwd_rerun], np.int64)
+            anti2 = np.array([paths[i].abpos + paths[i].bbpos
+                              for i in fwd_rerun], np.int64)
+            for i in fwd_rerun:
+                paths[i].trace = []
+            rows, logs, fall = self._run_dir(its, low2, low2, anti2, +1)
+            for j, i in enumerate(fwd_rerun):
+                if fall[j]:
+                    host[i] = True
+                    paths[i] = Path()
+                    continue
+                (trima, trimx, trimd, twave, tslot, kb0, nw, fb) = rows[j]
+                try:
+                    wrep.replay_forward(
+                        self.seq(items[i].akey), self.seq(items[i].bkey),
+                        int(anti2[j]),
+                        int(items[i].alen % tspace
+                            if items[i].acomp else 0),
+                        logs[j], trima, trimx, trimd, paths[i], tspace)
+                except AssertionError:
+                    host[i] = True
+                    paths[i] = Path()
+        if rev_rerun:
+            its = [items[i] for i in rev_rerun]
+            low2 = np.array([paths[i].aepos - paths[i].bepos
+                             for i in rev_rerun], np.int64)
+            anti2 = np.array([paths[i].aepos + paths[i].bepos
+                              for i in rev_rerun], np.int64)
+            for i in rev_rerun:
+                paths[i].trace = []
+                paths[i].diffs = 0
+            rows, logs, fall = self._run_dir(its, low2, low2, anti2, -1)
+            for j, i in enumerate(rev_rerun):
+                if fall[j]:
+                    host[i] = True
+                    paths[i] = Path()
+                    continue
+                (trima, trimx, trimd, twave, tslot, kb0, nw, fb) = rows[j]
+                try:
+                    wrep.replay_reverse(
+                        self.seq(items[i].akey), self.seq(items[i].bkey),
+                        int(anti2[j]),
+                        int(items[i].alen % tspace
+                            if items[i].acomp else 0),
+                        logs[j], trima, trimx, trimd, paths[i], tspace)
+                except AssertionError:
+                    host[i] = True
+                    paths[i] = Path()
+
+    def _host_fallbacks(self, items, paths, host):
+        from ..utils import prof
+        with prof.span("batch.host_fallback"):
+            for i in np.flatnonzero(host):
+                self.stats["fallbacks"] += 1
+                it = items[i]
+                paths[i] = local_alignment(
+                    self.spec, self.seq(it.akey), self.seq(it.bkey),
+                    it.dgmin, it.dgmax, it.anti, it.lbord, it.hbord,
+                    selfie=it.selfie, acomp=it.acomp, alen=it.alen,
+                    blen=it.blen)
+
+    def _acomp_flip(self, items, paths, host):
+        for i in range(len(items)):
+            if host[i] or not items[i].acomp:
+                continue
+            p = paths[i]
+            a0 = p.abpos
+            p.abpos = items[i].alen - p.aepos
+            p.aepos = items[i].alen - a0
+            b0 = p.bbpos
+            p.bbpos = items[i].blen - p.bepos
+            p.bepos = items[i].blen - b0
+            p.trace.reverse()
 
     # -- public --------------------------------------------------------------
 

@@ -20,6 +20,18 @@ import numpy as np
 from .wave_ref import Path, _snake_fwd, _snake_rev
 
 
+_I8P = ctypes.POINTER(ctypes.c_int8)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+
+
+def _i8view(A) -> np.ndarray:
+    """Zero-copy int8 view of a uint8 code array (values 0..3)."""
+    A = np.asarray(A)
+    if A.dtype == np.uint8 and A.flags.c_contiguous:
+        return A.view(np.int8)
+    return np.ascontiguousarray(A, np.int8)
+
+
 def _native_reach(A, B, anti: int, diags, trimx: int, direction: int):
     """Per-wave furthest-reach positions via the C snake loop (the hot
     part of replay); None -> pure-Python fallback."""
@@ -27,21 +39,113 @@ def _native_reach(A, B, anti: int, diags, trimx: int, direction: int):
     lib = native.get_tracerec()
     if lib is None:
         return None
-    A8 = np.ascontiguousarray(np.asarray(A, np.int8))
-    B8 = np.ascontiguousarray(np.asarray(B, np.int8))
+    A8 = _i8view(A)
+    B8 = _i8view(B)
     d32 = np.ascontiguousarray(np.asarray(diags, np.int32))
     ntw = len(d32) - 1
     xs = np.empty(ntw + 1, np.int64)
     rc = lib.trw_path_reach(
-        A8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), len(A8),
-        B8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), len(B8),
+        A8.ctypes.data_as(_I8P), len(A8),
+        B8.ctypes.data_as(_I8P), len(B8),
         int(anti),
-        d32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ntw,
+        d32.ctypes.data_as(_I32P), ntw,
         int(trimx), direction,
         xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     if rc != 0:
         raise AssertionError((int(xs[ntw]), trimx))
     return xs
+
+
+class _TraceBuf:
+    """Reusable int32 output buffer for the C replay calls."""
+    __slots__ = ("arr",)
+
+    def __init__(self):
+        self.arr = np.empty(4096, np.int32)
+
+    def fit(self, pairs: int) -> np.ndarray:
+        if self.arr.shape[0] < 2 * pairs:
+            self.arr = np.empty(
+                max(2 * pairs, 2 * self.arr.shape[0]), np.int32)
+        return self.arr
+
+
+_tbuf = _TraceBuf()
+
+
+def _native_replay_fwd(A, B, anti, aoff, diags, trima, trimx, trimd,
+                       path, tspace):
+    """One-call C replay (reach + crossings + assembly); returns the
+    seam diagonal, or None when the native library is unavailable."""
+    from .. import native
+    lib = native.get_tracerec()
+    if lib is None or getattr(lib, "trw_replay_fwd", None) is None:
+        return None
+    A8 = _i8view(A)
+    B8 = _i8view(B)
+    d32 = np.ascontiguousarray(np.asarray(diags, np.int32))
+    ntw = len(d32) - 1
+    cap = len(A8) // tspace + ntw + 16
+    tr = _tbuf.fit(cap)
+    ntr = np.zeros(1, np.int32)
+    rc = lib.trw_replay_fwd(
+        A8.ctypes.data_as(_I8P), len(A8),
+        B8.ctypes.data_as(_I8P), len(B8),
+        int(anti), d32.ctypes.data_as(_I32P), ntw,
+        int(trima), int(trimx), int(trimd), int(aoff), int(tspace),
+        tr.ctypes.data_as(_I32P), cap, ntr.ctypes.data_as(_I32P))
+    if rc == -1:
+        raise AssertionError(("fwd reach short", trimx))
+    if rc != 0:
+        return None
+    n = int(ntr[0])
+    path.trace.extend(map(tuple, tr[:2 * n].reshape(n, 2).tolist()))
+    path.aepos = trimx
+    path.bepos = trima - trimx
+    path.diffs = trimd
+    return int(d32[0])
+
+
+def _native_replay_rev(A, B, anti, aoff, diags, trima, trimx, trimd,
+                       path, tspace):
+    from .. import native
+    lib = native.get_tracerec()
+    if lib is None or getattr(lib, "trw_replay_rev", None) is None:
+        return None
+    A8 = _i8view(A)
+    B8 = _i8view(B)
+    d32 = np.ascontiguousarray(np.asarray(diags, np.int32))
+    ntw = len(d32) - 1
+    cap = len(A8) // tspace + ntw + 16
+    pre = _tbuf.fit(cap)
+    npre = np.zeros(1, np.int32)
+    fdd = np.zeros(1, np.int32)
+    fdb = np.zeros(1, np.int32)
+    fmod = ctypes.c_int(0)
+    rc = lib.trw_replay_rev(
+        A8.ctypes.data_as(_I8P), len(A8),
+        B8.ctypes.data_as(_I8P), len(B8),
+        int(anti), d32.ctypes.data_as(_I32P), ntw,
+        int(trima), int(trimx), int(trimd), int(aoff), int(tspace),
+        1 if path.tlen else 0,
+        pre.ctypes.data_as(_I32P), cap, npre.ctypes.data_as(_I32P),
+        fdd.ctypes.data_as(_I32P), fdb.ctypes.data_as(_I32P),
+        ctypes.byref(fmod))
+    if rc == -1:
+        raise AssertionError(("rev reach short", trimx))
+    if rc != 0:
+        return None
+    if fmod.value:
+        de, ab = path.trace[0]
+        path.trace[0] = (de + int(fdd[0]), ab + int(fdb[0]))
+    n = int(npre[0])
+    if n:
+        path.trace[:0] = map(
+            tuple, pre[:2 * n].reshape(n, 2)[::-1].tolist())
+    path.abpos = trimx
+    path.bbpos = trima - trimx
+    path.diffs += trimd
+    return True
 
 
 def _marks_between(last: int, upto: int, tspace: int, aoff: int,
@@ -70,7 +174,16 @@ def replay_forward(A, B, anti: int, aoff: int, diags, trima: int,
     diagonal."""
     trim_wave = len(diags) - 1
 
-    # forward snake reconstruction (C fast path; Python mirror below)
+    # one-call C replay (reach + crossings + assembly)
+    if _REPLAY_CHECK:
+        return _checked_fwd(A, B, anti, aoff, diags, trima, trimx,
+                            trimd, path, tspace)
+    seam = _native_replay_fwd(A, B, anti, aoff, diags, trima, trimx,
+                              trimd, path, tspace)
+    if seam is not None:
+        return seam
+
+    # pure-Python mirror (and the C reach-only fast path)
     d0 = int(diags[0])
     na0 = (((anti + d0) >> 1) + (tspace - aoff)) // tspace * tspace \
         - tspace + aoff
@@ -122,6 +235,13 @@ def replay_reverse(A, B, anti: int, aoff: int, diags, trima: int,
                    tspace: int = 100):
     """Rebuild the reverse trace; prepends to path (align.c:1325-1414)."""
     trim_wave = len(diags) - 1
+
+    if _REPLAY_CHECK:
+        return _checked_rev(A, B, anti, aoff, diags, trima, trimx,
+                            trimd, path, tspace)
+    if _native_replay_rev(A, B, anti, aoff, diags, trima, trimx,
+                          trimd, path, tspace) is not None:
+        return
 
     d0 = int(diags[0])
     x0 = (anti + d0) >> 1
@@ -193,3 +313,68 @@ def replay_reverse(A, B, anti: int, aoff: int, diags, trima: int,
     path.abpos = trimx
     path.bbpos = trimy
     path.diffs += trimd
+
+
+# -- FASTGA_TPU_REPLAY_CHECK=1: run C and Python replays side by side and
+# dump any divergence (debug aid; the C path is the production one) ------
+
+import os as _os
+
+_REPLAY_CHECK = _os.environ.get("FASTGA_TPU_REPLAY_CHECK") == "1"
+
+
+def _checked_fwd(A, B, anti, aoff, diags, trima, trimx, trimd, path,
+                 tspace):
+    import sys
+    p_c = Path()
+    p_c.trace = list(path.trace)
+    p_c.diffs = path.diffs
+    seam_c = _native_replay_fwd(A, B, anti, aoff, diags, trima, trimx,
+                                trimd, p_c, tspace)
+    global _REPLAY_CHECK
+    _REPLAY_CHECK = False
+    try:
+        seam_p = replay_forward(A, B, int(anti), int(aoff), diags,
+                                int(trima), int(trimx), int(trimd), path,
+                                tspace)
+    finally:
+        _REPLAY_CHECK = True
+    if (seam_c != seam_p or [tuple(t) for t in p_c.trace]
+            != [tuple(t) for t in path.trace]
+            or (p_c.aepos, p_c.bepos, p_c.diffs)
+            != (path.aepos, path.bepos, path.diffs)):
+        np.save("/tmp/replay_div_diags.npy", np.asarray(diags))
+        sys.stderr.write(
+            f"REPLAY DIVERGENCE fwd: anti={anti} aoff={aoff} "
+            f"trima={trima} trimx={trimx} trimd={trimd} "
+            f"ntw={len(diags)-1}\n  C:  seam={seam_c} "
+            f"trace={p_c.trace}\n  Py: seam={seam_p} "
+            f"trace={path.trace}\n")
+    return seam_p
+
+
+def _checked_rev(A, B, anti, aoff, diags, trima, trimx, trimd, path,
+                 tspace):
+    import sys
+    p_c = Path()
+    p_c.trace = list(path.trace)
+    p_c.diffs = path.diffs
+    ok = _native_replay_rev(A, B, anti, aoff, diags, trima, trimx,
+                            trimd, p_c, tspace)
+    global _REPLAY_CHECK
+    _REPLAY_CHECK = False
+    try:
+        replay_reverse(A, B, int(anti), int(aoff), diags, int(trima),
+                       int(trimx), int(trimd), path, tspace)
+    finally:
+        _REPLAY_CHECK = True
+    if (ok is None or [tuple(t) for t in p_c.trace]
+            != [tuple(t) for t in path.trace]
+            or (p_c.abpos, p_c.bbpos, p_c.diffs)
+            != (path.abpos, path.bbpos, path.diffs)):
+        np.save("/tmp/replay_div_diags.npy", np.asarray(diags))
+        sys.stderr.write(
+            f"REPLAY DIVERGENCE rev: anti={anti} aoff={aoff} "
+            f"trima={trima} trimx={trimx} trimd={trimd} "
+            f"ntw={len(diags)-1}\n  C:  trace={p_c.trace}\n"
+            f"  Py: trace={path.trace}\n")
