@@ -53,9 +53,13 @@ def run_scenario(name, g1, g2, engine, runs):
 
     # cold pass: one-time per-process costs (kernel trace/lower, compile
     # cache load over the tunnel, device upload)
+    prof.reset()
     t0 = time.time()
     ovls, stats = aligner.align_genomes(g1, g2, engine=engine)
     t_cold = time.time() - t0
+    if prof.ENABLED and os.environ.get("BENCH_COLD_PROF"):
+        for k, (s, c) in prof.report().items():
+            sys.stderr.write(f"  coldprof {k}: {s:.2f}s x{c}\n")
 
     if engine == "jax":
         aligner.wait_engine_warmups()   # chained small-batch compiles

@@ -79,6 +79,22 @@ def ltf_read(f) -> int:
     return val
 
 
+def ltf_read_mem(buf, i) -> Tuple[int, int]:
+    """ltf decode from a bytes buffer; returns (value, next offset)."""
+    u0 = buf[i]
+    if u0 & 0x40:
+        if u0 & 0x80:
+            return u0 - 256, i + 1
+        return u0 & 0x3F, i + 1
+    if u0 & 0x20:
+        return ((u0 & 0x1F) << 8) | buf[i + 1], i + 2
+    n = u0 & 0x0F
+    val = int.from_bytes(buf[i + 1:i + 2 + n], "little")
+    if u0 & 0x80:
+        val |= -1 << (8 * (n + 1))
+    return val, i + 2 + n
+
+
 def ltf_write(x: int) -> bytes:
     if x >= 0:
         if x < 0x40:
@@ -178,6 +194,178 @@ class VCCodec:
             else:
                 pos += lens[c]
             out.append(c)
+        return bytes(out)
+
+
+HUFF_CUTOFF = 12        # max code length (ONElib.c:2875)
+CODEC_TRAINING = 100000  # bytes of raw lists before training (ONElib.c:631)
+
+
+class VCEncoder:
+    """Trainable length-limited Huffman codec — the writer-side mirror of
+    the reference's vcCreate/vcAddToTable/vcCreateCodec/vcEncode/
+    vcSerialize (ONElib.c:2875-3720; Larmore & Hirschberg length-limited
+    coin-filter construction).  Bit-exact with the C implementation,
+    including the escape-code convention and the little-endian 64-bit
+    word packing."""
+
+    __slots__ = ("hist", "tack", "trained", "lens", "bits",
+                 "esc_code", "esc_len", "_lens_lut", "_bits_lut")
+
+    def __init__(self):
+        import numpy as np
+        self.hist = np.zeros(256, np.int64)
+        self.tack = 0
+        self.trained = False
+        self.lens = None
+        self.bits = None
+        self.esc_code = -1
+        self.esc_len = 0
+
+    def add(self, data) -> None:
+        import numpy as np
+        arr = np.frombuffer(bytes(data), np.uint8)
+        self.hist += np.bincount(arr, minlength=256)
+        self.tack += len(arr)
+
+    def create(self, partial: int = 1) -> None:
+        """vcCreateCodec: length-limited Huffman from the histogram."""
+        hist = self.hist
+        ecode = -partial
+        codes = []
+        for i in range(256):
+            if hist[i] > 0:
+                codes.append(i)
+            elif ecode < 0:
+                ecode = i
+                codes.append(i)
+        ncode = len(codes)
+        if ecode < 0:
+            partial = 0
+        # stable sort by count (glibc qsort is a stable mergesort here)
+        codes.sort(key=lambda c: int(hist[c]))
+
+        countb = [int(hist[c]) for c in codes]
+        leng = [0] * ncode
+        matrix = [[0] * (2 * ncode) for _ in range(HUFF_CUTOFF)]
+        lcnt = list(countb)
+        llen = ncode - 1
+        for L in range(HUFF_CUTOFF - 1, 0, -1):
+            j = k = n = 0
+            ccnt = []
+            while j < ncode or k < llen:
+                if k >= llen or (j < ncode
+                                 and countb[j] <= lcnt[k] + lcnt[k + 1]):
+                    ccnt.append(countb[j])
+                    matrix[L][n] = 1
+                    j += 1
+                else:
+                    ccnt.append(lcnt[k] + lcnt[k + 1])
+                    matrix[L][n] = 0
+                    k += 2
+                n += 1
+            llen = n - 1
+            lcnt = ccnt
+        span = 2 * (ncode - 1)
+        for L in range(1, HUFF_CUTOFF):
+            j = 0
+            for n in range(span):
+                if matrix[L][n]:
+                    leng[j] += 1
+                    j += 1
+            span = 2 * (span - j)
+        for n in range(span):
+            leng[n] += 1
+
+        # canonical-descending code assignment (ONElib.c:3130-3146)
+        bits = [0] * ncode
+        llen = leng[0]
+        lbits = (1 << llen) - 1
+        bits[0] = lbits
+        for n in range(1, ncode):
+            while (lbits & 1) == 0:
+                lbits >>= 1
+                llen -= 1
+            lbits -= 1
+            while llen < leng[n]:
+                lbits = (lbits << 1) | 1
+                llen += 1
+            bits[n] = lbits
+
+        import numpy as np
+        lens256 = np.zeros(256, np.int64)
+        bits256 = np.zeros(256, np.int64)
+        for i in range(ncode):
+            lens256[codes[i]] = leng[i]
+            bits256[codes[i]] = bits[i]
+        self.lens = lens256
+        self.bits = bits256
+        if partial:
+            self.esc_code = ecode
+            self.esc_len = int(lens256[ecode])
+            lens256[ecode] = 0
+        else:
+            self.esc_code = -1
+        # per-byte (value, length) LUTs with the escape expansion folded
+        # in: an escaped byte emits esc_bits then the raw 8 bits
+        vl = bits256.copy()
+        ll = lens256.copy()
+        if self.esc_code >= 0:
+            zero = lens256 == 0
+            vl = np.where(zero,
+                          (bits256[self.esc_code] << 8)
+                          | np.arange(256, dtype=np.int64), vl)
+            ll = np.where(zero, self.esc_len + 8, ll)
+        self._bits_lut = vl
+        self._lens_lut = ll
+        self.trained = True
+
+    def encode(self, data) -> Tuple[int, bytes]:
+        """vcEncode: -> (nbits, stream bytes of length (nbits+7)//8)."""
+        import numpy as np
+        raw = bytes(data)
+        arr = np.frombuffer(raw, np.uint8)
+        ilen = len(arr)
+        ibits = ilen << 3
+        ll = self._lens_lut[arr]
+        tbits = 2 + int(ll.sum())
+        if tbits > ibits:
+            return ibits + 8, b"\xff" + raw
+        vl = self._bits_lut[arr]
+        # expand each symbol to HUFF_CUTOFF+8 MSB-first bit slots, mask
+        # to the true lengths, compress, pack
+        WMAX = HUFF_CUTOFF + 8
+        sh = np.arange(WMAX - 1, -1, -1, dtype=np.int64)[None, :]
+        bitsmat = (vl[:, None] >> sh) & 1
+        # a symbol's code occupies its LOW ll bits, emitted MSB-first:
+        # keep slots sh = ll-1 .. 0 (sh descends along the row)
+        valid = sh < ll[:, None]
+        out_bits = np.empty(tbits, np.uint8)
+        out_bits[:2] = 0     # little-endian stream header bits
+        out_bits[2:] = bitsmat[valid]
+        stream = np.packbits(out_bits)   # MSB-first logical bytes
+        nbytes = (tbits + 7) >> 3
+        padded = np.zeros(((nbytes + 7) // 8) * 8, np.uint8)
+        padded[:len(stream)] = stream[:nbytes]
+        nw = tbits // 64
+        if nw:
+            padded[:8 * nw] = padded[:8 * nw].reshape(nw, 8)[:, ::-1] \
+                .reshape(-1)
+        out = bytearray(padded[:nbytes].tobytes())
+        if tbits >= 64:
+            out[0], out[7] = out[7], out[0]
+        return tbits, bytes(out)
+
+    def serialize(self) -> bytes:
+        """vcSerialize blob (little-endian)."""
+        out = bytearray()
+        out.append(0)   # isbig
+        out += int(self.esc_code).to_bytes(4, "little", signed=True)
+        out += int(self.esc_len).to_bytes(4, "little", signed=True)
+        for i in range(256):
+            out.append(int(self.lens[i]))
+            if self.lens[i] > 0 or i == self.esc_code:
+                out += int(self.bits[i]).to_bytes(2, "little")
         return bytes(out)
 
 
@@ -434,7 +622,12 @@ class BinaryReader:
                     raw = f.read((n - 1) * used)
                     fields[fi] = _decompact_ints(first, raw, used, n)
             elif ft == REAL_LIST:
-                raw = f.read(8 * n)
+                if use_codec:
+                    nbits = ltf_read(f)
+                    raw = self.codecs[t].decode(
+                        nbits, f.read((nbits + 7) >> 3), 8 * n)
+                else:
+                    raw = f.read(8 * n)
                 fields[fi] = list(struct.unpack(f"<{n}d", raw))
             else:  # STRING or DNA
                 spec = self.schema.lines.get(t) if self.schema else None
@@ -541,7 +734,10 @@ def open_any(path, schema: Optional[OneSchema] = None):
 
 
 class BinaryWriter:
-    """Binary ONEcode writer (no adaptive codecs; DNAcodec for DNA)."""
+    """Binary ONEcode writer with trained list codecs (DNAcodec for DNA,
+    per-line-type adaptive Huffman for other list types after 100 KB of
+    raw training data — the reference's oneWriteLine protocol,
+    ONElib.c:2412-2515)."""
 
     def __init__(self, path, schema: OneSchema, filetype: Optional[str] = None):
         self.path = Path(path)
@@ -551,6 +747,23 @@ class BinaryWriter:
         self.references: List[Reference] = []
         self._lines: List[Tuple[str, tuple]] = []
         self._closed = False
+        self._vcs: Dict[str, VCEncoder] = {}
+
+    def _vc_for(self, t: str, spec_fields) -> Optional[VCEncoder]:
+        """Trainable codec for line type t, or None.  Mirrors the
+        reference's eligibility: any list type except STRING_LIST
+        (written as ASCII), DNA (fixed DNAcodec) and '/' comments;
+        includes the '&' footer index lines (ONElib.c:188-190)."""
+        if t == "/" or t == ";":
+            return None
+        has = any(ft in (INT_LIST, REAL_LIST, STRING)
+                  for ft in spec_fields)
+        if not has:
+            return None
+        vc = self._vcs.get(t)
+        if vc is None:
+            vc = self._vcs[t] = VCEncoder()
+        return vc
 
     add_provenance = onecode.OneWriter.add_provenance
     add_reference = onecode.OneWriter.add_reference
@@ -594,8 +807,12 @@ class BinaryWriter:
         # newline terminating the binary data region (oneFileClose writes it
         # before the footer; sequential readers need it)
         f.write(b"\n")
-        # footer: ASCII count lines interleaved with binary '&' index lines
+        # footer: ASCII count lines interleaved with binary '&' index
+        # lines, plus ';' serialized-codec lines in oneWriteFooter's
+        # order (ONElib.c:2617-2662): per type — counts, '&' index, the
+        # '&' codec once it has trained, then the type's own codec
         foot_off = f.tell()
+        written_index_codec = False
         for kind, c in self.schema.defn_order:
             if kind == "G" or c not in stats:
                 continue
@@ -615,6 +832,15 @@ class BinaryWriter:
                         a(f"% {c} + {t2} {mt}\n")
             if c in indexes:
                 self._write_binary_line(f, "&", None, (c, indexes[c]))
+            vca = self._vcs.get("&")
+            if vca is not None and vca.trained and not written_index_codec:
+                self._write_binary_line(f, ";", None,
+                                        ("&", vca.serialize()))
+                written_index_codec = True
+            vcc = self._vcs.get(c)
+            if vcc is not None and vcc.trained:
+                self._write_binary_line(f, ";", None,
+                                        (c, vcc.serialize()))
         a("^\n")
         f.write(struct.pack("<q", foot_off))
         f.close()
@@ -622,12 +848,9 @@ class BinaryWriter:
     def _write_binary_line(self, f, t, spec, fields):
         code = _CHAR_TO_CODE[t]
         spec_fields = _HEADER_SPECS[t] if spec is None else spec.fields
-        use_codec = False
-        dna_field = None
-        for fi, ft in enumerate(spec_fields):
-            if ft == DNA:
-                use_codec = True
-                dna_field = fi
+        vc = self._vc_for(t, spec_fields)
+        use_codec = any(ft == DNA for ft in spec_fields) \
+            or (vc is not None and vc.trained)
         f.write(bytes([0x80 | (code << 1) | (1 if use_codec else 0)]))
         # fields (list length in place of list content)
         payloads = []
@@ -640,12 +863,23 @@ class BinaryWriter:
             elif ft == INT:
                 f.write(ltf_write(int(v)))
             else:
-                if ft == STRING_LIST:
-                    n = len(v)
-                else:
-                    n = len(v)
-                f.write(ltf_write(n))
+                f.write(ltf_write(len(v)))
                 payloads.append((fi, ft, v))
+
+        def emit_list(payload: bytes):
+            """Write one list payload, codec'd once trained; train the
+            codec on the raw bytes until then (ONElib.c:2446-2471)."""
+            if vc is not None and vc.trained:
+                nbits, stream = vc.encode(payload)
+                f.write(ltf_write(nbits))
+                f.write(stream)
+                return
+            f.write(payload)
+            if vc is not None:
+                vc.add(payload)
+                if vc.tack > CODEC_TRAINING:
+                    vc.create(1)
+
         for fi, ft, v in payloads:
             n = len(v)
             if n == 0:
@@ -657,9 +891,10 @@ class BinaryWriter:
                     continue
                 used, diffs = _compact_ints(vals)
                 f.write(bytes([used]))
-                f.write(diffs)
+                emit_list(diffs)
             elif ft == REAL_LIST:
-                f.write(struct.pack(f"<{n}d", *[float(x) for x in v]))
+                emit_list(struct.pack(f"<{n}d",
+                                      *[float(x) for x in v]))
             elif ft == STRING_LIST:
                 for s in v:
                     f.write(f" {len(s)} {s}".encode("latin-1"))
@@ -668,8 +903,7 @@ class BinaryWriter:
                 f.write(dna_encode(s))
             else:  # STRING
                 s = v.encode("latin-1") if isinstance(v, str) else bytes(v)
-                f.write(s)
-        del dna_field
+                emit_list(s)
 
     def __enter__(self):
         return self

@@ -785,6 +785,12 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
         # engine keeps several speculatively-dispatched batches in
         # flight so host work (wave-0 init, replays, dedup) overlaps
         # device compute and no blocking aliveness polls remain
+        # wave-count predictor: a queue's later tiles inherit measured
+        # wave counts; first tiles fall back to a calibrated fraction of
+        # the tube's remaining anti extent (batches sorted by predicted
+        # waves die together, tightening each batch's chunk budget)
+        ratio = [0.05]   # EMA of measured waves per anti unit
+
         def emit(q):
             """Next device item for queue q (self main-diagonal
             crossings resolve to zero-length results inline)."""
@@ -812,15 +818,21 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
                             q.started = False
                         continue
                 total_calls += 1
+                extent = max(int(q.ahgh) + BUCK_ANTI - int(amid), 1)
+                hint = q.hint if q.hint >= 0 \
+                    else int(ratio[0] * extent) + 1
                 item = WorkItem(("a", ar, cm), ("b", br),
                                 q.dgmin, q.dgmax, int(amid), cm,
                                 alen, blen, lbord=lbord, hbord=hbord,
-                                waves_hint=q.hint)
-                return ((q, int(amid), alen, blen, ctg1, ctg2), item)
+                                waves_hint=hint)
+                return ((q, int(amid), alen, blen, ctg1, ctg2, extent),
+                        item)
 
         def more_fn(token, p, waves=-1):
-            q, amid, alen, blen, ctg1, ctg2 = token
+            q, amid, alen, blen, ctg1, ctg2, extent = token
             q.hint = waves
+            if waves > 0:
+                ratio[0] = 0.9 * ratio[0] + 0.1 * (waves / extent)
             cm = q.key[2]
             rlen = p.aepos - p.abpos
             if rlen >= aln_min and aln_rate * rlen >= p.diffs:

@@ -1056,6 +1056,16 @@ class WaveEngine:
                 padn(tubes["dgmax"]), padn(tubes["anti"]), cfg, direction)
         alive0 = st_np[15].copy()
         alive0[n:] = False
+        snap = os.environ.get("FASTGA_TPU_WAVE_SNAPSHOT")
+        if snap and direction > 0 and not getattr(self, "_snapped",
+                                                  False):
+            # capture real chunk inputs for tools/microbench_wave.py
+            self._snapped = True
+            full_st = st_np[:15] + (alive0,) + st_np[16:]
+            np.savez(snap, pool=self._pool_host(pool), n=n,
+                     **{f"targ{i}": t for i, t in enumerate(targs_np)},
+                     **{f"st{i}": np.asarray(s)
+                        for i, s in enumerate(full_st)})
         with prof.span("wave.upload"):
             if pack:
                 N, W = cfg.n, cfg.w
@@ -1110,10 +1120,17 @@ class WaveEngine:
             bls.append(z[1])
         return self._backtrack_fn(kpad)(chs, bls, st)
 
-    def submit(self, pool, tubes: dict, direction: int):
+    def submit(self, pool, tubes: dict, direction: int,
+               pred_hint: int = None):
         """Dispatch one batch fully async: wave-0 + predicted chunk
         count + backtrack walk + host copy.  No blocking transfers.
-        Returns an opaque handle for collect()."""
+        Returns an opaque handle for collect().
+
+        ``pred_hint``: caller's expected chunk count for this batch
+        (e.g. from per-item wave hints, or the forward pass's measured
+        wave counts for the reverse batch); overrides the fingerprint/
+        default predictors.  Under-prediction costs a synchronous
+        continuation, so callers should bias up."""
         import threading
 
         from ..utils import prof
@@ -1125,8 +1142,18 @@ class WaveEngine:
         pkey = self._pkey(tubes, direction, n)
         pred = self._chunk_pred.get(pkey)
         if pred is None:
-            pred = getattr(self, "_pred_default", {}).get(direction, 2)
-        pred = max(1, min(int(pred), cfg.max_chunks))
+            if pred_hint is not None:
+                pred = pred_hint
+            else:
+                pred = getattr(self, "_pred_default",
+                               {}).get(direction, 2)
+        # speculative-burst cap: each dispatched chunk holds its choice
+        # log (+ a transient bandlog output) in HBM until collect, and
+        # the walk concatenates kpad of them — deep bursts with several
+        # batches in flight exhaust HBM.  Rare longer batches finish via
+        # collect's doubling continuation instead.
+        cap = int(os.environ.get("FASTGA_TPU_PRED_CAP", "8"))
+        pred = max(1, min(int(pred), cap, cfg.max_chunks))
         chs, bls = [], []
         h = dict(n=n, st=st, targs=targs, chs=chs, bls=bls,
                  kbase0=kbase0, packed_dev=None, pool=pool,
@@ -1158,8 +1185,15 @@ class WaveEngine:
             h["fetcher"] = t
         return h
 
-    def collect(self, h):
-        """Block on a submitted batch; returns (WaveResult, diags)."""
+    def collect(self, h, wait: bool = True):
+        """Finish a submitted batch; returns (WaveResult, diags).
+
+        With wait=False, an under-predicted batch (stragglers still
+        alive after the speculative chunks) dispatches a doubled
+        extension + fresh fetch and returns None — the caller re-queues
+        the handle and keeps the pipeline moving instead of blocking."""
+        import threading
+
         from ..utils import prof
         cfg = self.cfg
         CW = cfg.chunk
@@ -1177,25 +1211,42 @@ class WaveEngine:
                     packed = h["packed_np"]
                 else:
                     packed = np.asarray(h["packed_dev"])
-            # under-predicted: continue chunking with polls (rare)
-            spec_k = max(1, int(os.environ.get("FASTGA_TPU_WAVE_SPEC",
-                                               "4")))
+            # under-predicted: extend with a doubled chunk budget so
+            # stragglers finish in O(log) rounds
             while packed[5].any() and len(chs) < cfg.max_chunks:
+                step = h["step"] = max(2, h.get("step", len(chs)))
                 with prof.span("wave.chunk_dispatch"):
-                    for _ in range(min(spec_k,
+                    for _ in range(min(step,
                                        cfg.max_chunks - len(chs))):
                         st, chlog, bandlog = chunk(h["pool"], h["targs"],
                                                    st)
                         chs.append(chlog)
                         bls.append(bandlog)
                         self.n_chunk_calls += 1
+                h["step"] = step * 2
+                h["st"] = st
+                packed_dev = self._dispatch_backtrack(chs, bls, st)
+                h["packed_dev"] = packed_dev
+                if not wait:
+                    def _fetch():
+                        try:
+                            h["packed_np"] = np.asarray(packed_dev)
+                        except Exception as e:
+                            h["fetch_exc"] = e
+
+                    t = threading.Thread(target=_fetch, daemon=True)
+                    t.start()
+                    h["fetcher"] = t
+                    prof.count("wave.continuations")
+                    return None
                 with prof.span("wave.backtrack"):
-                    packed = np.asarray(
-                        self._dispatch_backtrack(chs, bls, st))
+                    packed = np.asarray(packed_dev)
             # exact prediction for the next batch of this shape: the
             # packed result carries per-tube wave-at-death counts
             need = max(1, int(-(-int(packed[7][:n].max()) // CW))) \
                 if n else 1
+            prof.count("wave.pred_chunks", len(chs))
+            prof.count("wave.need_chunks", need)
             if len(self._chunk_pred) > 4096:
                 self._chunk_pred.clear()
             self._chunk_pred[h["pkey"]] = need

@@ -125,8 +125,17 @@ class BatchAligner:
             )
             from ..utils import prof
             with prof.span("batch.engine_run"):
-                res, diags = eng.run(self.pool, tubes, direction,
-                                     overlap=overlap)
+                if hasattr(eng, "submit"):
+                    # poll-free path (exact chunk prediction); overlap
+                    # work rides between dispatch and the fetch join
+                    hdl = eng.submit(self.pool, tubes, direction)
+                    if overlap is not None:
+                        overlap()
+                        overlap = None
+                    res, diags = eng.collect(hdl)
+                else:
+                    res, diags = eng.run(self.pool, tubes, direction,
+                                         overlap=overlap)
             overlap = None
             prof.count("batch.tubes", len(sel))
             self.stats["device_waves"] += int(res.nwaves.sum())
@@ -168,7 +177,7 @@ class BatchAligner:
                            zip(items, dgmax)], np.int32),
         )
 
-    def run_stream(self, first, more_fn, max_inflight: int = 4):
+    def run_stream(self, first, more_fn, max_inflight: int = None):
         """Pipelined Local_Alignment over a dynamic item stream.
 
         ``first``: initial list of (token, WorkItem).  When an item's
@@ -184,10 +193,14 @@ class BatchAligner:
         deterministic order (per-token order depends only on the item
         stream, not on batching).
         """
+        import os
         from collections import deque
 
         from ..utils import prof
 
+        if max_inflight is None:
+            max_inflight = int(os.environ.get("FASTGA_TPU_INFLIGHT",
+                                              "4"))
         eng = self.engine
         B = self.cfg.n
         tspace = self.spec.trace_space
@@ -205,6 +218,7 @@ class BatchAligner:
             return out
 
         def submit_fwd(batch):
+          with prof.span("stream.submit_fwd"):
             tokens = [t for t, _ in batch]
             items = [it for _, it in batch]
             n = len(items)
@@ -215,7 +229,15 @@ class BatchAligner:
                 while ((anti[i] - hgh[i]) >> 1) < 0:
                     hgh[i] -= 1
             tubes = self._tubes_of(items, low, hgh, anti)
-            h = eng.submit(self.pool, tubes, +1)
+            CW = self.cfg.chunk
+            hints = [it.waves_hint for it in items]
+            ph = None
+            if all(hh >= 0 for hh in hints):
+                # items carry expected wave counts: budget the batch for
+                # its own stragglers (bias up — an under-prediction
+                # costs a blocking continuation round)
+                ph = int(max(hints) * 1.5 + 64) // CW + 1
+            h = eng.submit(self.pool, tubes, +1, pred_hint=ph)
             self.stats["items"] += n
             prof.count("batch.tubes", n)
             inflight.append(dict(kind="fwd", h=h, tokens=tokens,
@@ -223,24 +245,25 @@ class BatchAligner:
                                  hgh=hgh))
 
         def on_fwd(fb):
-            res, diags = eng.collect(fb["h"])
+          with prof.span("stream.on_fwd"):
+            res, diags = fb["res"]
             items = fb["items"]
             n = len(items)
             self.stats["device_waves"] += int(res.nwaves.sum())
             host = np.asarray(res.fallback[:n]).copy()
-            logs = [None] * n
-            seam = np.zeros(n, np.int64)
-            for i in range(n):
-                if not host[i]:
-                    tw = int(res.trim_wave[i])
-                    logs[i] = diags[:tw + 1, i]
-                    seam[i] = int(logs[i][0])
-            rows = [tuple(int(f[i]) for f in res) for i in range(n)]
+            # the reverse seam = the forward path's wave-0 diagonal
+            seam = np.where(host, 0, diags[0][:n]).astype(np.int64)
             # dispatch the reverse pass NOW (device work first), then do
-            # the forward replays under it
+            # the forward replays under it; the forward pass's measured
+            # wave counts predict the reverse budget almost exactly
             tubes = self._tubes_of(items, seam, seam, fb["anti"])
-            h2 = eng.submit(self.pool, tubes, -1)
+            CW = self.cfg.chunk
+            ph = (int(res.nwaves[:n].max()) * 7 // 5 + 64) // CW + 1 \
+                if n else 1
+            h2 = eng.submit(self.pool, tubes, -1, pred_hint=ph)
             paths = [Path() for _ in range(n)]
+            trima, trimx, trimd = res.trima, res.trimx, res.trimd
+            tw = res.trim_wave
             with prof.span("batch.replay_fwd"):
                 for i in range(n):
                     if host[i]:
@@ -252,7 +275,8 @@ class BatchAligner:
                             int(fb["anti"][i]),
                             int(items[i].alen % tspace
                                 if items[i].acomp else 0),
-                            logs[i], rows[i][0], rows[i][1], rows[i][2],
+                            diags[:int(tw[i]) + 1, i],
+                            int(trima[i]), int(trimx[i]), int(trimd[i]),
                             paths[i], tspace)
                     except AssertionError:
                         host[i] = True
@@ -263,7 +287,8 @@ class BatchAligner:
                                  fwd_nw=np.asarray(res.nwaves[:n])))
 
         def on_rev(rb):
-            res, diags = eng.collect(rb["h"])
+          with prof.span("stream.on_rev"):
+            res, diags = rb["res"]
             items = rb["items"]
             n = len(items)
             anti = rb["anti"]
@@ -318,6 +343,13 @@ class BatchAligner:
                                          for e in inflight) <= 2 * B):
                 submit_fwd(take(min(B, len(ready))))
             e = inflight.popleft()
+            r = eng.collect(e["h"], wait=False)
+            if r is None:
+                # straggler continuation dispatched; keep the pipeline
+                # moving on other batches while its fetch runs
+                inflight.append(e)
+                continue
+            e["res"] = r
             if e["kind"] == "fwd":
                 on_fwd(e)
             else:

@@ -98,6 +98,34 @@ def make_pair(dirpath: Path, total_bp: int, ncontig: int, div: float,
     return (sum(len(s) for _, s in A), sum(len(s) for _, s in B))
 
 
+def make_repeat_pair(dirpath: Path, total_bp: int, ncontig: int,
+                     seed: int):
+    """Repeat-rich haplotype pair (subfamily-structured dispersed
+    repeats at the -f cutoff, tandems, inversions, softmasked repeat
+    intervals) — exercises dedup/entwine and freq capping at scale."""
+    sys.path.insert(0, str(REPO))
+    from fastga_tpu.utils import synth
+    rng = np.random.default_rng(seed)
+    pair, masks = synth.repeat_rich_pair(rng, total_bp,
+                                         ncontig=max(8, ncontig))
+    synth.write_fasta(str(dirpath / "A.fasta.gz"), pair["A"], "ctgA",
+                      masks["A"])
+    synth.write_fasta(str(dirpath / "B.fasta.gz"), pair["B"], "ctgB",
+                      masks["B"])
+    return (sum(len(s) for s in pair["A"]),
+            sum(len(s) for s in pair["B"]))
+
+
+def data_section(path):
+    """Bytes between the '$ 0' header terminator and the footer (no
+    provenance, no counts): codec-trained record payloads only."""
+    blob = Path(path).read_bytes()
+    ds = blob.index(b"\n$ 0\n") + 5
+    import struct
+    foot = struct.unpack("<q", blob[-8:])[0]
+    return blob[ds:foot]
+
+
 def read_records(path):
     sys.path.insert(0, str(REPO))
     from fastga_tpu.io import alncode
@@ -122,6 +150,13 @@ def main():
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--engine", default="jax")
+    ap.add_argument("--repeats", action="store_true",
+                    help="repeat-rich workload (dispersed subfamilies "
+                         "at the -f cutoff, tandems, softmasks) instead "
+                         "of the near-identical pair")
+    ap.add_argument("--bytecmp", action="store_true",
+                    help="also compare the .1aln binary data sections "
+                         "byte for byte (trained-codec parity)")
     ap.add_argument("--convert", action="store_true",
                     help="also byte-compare + time ALNtoPAF -x (CIGAR "
                          "reconstruction) on the reference .1aln")
@@ -135,8 +170,12 @@ def main():
     total = int(args.mbp * 1e6)
     ncontig = args.contigs or max(8, total // 250_000)
     print(f"generating {args.mbp} Mbp x2, {ncontig} contigs, "
-          f"div={args.div} in {wd}")
-    na, nb = make_pair(wd, total, ncontig, args.div, args.seed)
+          f"div={args.div}{' repeat-rich' if args.repeats else ''} "
+          f"in {wd}")
+    if args.repeats:
+        na, nb = make_repeat_pair(wd, total, min(ncontig, 64), args.seed)
+    else:
+        na, nb = make_pair(wd, total, ncontig, args.div, args.seed)
     print(f"  A={na:,} bp  B={nb:,} bp")
 
     env = dict(os.environ)
@@ -191,6 +230,22 @@ def main():
         print("FAIL")
     else:
         print(f"PASS: {len(ref_recs)} alignment records bit-identical")
+    sz_ref = (wd / "ref.1aln").stat().st_size
+    sz_ours = (wd / "ours.1aln").stat().st_size
+    print(f"  .1aln size: ref {sz_ref:,} B, ours {sz_ours:,} B "
+          f"({sz_ours / max(sz_ref, 1):.3f}x)")
+    if args.bytecmp and status == 0:
+        d_ref = data_section(wd / "ref.1aln")
+        d_ours = data_section(wd / "ours.1aln")
+        if d_ref == d_ours:
+            print(f"  data sections byte-identical "
+                  f"({len(d_ref):,} B)")
+        else:
+            k = next((i for i, (a, b) in enumerate(zip(d_ours, d_ref))
+                      if a != b), min(len(d_ours), len(d_ref)))
+            print(f"  BYTE MISMATCH at data offset {k:,} "
+                  f"(ref {len(d_ref):,} B, ours {len(d_ours):,} B)")
+            status = 1
     if status == 0 and args.convert:
         # converter parity + throughput at scale (ALNtoPAF.c threading
         # model vs our run_sliced threads; CIGAR mode exercises
