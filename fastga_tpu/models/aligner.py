@@ -460,6 +460,58 @@ def entwine(op: Overlap, wp: Overlap) -> Tuple[int, int]:
     return mn, where
 
 
+def _dedup_group_native(os: List[Overlap]) -> Optional[List[Overlap]]:
+    """C fast path for dedup_group (native/tracerec.c trw_dedup_group);
+    None -> use the Python implementation.  ``os`` is abpos-sorted."""
+    import ctypes
+
+    from .. import native
+    lib = native.get_tracerec()
+    if lib is None or not hasattr(lib, "trw_dedup_group"):
+        return None
+    g = len(os)
+    ab = np.array([o.abpos for o in os], np.int64)
+    ae = np.array([o.aepos for o in os], np.int64)
+    bb = np.array([o.bbpos for o in os], np.int64)
+    be = np.array([o.bepos for o in os], np.int64)
+    df = np.array([o.diffs for o in os], np.int64)
+    troff = np.zeros(g + 1, np.int64)
+    parts = []
+    for i, o in enumerate(os):
+        troff[i + 1] = troff[i] + len(o.trace)
+        if o.trace:
+            parts.append(np.asarray(o.trace, np.int32).reshape(-1))
+    tr = np.concatenate(parts) if parts else np.zeros(0, np.int32)
+    flags = np.zeros(g, np.uint8)
+    newcap = int(2 * len(tr) + 2 * g + 16)
+    newtr = np.empty(newcap, np.int32)
+    newoff = np.zeros(g + 1, np.int64)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.trw_dedup_group(
+        g,
+        ab.ctypes.data_as(I64P), ae.ctypes.data_as(I64P),
+        bb.ctypes.data_as(I64P), be.ctypes.data_as(I64P),
+        df.ctypes.data_as(I64P),
+        tr.ctypes.data_as(I32P), troff.ctypes.data_as(I64P),
+        TSPACE, flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        newtr.ctypes.data_as(I32P), newoff.ctypes.data_as(I64P),
+        newcap)
+    if rc != 0:
+        return None
+    out = []
+    for i, o in enumerate(os):
+        if flags[i]:
+            continue
+        o.aepos = int(ae[i])
+        o.bepos = int(be[i])
+        o.diffs = int(df[i])
+        seg = newtr[newoff[i]:newoff[i + 1]].reshape(-1, 2)
+        o.trace = list(map(tuple, seg.tolist()))
+        out.append(o)
+    return out
+
+
 def dedup_group(ovls: List[Overlap]) -> List[Overlap]:
     """Per-(contig pair, strand) redundancy elimination."""
     nlas = len(ovls)
@@ -467,6 +519,9 @@ def dedup_group(ovls: List[Overlap]) -> List[Overlap]:
         return []
     perm = sorted(range(nlas), key=lambda ix: ovls[ix].abpos)
     os = [ovls[ix] for ix in perm]
+    native_out = _dedup_group_native(os)
+    if native_out is not None:
+        return native_out
     flags = [0] * nlas
 
     # pass 1: identical / shared-endpoint containment (FastGA.c:3441-3491)

@@ -77,6 +77,13 @@ def get_tracerec():
                 i8p, c.c_int64, i8p, c.c_int64, c.c_int64, i32p,
                 c.c_int, c.c_int64, c.c_int64, c.c_int64,
                 c.c_int64, c.c_int64, i32p, c.c_int, i32p]
+            i64p = c.POINTER(c.c_int64)
+            u8p = c.POINTER(c.c_uint8)
+            lib.trw_dedup_group.restype = c.c_int
+            lib.trw_dedup_group.argtypes = [
+                c.c_int, i64p, i64p, i64p, i64p, i64p,
+                i32p, i64p, c.c_int64, u8p,
+                i32p, i64p, c.c_int64]
             lib.trw_replay_rev.restype = c.c_int
             lib.trw_replay_rev.argtypes = [
                 i8p, c.c_int64, i8p, c.c_int64, c.c_int64, i32p,

@@ -901,3 +901,238 @@ int trw_replay_rev(const int8_t *A, int64_t alen,
   *npre = n;
   return 0;
 }
+
+/* ---- per-group redundancy elimination (models/aligner.py dedup_group;
+   FastGA.c:3435-3694 semantics) -----------------------------------------
+
+   Records arrive sorted by abpos (ascending, stable).  Coordinates are
+   updated in place for fused records; every record's final trace is
+   written to newtr/newoff (survivors read theirs back).  flags[i] != 0
+   marks an eliminated record. */
+
+typedef struct
+  { const int32_t *ptr;   /* (d,b) pairs */
+    int64_t        len;   /* pair count  */
+  } DTrace;
+
+static int64_t dd_entwine(int64_t *ab, int64_t *ae, int64_t *bb,
+                          int64_t *be, DTrace *tr, int jo, int ko,
+                          int64_t tspace, int64_t *where_out)
+{ /* trace-distance between two overlapping paths (FastGA.c:2818-2947);
+     mirrors models/aligner.py entwine exactly */
+  int64_t where = -1;
+  int64_t y2 = bb[jo];
+  int64_t b2 = bb[ko];
+  const int32_t *jt = tr[jo].ptr;
+  int64_t jtn = 2 * tr[jo].len;
+  const int32_t *kt = tr[ko].ptr;
+  int64_t ktn = 2 * tr[ko].len;
+  int64_t j = ab[jo] / tspace;
+  int64_t k = ab[ko] / tspace;
+  int64_t ac = k * tspace;
+  int64_t i, yp, num, mn, aend, jtj, ktk;
+
+  j = 1 + 2 * (k - j);
+  k = 1;
+  for (i = 1; i < j; i += 2)
+    y2 += jt[i];
+
+  if (j == 1)
+    yp = y2 + (jt[j] * (ab[ko] - ab[jo])) / (ac + tspace - ab[jo]);
+  else
+    yp = y2 + (jt[j] * (ab[ko] - ac)) / tspace;
+
+  num = b2 - yp;
+  mn  = num;
+
+  aend = (ae[jo] < ae[ko]) ? ae[jo] : ae[ko];
+
+  ac += tspace;
+  while (ac < aend)
+    { y2 += jt[j];
+      b2 += kt[k];
+      j += 2;
+      k += 2;
+      i = b2 - y2;
+      if (mn < 0 && mn < i)
+        mn = (i >= 0) ? 0 : i;
+      else if (mn > 0 && mn > i)
+        mn = (i <= 0) ? 0 : i;
+      if (i == 0)
+        where = ac;
+      ac += tspace;
+    }
+
+  ac -= tspace;
+  jtj = (j < jtn) ? jt[j] : 0;
+  ktk = (k < ktn) ? kt[k] : 0;
+  if (aend == ae[jo])
+    { y2 = be[jo];
+      if (ae[ko] >= ac)
+        b2 += (ktk * (aend - ac)) / tspace;
+      else
+        b2 += (ktk * (aend - ac)) / (ae[ko] - ac);
+    }
+  else
+    { b2 = be[ko];
+      if (ae[jo] >= ac)
+        y2 += (jtj * (aend - ac)) / tspace;
+      else
+        y2 += (jtj * (aend - ac)) / (ae[jo] - ac);
+    }
+
+  i = b2 - y2;
+  if (mn < 0 && mn < i)
+    mn = (i >= 0) ? 0 : i;
+  else if (mn > 0 && mn > i)
+    mn = (i <= 0) ? 0 : i;
+  *where_out = where;
+  return mn;
+}
+
+#define DD_BOX_FUZZ 10
+
+int trw_dedup_group(int g,
+                    int64_t *ab, int64_t *ae, int64_t *bb, int64_t *be,
+                    int64_t *diffs,
+                    const int32_t *tr_flat, const int64_t *troff,
+                    int64_t tspace,
+                    uint8_t *flags,
+                    int32_t *newtr, int64_t *newoff, int64_t newcap)
+{ DTrace  *tr;
+  int32_t *arena = NULL;
+  int64_t  acap = 0, aused = 0;
+  int      j, k;
+
+  tr = (DTrace *) malloc(g * sizeof(DTrace));
+  if (tr == NULL)
+    return -1;
+  for (j = 0; j < g; j++)
+    { tr[j].ptr = tr_flat + 2 * troff[j];
+      tr[j].len = troff[j + 1] - troff[j];
+      flags[j] = 0;
+    }
+
+  /* pass 1: identical / shared-endpoint containment */
+  for (j = g - 1; j >= 0; j--)
+    for (k = j + 1; k < g; k++)
+      { if (ae[j] <= ab[k])
+          break;
+        if (flags[k])
+          continue;
+        if (ab[j] == ab[k] && bb[j] == bb[k])
+          { if (ae[j] == ae[k] && be[j] == be[k])
+              { if (diffs[j] < ae[k])   /* (sic) diffs vs aepos */
+                  { flags[k] = 1; continue; }
+                else
+                  { flags[j] = 1; break; }
+              }
+            else
+              { if (ae[j] > ae[k])
+                  { flags[k] = 1; continue; }
+                else
+                  { flags[j] = 1; break; }
+              }
+          }
+        else if (ae[j] == ae[k] && be[j] == be[k])
+          { if (ab[j] < ab[k])
+              { flags[k] = 1; continue; }
+            else
+              { flags[j] = 1; break; }
+          }
+      }
+
+  /* pass 2: entwine fuse + fuzzy box elimination */
+  for (j = g - 1; j >= 0; j--)
+    { if (flags[j])
+        continue;
+      for (k = j + 1; k < g; k++)
+        { int64_t dist, where;
+          if (ae[j] <= ab[k])
+            break;
+          if (flags[k])
+            continue;
+          if (be[j] <= bb[k] || bb[j] >= be[k])
+            continue;
+          dist = dd_entwine(ab, ae, bb, be, tr, j, k, tspace, &where);
+          if (where != -1)
+            { /* fuse at the shared trace point */
+              int64_t ocut = (where - ab[j] - 1) / tspace + 1;
+              int64_t wcut = (where - ab[k] - 1) / tspace + 1;
+              int64_t nlen = ocut + (tr[k].len - wcut);
+              int64_t d2 = 0, i2;
+              int32_t *dst;
+              if (aused + 2 * nlen > acap)
+                { int64_t want = 2 * (aused + 2 * nlen) + 4096;
+                  int32_t *na = (int32_t *) malloc(want * sizeof(int32_t));
+                  if (na == NULL)
+                    { free(arena); free(tr); return -1; }
+                  /* existing DTrace arena pointers must stay valid:
+                     copy and rebase */
+                  if (arena != NULL)
+                    { int jj;
+                      memcpy(na, arena, aused * sizeof(int32_t));
+                      for (jj = 0; jj < g; jj++)
+                        if (tr[jj].ptr >= arena
+                            && tr[jj].ptr < arena + aused)
+                          tr[jj].ptr = na + (tr[jj].ptr - arena);
+                      free(arena);
+                    }
+                  arena = na;
+                  acap = want;
+                }
+              dst = arena + aused;
+              memcpy(dst, tr[j].ptr, 2 * ocut * sizeof(int32_t));
+              memcpy(dst + 2 * ocut, tr[k].ptr + 2 * wcut,
+                     2 * (tr[k].len - wcut) * sizeof(int32_t));
+              tr[j].ptr = dst;
+              tr[j].len = nlen;
+              aused += 2 * nlen;
+              for (i2 = 0; i2 < nlen; i2++)
+                d2 += dst[2 * i2];
+              diffs[j] = d2;
+              ae[j] = ae[k];
+              be[j] = be[k];
+              flags[k] = 1;
+              continue;
+            }
+          if (dist != 0)
+            { if ((ae[j] - ab[j]) + DD_BOX_FUZZ >= ae[k] - ab[k])
+                { if (ae[k] <= ae[j] + DD_BOX_FUZZ
+                      && bb[k] >= bb[j] - DD_BOX_FUZZ
+                      && be[k] <= be[j] + DD_BOX_FUZZ)
+                    { flags[k] = 1; continue; }
+                }
+              else
+                { if (ae[j] <= ae[k] + DD_BOX_FUZZ
+                      && bb[j] >= bb[k] - DD_BOX_FUZZ
+                      && be[j] <= be[k] + DD_BOX_FUZZ
+                      && ab[j] >= ab[k] - DD_BOX_FUZZ)
+                    { /* j eliminated but its scan continues — an
+                         eliminated op can still fuse/eliminate later
+                         records (models/aligner.py uses `continue`) */
+                      flags[j] = 1; continue;
+                    }
+                }
+            }
+        }
+    }
+
+  /* emit final traces */
+  { int64_t off = 0;
+    newoff[0] = 0;
+    for (j = 0; j < g; j++)
+      { if (!flags[j])
+          { if (off + 2 * tr[j].len > newcap)
+              { free(arena); free(tr); return -2; }
+            memcpy(newtr + off, tr[j].ptr,
+                   2 * tr[j].len * sizeof(int32_t));
+            off += 2 * tr[j].len;
+          }
+        newoff[j + 1] = off;
+      }
+  }
+  free(arena);
+  free(tr);
+  return 0;
+}

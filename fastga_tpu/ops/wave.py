@@ -743,6 +743,9 @@ def host_wave0(pool_np, targs, dgmin, dgmax, anti, cfg: WaveConfig,
     return st, kbase.astype(np.int32)
 
 
+_PAGES_CACHE = []   # [(pool, page-groups)] shared across engines
+
+
 class WaveEngine:
     """Host orchestrator: compiles the wave-0/chunk steppers per direction
     and runs batches to completion, collecting choice logs for replay."""
@@ -808,7 +811,7 @@ class WaveEngine:
         import jax
         import jax.numpy as jnp
         cfg = self.cfg
-        pool = jnp.zeros(pool_len, jnp.uint32)
+        pool = self._chunk_pool(jnp.zeros(pool_len, jnp.uint32))
         z = jnp.zeros((cfg.n,), jnp.int32)
         znw = jnp.zeros((cfg.n, cfg.w), jnp.int32)
         znwu = jnp.zeros((cfg.n, cfg.w), jnp.uint32)
@@ -902,6 +905,29 @@ class WaveEngine:
         fn = jax.jit(fused)
         self._fused_cache[key] = fn
         return fn
+
+    def _chunk_pool(self, pool):
+        """Kernel-ready pool operand: for the Pallas path, the prebuilt
+        overlapping page-group array (cached per pool object — building
+        it is a 2x-pool HBM copy that once dominated per-chunk cost)."""
+        if not self._pallas:
+            return pool
+        if pool.ndim == 3:
+            return pool        # already page groups
+        for p, pg in _PAGES_CACHE:
+            if p is pool:
+                return pg
+        import jax
+        import jax.numpy as jnp
+        from . import wave_pallas
+        fn = getattr(self, "_pages_fn", None)
+        if fn is None:
+            fn = self._pages_fn = jax.jit(
+                lambda p: wave_pallas.build_pool_pages(jnp, p))
+        pages = fn(pool)
+        _PAGES_CACHE.append((pool, pages))
+        del _PAGES_CACHE[:-2]   # keep the two most recent pools
+        return pages
 
     def _pool_host(self, pool):
         """Host copy of the device pool, cached per pool object (a strong
@@ -1057,10 +1083,9 @@ class WaveEngine:
         alive0 = st_np[15].copy()
         alive0[n:] = False
         snap = os.environ.get("FASTGA_TPU_WAVE_SNAPSHOT")
-        if snap and direction > 0 and not getattr(self, "_snapped",
-                                                  False):
-            # capture real chunk inputs for tools/microbench_wave.py
-            self._snapped = True
+        if snap and direction > 0 and not globals().get("_SNAPPED") \
+                and n == cfg.n:   # full main-engine batch only
+            globals()["_SNAPPED"] = True
             full_st = st_np[:15] + (alive0,) + st_np[16:]
             np.savez(snap, pool=self._pool_host(pool), n=n,
                      **{f"targ{i}": t for i, t in enumerate(targs_np)},
@@ -1139,6 +1164,7 @@ class WaveEngine:
                                                      direction,
                                                      pack=True)
         chunk = self.fwd_chunk if direction > 0 else self.rev_chunk
+        cpool = self._chunk_pool(pool)
         pkey = self._pkey(tubes, direction, n)
         pred = self._chunk_pred.get(pkey)
         if pred is None:
@@ -1156,12 +1182,12 @@ class WaveEngine:
         pred = max(1, min(int(pred), cap, cfg.max_chunks))
         chs, bls = [], []
         h = dict(n=n, st=st, targs=targs, chs=chs, bls=bls,
-                 kbase0=kbase0, packed_dev=None, pool=pool,
+                 kbase0=kbase0, packed_dev=None, pool=cpool,
                  direction=direction, pkey=pkey, fetcher=None)
         if any_alive:
             with prof.span("wave.chunk_dispatch"):
                 for _ in range(pred):
-                    st, chlog, bandlog = chunk(pool, targs, st)
+                    st, chlog, bandlog = chunk(cpool, targs, st)
                     chs.append(chlog)
                     bls.append(bandlog)
             self.n_chunk_calls += len(chs)
@@ -1322,6 +1348,7 @@ class WaveEngine:
                     padn(tubes.get("minp", np.full(n, -(1 << 30)))),
                     padn(tubes.get("maxp", np.full(n, 1 << 30))))
         chunk = self.fwd_chunk if direction > 0 else self.rev_chunk
+        cpool = self._chunk_pool(pool)
         # wave 0 runs on the host (a single wave; the jitted version cost
         # seconds per call and an uncacheable multi-minute TPU compile)
         from ..utils import prof
@@ -1382,7 +1409,7 @@ class WaveEngine:
             # only when tubes outlive the KMAX budget.
             with prof.span("wave.fused"):
                 out, st2, lb, kb = self._fused_fn(direction)(
-                    pool, targs, st)
+                    cpool, targs, st)
                 if overlap is not None:
                     overlap()
                     overlap = None
@@ -1422,13 +1449,13 @@ class WaveEngine:
             if remaining > 0 and (not chs
                                   or bool(np.asarray(st[15]).any())):
                 with prof.span("wave.chunk_dispatch"):
-                    st, chlog, bandlog = chunk(pool, targs, st)
+                    st, chlog, bandlog = chunk(cpool, targs, st)
                 start_alive_copy(st)
                 chs.append(chlog)
                 bls.append(bandlog)
                 for ci in range(remaining - 1):
                     with prof.span("wave.chunk_dispatch"):
-                        st2, chlog, bandlog = chunk(pool, targs, st)
+                        st2, chlog, bandlog = chunk(cpool, targs, st)
                     start_alive_copy(st2)
                     chs.append(chlog)
                     bls.append(bandlog)

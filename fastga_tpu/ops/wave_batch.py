@@ -318,15 +318,117 @@ class BatchAligner:
                         paths[i] = Path()
             rshort = np.array([anti[i] - (p.abpos + p.bbpos) < DUB_TRIM
                                for i, p in enumerate(paths)])
-            self._short_reruns(items, paths, host, fshort, rshort, anti)
-            self._host_fallbacks(items, paths, host)
-            self._acomp_flip(items, paths, host)
-            rev_nw = np.asarray(res.nwaves[:n])
+            rb["rev_nw"] = np.asarray(res.nwaves[:n])
+            # DUB_TRIM short-pass classification (align.c:1508-1532):
+            # both-short items collapse to their midpoint; one-sided
+            # shorts rerun that direction as pipelined batches
+            fwdr, revr, done = [], [], []
+            for i in range(n):
+                if host[i]:
+                    done.append(i)
+                elif fshort[i] and rshort[i]:
+                    p = paths[i]
+                    p.aepos = p.abpos = (p.abpos + p.aepos) >> 1
+                    p.bepos = p.bbpos = (p.bbpos + p.bepos) >> 1
+                    p.trace = []
+                    done.append(i)
+                elif fshort[i]:
+                    fwdr.append(i)
+                elif rshort[i]:
+                    revr.append(i)
+                else:
+                    done.append(i)
+            finalize(rb, done)
+            self.stats["rerun_fwd"] += len(fwdr)
+            self.stats["rerun_rev"] += len(revr)
+            if fwdr:
+                submit_rerun(rb, fwdr, +1)
+            if revr:
+                submit_rerun(rb, revr, -1)
+
+        def submit_rerun(rb, idxs, direction):
+            items = rb["items"]
+            paths = rb["paths"]
+            its = [items[i] for i in idxs]
+            if direction > 0:
+                low2 = np.array([paths[i].abpos - paths[i].bbpos
+                                 for i in idxs], np.int64)
+                anti2 = np.array([paths[i].abpos + paths[i].bbpos
+                                  for i in idxs], np.int64)
+                for i in idxs:
+                    paths[i].trace = []
+            else:
+                low2 = np.array([paths[i].aepos - paths[i].bepos
+                                 for i in idxs], np.int64)
+                anti2 = np.array([paths[i].aepos + paths[i].bepos
+                                  for i in idxs], np.int64)
+                for i in idxs:
+                    paths[i].trace = []
+                    paths[i].diffs = 0
+            tubes = self._tubes_of(its, low2, low2, anti2)
+            h = eng.submit(self.pool, tubes, direction, pred_hint=2)
+            inflight.append(dict(kind="rr", h=h, rb=rb, idxs=idxs,
+                                 dir=direction, anti2=anti2))
+
+        def on_rr(e):
+            res, diags = e["res"]
+            rb = e["rb"]
+            items, paths, host = rb["items"], rb["paths"], rb["host"]
+            self.stats["device_waves"] += int(res.nwaves.sum())
+            fall = np.asarray(res.fallback)
+            for j, i in enumerate(e["idxs"]):
+                if fall[j]:
+                    host[i] = True
+                    paths[i] = Path()
+                    continue
+                tw = int(res.trim_wave[j])
+                rep = wrep.replay_forward if e["dir"] > 0 \
+                    else wrep.replay_reverse
+                try:
+                    rep(self.seq(items[i].akey), self.seq(items[i].bkey),
+                        int(e["anti2"][j]),
+                        int(items[i].alen % tspace
+                            if items[i].acomp else 0),
+                        diags[:tw + 1, j],
+                        int(res.trima[j]), int(res.trimx[j]),
+                        int(res.trimd[j]), paths[i], tspace)
+                except AssertionError:
+                    host[i] = True
+                    paths[i] = Path()
+            finalize(rb, e["idxs"])
+
+        def finalize(rb, idxs):
+            """Fallbacks, complement reflection and result delivery for
+            a subset of a reverse batch's items (per-queue order is
+            preserved: a queue has at most one item in flight)."""
+            items, paths, host = rb["items"], rb["paths"], rb["host"]
+            with prof.span("batch.host_fallback"):
+                for i in idxs:
+                    if not host[i]:
+                        continue
+                    self.stats["fallbacks"] += 1
+                    it = items[i]
+                    paths[i] = local_alignment(
+                        self.spec, self.seq(it.akey), self.seq(it.bkey),
+                        it.dgmin, it.dgmax, it.anti, it.lbord, it.hbord,
+                        selfie=it.selfie, acomp=it.acomp, alen=it.alen,
+                        blen=it.blen)
+            for i in idxs:
+                if not host[i] and items[i].acomp:
+                    p = paths[i]
+                    a0 = p.abpos
+                    p.abpos = items[i].alen - p.aepos
+                    p.aepos = items[i].alen - a0
+                    b0 = p.bbpos
+                    p.bbpos = items[i].blen - p.bepos
+                    p.bepos = items[i].blen - b0
+                    p.trace.reverse()
             fwd_nw = rb["fwd_nw"]
+            rev_nw = rb["rev_nw"]
             out = []
-            for i, (tok, p) in enumerate(zip(rb["tokens"], paths)):
-                out.extend(more_fn(
-                    tok, p, int(max(fwd_nw[i], rev_nw[i]))))
+            for i in idxs:
+                out.extend(more_fn(rb["tokens"][i], paths[i],
+                                   int(max(fwd_nw[i], rev_nw[i]))))
             ready.extend(out)
 
         while ready or inflight:
@@ -339,7 +441,8 @@ class BatchAligner:
             # drain the tail: nothing ready and only one batch in
             # flight -> a partial batch keeps the pipeline deep enough
             if (ready and len(inflight) < 2
-                    and len(ready) + sum(len(e["items"])
+                    and len(ready) + sum(len(e.get("items",
+                                               e.get("idxs", ())))
                                          for e in inflight) <= 2 * B):
                 submit_fwd(take(min(B, len(ready))))
             e = inflight.popleft()
@@ -352,8 +455,10 @@ class BatchAligner:
             e["res"] = r
             if e["kind"] == "fwd":
                 on_fwd(e)
-            else:
+            elif e["kind"] == "rev":
                 on_rev(e)
+            else:
+                on_rr(e)
 
     def _short_reruns(self, items, paths, host, fshort, rshort, anti):
         """DUB_TRIM short-pass reruns (align.c:1508-1532), synchronous

@@ -41,6 +41,21 @@ NSC = 16        # scalar-state columns (padded to a nice width)
  SC_TRIMX, SC_TRIMD, SC_TRIMW, SC_TRIMS, SC_ALIVE, SC_FALL, SC_DIF) = range(14)
 
 
+def build_pool_pages(jnp, pool):
+    """Overlapping page groups [NG, 8, PGW]: page p = words[p*PGS :
+    p*PGS+PGW] (pure reshape/concat — no gather); edge-replica pad rows
+    keep every page index from the kernel's clip valid.  Costs a
+    2x-pool-size HBM copy — build once per pool and reuse."""
+    m = pool.shape[0] // PGS
+    r = pool.reshape(m, PGS)
+    pages = jnp.concatenate([r[:-1], r[1:]], axis=1)         # [m-1, PGW]
+    npad = (-(m - 1)) % 8
+    if npad:
+        pages = jnp.concatenate(
+            [pages, jnp.repeat(pages[-1:], npad, axis=0)], axis=0)
+    return pages.reshape(-1, 8, PGW)
+
+
 def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                        dscore: int, direction: int = +1,
                        interpret: bool = False, ablate: tuple = ()):
@@ -632,18 +647,13 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
     )
 
     def chunk_fn(pool, targs, st):
-        """Adapter with ops/wave.py's state-tuple interface."""
-        # overlapping page groups [NG, 8, PGW]: page p = words[p*PGS :
-        # p*PGS+PGW] (pure reshape/concat — no gather); edge-replica pad
-        # rows keep every page index from the kernel's clip valid
-        m = pool.shape[0] // PGS
-        r = pool.reshape(m, PGS)
-        pages = jnp.concatenate([r[:-1], r[1:]], axis=1)     # [m-1, PGW]
-        npad = (-(m - 1)) % 8
-        if npad:
-            pages = jnp.concatenate(
-                [pages, jnp.repeat(pages[-1:], npad, axis=0)], axis=0)
-        pages3 = pages.reshape(-1, 8, PGW)
+        """Adapter with ops/wave.py's state-tuple interface.
+
+        ``pool`` is either the raw word pool [P] or a PREBUILT page-group
+        array [NG, 8, PGW] (build_pool_pages) — rebuilding the page
+        groups costs a 2x-pool-size HBM copy (~10 ms at typical pools),
+        which dominated the per-chunk fixed cost when done per call."""
+        pages3 = pool if pool.ndim == 3 else build_pool_pages(jnp, pool)
         (V, Thi, Tlo, M, kbase, low, hgh, besta, bestx, lasta,
          trima, trimx, trimd, trim_wave, trim_slot,
          alive, fallback, dif) = st

@@ -294,7 +294,12 @@ def sharded_tubes(gdb1, gdb2, alens_by_rank, mesh, freq: int = 10,
                  jnp.asarray(alens_pad),
                  jnp.asarray([amax], np.int32),
                  jnp.asarray([bmax], np.int32))
-        out = [np.asarray(x) for x in out]
+        import jax as _jax
+        if _jax.process_count() > 1:
+            from . import distributed as _dist
+            out = [_dist.gather_host(x) for x in out]
+        else:
+            out = [np.asarray(x) for x in out]
     (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt, nseeds, plsum,
      over) = out
     if int(over) > 0:

@@ -59,6 +59,7 @@ def main():
     spec = AlignSpec(0.7, 100, False, (0.25, 0.25, 0.25, 0.25))
     rep = int(os.environ.get("MB_REP", 3))
 
+    nalive = int(np.asarray(snap['st15']).sum())
     for abl in ABLATIONS:
         fn = wave_pallas.build_chunk_pallas(
             cfg, spec.ave_path, spec.mscore, spec.dscore, +1,
@@ -75,8 +76,32 @@ def main():
             st2, chlog, bandlog = fn(pool, targs, st)
         np.asarray(jax.device_get(st2[0].ravel()[0]))
         dt = (time.time() - t0) / rep
+        extra = ""
+        if abl == ():
+            # DP-cell throughput and rough VPU utilization: each live
+            # (tube, wave) advances W band cells, ~150 int ops/cell;
+            # v5e VPU peak ~ 4 int-lanes x 8x128 x 0.94 GHz ~ 3.9 Top/s
+            cells = nalive * cfg.chunk * W   # upper bound (no deaths)
+            gcs = cells / dt / 1e9
+            mfu = cells * 150 / dt / 3.9e12
+            extra = f"  (<= {gcs:.1f} Gcell/s, ~{mfu * 100:.1f}% VPU)"
         print(f"{'+'.join(abl) or 'full':<40s} {dt * 1e3:8.1f} ms "
-              f"/ {cfg.chunk}-wave chunk", flush=True)
+              f"/ {cfg.chunk}-wave chunk{extra}", flush=True)
+
+    # per-wave fixed cost: chunk-size sweep on the full kernel
+    for cw in (8, 32, 96):
+        cfg2 = WaveConfig(n=N, w=W, chunk=cw, max_chunks=512)
+        fn = wave_pallas.build_chunk_pallas(
+            cfg2, spec.ave_path, spec.mscore, spec.dscore, +1)
+        st2, chlog, bandlog = fn(pool, targs, st)
+        np.asarray(jax.device_get(st2[0].ravel()[0]))
+        t0 = time.time()
+        for _ in range(rep):
+            st2, chlog, bandlog = fn(pool, targs, st)
+        np.asarray(jax.device_get(st2[0].ravel()[0]))
+        dt = (time.time() - t0) / rep
+        print(f"CW={cw:<3d}  {dt * 1e3:8.1f} ms "
+              f"({dt * 1e6 / cw:.0f} us/wave)", flush=True)
     return 0
 
 
