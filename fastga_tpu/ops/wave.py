@@ -1211,6 +1211,257 @@ class WaveEngine:
             h["fetcher"] = t
         return h
 
+    # -- paired fwd+rev submission: the reverse pass chains behind the
+    # forward walk ON DEVICE (seam diagonal never visits the host), so a
+    # whole Local_Alignment batch costs ONE host fetch.  Requires the
+    # Pallas path (device wave-0 init).
+
+    def _init_fn(self, direction: int):
+        key = ("init", direction)
+        cache = getattr(self, "_initfn_cache", None)
+        if cache is None:
+            cache = self._initfn_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            import jax
+
+            from . import wave_pallas
+            fn = jax.jit(wave_pallas.build_wave0_pallas(
+                self.cfg, direction, interpret=self._interp))
+            cache[key] = fn
+        return fn
+
+    def _unpack12_fn(self):
+        fn = getattr(self, "_u12_cache", None)
+        if fn is None:
+            import jax
+            fn = self._u12_cache = jax.jit(
+                lambda big: tuple(big[:, j] for j in range(10)))
+        return fn
+
+    @property
+    def supports_pair(self) -> bool:
+        return self._pallas
+
+    def _concat_fn(self):
+        fn = getattr(self, "_cc_cache", None)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+            fn = self._cc_cache = jax.jit(
+                lambda a, b: jnp.concatenate([a, b], axis=0))
+        return fn
+
+    def _start_fetch(self, h, dev):
+        import threading
+
+        def _fetch():
+            try:
+                h["packed_np"] = np.asarray(dev)
+            except Exception as e:
+                h["fetch_exc"] = e
+
+        t = threading.Thread(target=_fetch, daemon=True)
+        t.start()
+        h["fetcher"] = t
+
+    def _run_chunks(self, chunk, cpool, targs, st, k):
+        chs, bls = [], []
+        for _ in range(k):
+            st, chlog, bandlog = chunk(cpool, targs, st)
+            chs.append(chlog)
+            bls.append(bandlog)
+        self.n_chunk_calls += k
+        return st, chs, bls
+
+    def submit_pair(self, pool, tubes: dict, pred_hint: int = None):
+        """Dispatch forward AND reverse passes of one batch, fully on
+        device: packed upload -> fwd init -> fwd chunks -> fwd walk ->
+        rev init from the walk's seam row -> rev chunks -> rev walk ->
+        one concatenated result fetch."""
+        from ..utils import prof
+        if self._warm_evt is not None:
+            self._warm_evt.wait()
+            if getattr(self, "_warm_exc", None) is not None:
+                exc, self._warm_exc = self._warm_exc, None
+                raise RuntimeError("wave engine warmup failed") from exc
+        import jax.numpy as jnp
+        cfg = self.cfg
+        n = len(tubes["aw"])
+        assert n <= cfg.n
+
+        def padn(x, fill=0):
+            a = np.full(cfg.n, fill, dtype=np.int32)
+            a[:n] = x
+            return a
+
+        with prof.span("wave.upload"):
+            big = np.zeros((cfg.n, 10), np.int32)
+            big[:, 0] = padn(tubes["aw"])
+            big[:, 1] = padn(tubes["alen"], 1)
+            big[:, 2] = padn(tubes["bw"])
+            big[:, 3] = padn(tubes["blen"], 1)
+            big[:, 4] = padn(tubes.get("minp",
+                                       np.full(n, -(1 << 30))))
+            big[:, 5] = padn(tubes.get("maxp", np.full(n, 1 << 30)))
+            big[:, 6] = padn(tubes["dgmin"])
+            big[:, 7] = padn(tubes["dgmax"])
+            big[:, 8] = padn(tubes["anti"])
+            big[:n, 9] = 1
+            cols = self._unpack12_fn()(jnp.asarray(big))
+        targs = cols[:6]
+        dgmin, dgmax, anti, valid = cols[6], cols[7], cols[8], cols[9]
+        cpool = self._chunk_pool(pool)
+        kbase0 = (big[:, 6]
+                  + ((big[:, 7] - big[:, 6]) >> 1) - cfg.w // 2)
+
+        pkey = self._pkey(tubes, +2, n)   # +2: pair-mode namespace
+        pred = self._chunk_pred.get(pkey)
+        if pred is None:
+            pred = pred_hint if pred_hint is not None else \
+                getattr(self, "_pred_default", {}).get(+2, 2)
+        cap = int(os.environ.get("FASTGA_TPU_PRED_CAP", "8"))
+        pred = max(1, min(int(pred), cap, cfg.max_chunks))
+
+        with prof.span("wave.pair_dispatch"):
+            st_f = self._init_fn(+1)(cpool, targs, dgmin, dgmax, anti,
+                                     valid)
+            st_f, chs_f, bls_f = self._run_chunks(
+                self.fwd_chunk, cpool, targs, st_f, pred)
+            packed_f = self._dispatch_backtrack(chs_f, bls_f, st_f)
+            seam = packed_f[8]
+            st_r = self._init_fn(-1)(cpool, targs, seam, seam, anti,
+                                     valid)
+            st_r, chs_r, bls_r = self._run_chunks(
+                self.rev_chunk, cpool, targs, st_r, pred)
+            packed_r = self._dispatch_backtrack(chs_r, bls_r, st_r)
+            both = self._concat_fn()(packed_f, packed_r)
+        h = dict(pair=True, n=n, targs=targs, dgmin=dgmin, dgmax=dgmax,
+                 anti=anti, valid=valid, cpool=cpool,
+                 st_f=st_f, chs_f=chs_f, bls_f=bls_f,
+                 st_r=st_r, chs_r=chs_r, bls_r=bls_r,
+                 rows_f=int(packed_f.shape[0]), kbase0=kbase0,
+                 pkey=pkey, fetcher=None, packed_dev=both)
+        self._start_fetch(h, both)
+        return h
+
+    def _unpack_result(self, packed, n, kbase0):
+        cfg = self.cfg
+        d0h = packed[8]
+        pk = packed[9:].view(np.uint32)
+        unsh = (2 * np.arange(16, dtype=np.uint32))
+        deltas = ((pk[:, None, :] >> unsh[None, :, None]) & 3) \
+            .reshape(-1, cfg.n).astype(np.int8)
+        deltas -= 1
+        diags = np.concatenate(
+            [d0h[None], d0h[None] + np.cumsum(deltas, 0,
+                                              dtype=np.int32)],
+            axis=0)
+        alive = packed[5] != 0
+        fallback = (packed[6] != 0) | alive
+        res = WaveResult(
+            trima=packed[0][:n], trimx=packed[1][:n],
+            trimd=packed[2][:n], trim_wave=packed[3][:n],
+            trim_slot=packed[4][:n],
+            kbase0=kbase0[:n],
+            nwaves=packed[7][:n],
+            fallback=fallback[:n])
+        return res, diags
+
+    def collect_pair(self, h, wait: bool = False):
+        """Finish a paired batch -> ((res_f, diags_f), (res_r,
+        diags_r)); None (re-queue) when stragglers forced an extension
+        and wait is False."""
+        from ..utils import prof
+        cfg = self.cfg
+        CW = cfg.chunk
+        n = h["n"]
+        while True:
+            with prof.span("wave.collect_fetch"):
+                h["fetcher"].join()
+                if "fetch_exc" in h:
+                    raise h["fetch_exc"]
+                packed = h["packed_np"]
+            pf = packed[:h["rows_f"]]
+            pr = packed[h["rows_f"]:]
+            f_alive = bool(pf[5][:n].any())
+            r_alive = bool(pr[5][:n].any())
+            if not f_alive and not r_alive:
+                break
+            if len(h["chs_f"]) >= cfg.max_chunks \
+                    and len(h["chs_r"]) >= cfg.max_chunks:
+                break   # budget exhausted: rows flagged fallback
+            with prof.span("wave.pair_extend"):
+                if f_alive and len(h["chs_f"]) < cfg.max_chunks:
+                    # extend fwd, then REDO the whole reverse pass from
+                    # the corrected seam
+                    step = h["step"] = max(2, h.get("step",
+                                                    len(h["chs_f"])))
+                    st_f, chs2, bls2 = self._run_chunks(
+                        self.fwd_chunk, h["cpool"], h["targs"],
+                        h["st_f"],
+                        min(step, cfg.max_chunks - len(h["chs_f"])))
+                    h["st_f"] = st_f
+                    h["chs_f"] += chs2
+                    h["bls_f"] += bls2
+                    h["step"] = step * 2
+                    packed_f = self._dispatch_backtrack(
+                        h["chs_f"], h["bls_f"], st_f)
+                    seam = packed_f[8]
+                    st_r = self._init_fn(-1)(
+                        h["cpool"], h["targs"], seam, seam, h["anti"],
+                        h["valid"])
+                    st_r, chs_r, bls_r = self._run_chunks(
+                        self.rev_chunk, h["cpool"], h["targs"], st_r,
+                        max(1, len(h["chs_r"])))
+                    h["st_r"], h["chs_r"], h["bls_r"] = (st_r, chs_r,
+                                                         bls_r)
+                    packed_r = self._dispatch_backtrack(chs_r, bls_r,
+                                                        st_r)
+                else:
+                    # only the reverse pass lags: extend it
+                    stepr = h["stepr"] = max(2, h.get("stepr",
+                                                      len(h["chs_r"])))
+                    st_r, chs2, bls2 = self._run_chunks(
+                        self.rev_chunk, h["cpool"], h["targs"],
+                        h["st_r"],
+                        min(stepr, cfg.max_chunks - len(h["chs_r"])))
+                    h["st_r"] = st_r
+                    h["chs_r"] += chs2
+                    h["bls_r"] += bls2
+                    h["stepr"] = stepr * 2
+                    packed_f = None
+                    packed_r = self._dispatch_backtrack(
+                        h["chs_r"], h["bls_r"], st_r)
+                if packed_f is None:
+                    import jax.numpy as jnp
+                    packed_f = jnp.asarray(pf)
+                both = self._concat_fn()(packed_f, packed_r)
+                h["rows_f"] = int(packed_f.shape[0])
+                h["packed_dev"] = both
+                self._start_fetch(h, both)
+            if not wait:
+                prof.count("wave.pair_continuations")
+                return None
+        # predictions: exact per-shape need for the next identical
+        # batch; per-mode default drifts toward the straggler max
+        need = max(
+            1,
+            int(-(-max(int(pf[7][:n].max()) if n else 1,
+                       int(pr[7][:n].max()) if n else 1) // CW)))
+        if len(self._chunk_pred) > 4096:
+            self._chunk_pred.clear()
+        self._chunk_pred[h["pkey"]] = need
+        dflt = getattr(self, "_pred_default", None)
+        if dflt is None:
+            dflt = self._pred_default = {}
+        # non-decreasing within a run: an under-prediction redoes
+        # the whole reverse pass, a dead chunk is nearly free
+        dflt[+2] = max(need, dflt.get(+2, 2))
+        kb0 = h["kbase0"]
+        return (self._unpack_result(pf, n, kb0),
+                self._unpack_result(pr, n, np.zeros_like(kb0)))
+
     def collect(self, h, wait: bool = True):
         """Finish a submitted batch; returns (WaveResult, diags).
 

@@ -217,7 +217,116 @@ class BatchAligner:
             del ready[:k]
             return out
 
+        use_pair = bool(getattr(eng, "supports_pair", False))
+
+        def submit_pair(batch):
+          with prof.span("stream.submit_fwd"):
+            tokens = [t for t, _ in batch]
+            items = [it for _, it in batch]
+            n = len(items)
+            hgh = np.array([it.dgmax for it in items], np.int64)
+            anti = np.array([it.anti for it in items], np.int64)
+            low = np.array([it.dgmin for it in items], np.int64)
+            for i in range(n):
+                while ((anti[i] - hgh[i]) >> 1) < 0:
+                    hgh[i] -= 1
+            tubes = self._tubes_of(items, low, hgh, anti)
+            CW = self.cfg.chunk
+            hints = [it.waves_hint for it in items]
+            ph = None
+            if all(hh >= 0 for hh in hints):
+                # generous: in pair mode an under-prediction redoes the
+                # whole reverse pass; dead chunks are nearly free
+                ph = int(max(hints) * 2 + 150) // CW + 1
+            h = eng.submit_pair(self.pool, tubes, pred_hint=ph)
+            self.stats["items"] += n
+            prof.count("batch.tubes", n)
+            inflight.append(dict(kind="pair", h=h, tokens=tokens,
+                                 items=items, anti=anti))
+
+        def on_pair(e):
+          with prof.span("stream.on_pair"):
+            (res_f, diags_f), (res_r, diags_r) = e["res"]
+            items = e["items"]
+            n = len(items)
+            anti = e["anti"]
+            self.stats["device_waves"] += int(res_f.nwaves.sum())
+            self.stats["device_waves"] += int(res_r.nwaves.sum())
+            host = (np.asarray(res_f.fallback[:n])
+                    | np.asarray(res_r.fallback[:n])).copy()
+            paths = [Path() for _ in range(n)]
+            tw_f = res_f.trim_wave
+            with prof.span("batch.replay_fwd"):
+                for i in range(n):
+                    if host[i]:
+                        continue
+                    try:
+                        wrep.replay_forward(
+                            self.seq(items[i].akey),
+                            self.seq(items[i].bkey),
+                            int(anti[i]),
+                            int(items[i].alen % tspace
+                                if items[i].acomp else 0),
+                            diags_f[:int(tw_f[i]) + 1, i],
+                            int(res_f.trima[i]), int(res_f.trimx[i]),
+                            int(res_f.trimd[i]), paths[i], tspace)
+                    except AssertionError:
+                        host[i] = True
+                        paths[i] = Path()
+            fshort = np.array([(p.aepos + p.bepos) - anti[i] < DUB_TRIM
+                               for i, p in enumerate(paths)])
+            tw_r = res_r.trim_wave
+            with prof.span("batch.replay_rev"):
+                for i in range(n):
+                    if host[i]:
+                        continue
+                    try:
+                        wrep.replay_reverse(
+                            self.seq(items[i].akey),
+                            self.seq(items[i].bkey),
+                            int(anti[i]),
+                            int(items[i].alen % tspace
+                                if items[i].acomp else 0),
+                            diags_r[:int(tw_r[i]) + 1, i],
+                            int(res_r.trima[i]), int(res_r.trimx[i]),
+                            int(res_r.trimd[i]), paths[i], tspace)
+                    except AssertionError:
+                        host[i] = True
+                        paths[i] = Path()
+            rshort = np.array([anti[i] - (p.abpos + p.bbpos) < DUB_TRIM
+                               for i, p in enumerate(paths)])
+            rb = dict(items=items, paths=paths, host=host,
+                      tokens=e["tokens"],
+                      fwd_nw=np.asarray(res_f.nwaves[:n]),
+                      rev_nw=np.asarray(res_r.nwaves[:n]))
+            fwdr, revr, done = [], [], []
+            for i in range(n):
+                if host[i]:
+                    done.append(i)
+                elif fshort[i] and rshort[i]:
+                    p = paths[i]
+                    p.aepos = p.abpos = (p.abpos + p.aepos) >> 1
+                    p.bepos = p.bbpos = (p.bbpos + p.bepos) >> 1
+                    p.trace = []
+                    done.append(i)
+                elif fshort[i]:
+                    fwdr.append(i)
+                elif rshort[i]:
+                    revr.append(i)
+                else:
+                    done.append(i)
+            finalize(rb, done)
+            self.stats["rerun_fwd"] += len(fwdr)
+            self.stats["rerun_rev"] += len(revr)
+            if fwdr:
+                submit_rerun(rb, fwdr, +1)
+            if revr:
+                submit_rerun(rb, revr, -1)
+
         def submit_fwd(batch):
+          if use_pair:
+            submit_pair(batch)
+            return
           with prof.span("stream.submit_fwd"):
             tokens = [t for t, _ in batch]
             items = [it for _, it in batch]
@@ -446,14 +555,19 @@ class BatchAligner:
                                          for e in inflight) <= 2 * B):
                 submit_fwd(take(min(B, len(ready))))
             e = inflight.popleft()
-            r = eng.collect(e["h"], wait=False)
+            if e["kind"] == "pair":
+                r = eng.collect_pair(e["h"], wait=False)
+            else:
+                r = eng.collect(e["h"], wait=False)
             if r is None:
                 # straggler continuation dispatched; keep the pipeline
                 # moving on other batches while its fetch runs
                 inflight.append(e)
                 continue
             e["res"] = r
-            if e["kind"] == "fwd":
+            if e["kind"] == "pair":
+                on_pair(e)
+            elif e["kind"] == "fwd":
                 on_fwd(e)
             elif e["kind"] == "rev":
                 on_rev(e)

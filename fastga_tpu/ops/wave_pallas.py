@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 
 from .wave import CH_DIAG, CH_HIGH, CH_LOW, CH_NONE, WaveConfig
-from .wave_ref import TRIM_LEN, TRIM_MLAG, WAVE_LAG
+from .wave_ref import PATH_LEN, TRIM_LEN, TRIM_MLAG, WAVE_LAG
 
 BT = 32         # tubes per program (i1 native sublane tile)
 PGS = 512       # pool page stride in words
@@ -774,3 +774,341 @@ def build_backtrack_walk(cfg: WaveConfig, G: int, interpret: bool = False):
         return d0[0], D
 
     return fn
+
+
+def build_wave0_pallas(cfg: WaveConfig, direction: int = +1,
+                       interpret: bool = False):
+    """In-VMEM wave-0 initializer (host_wave0's device twin).
+
+    Lets a batch's reverse pass chain directly behind the forward walk
+    on device (the seam diagonal never visits the host) and shrinks the
+    per-batch upload to the tube descriptor columns.  Same snake /
+    sentinel-clip machinery as the chunk kernel; bit-identical to
+    ops/wave.host_wave0 (tests/test_wave0_pallas.py).
+
+    Returns fn(pages3, targs6, dgmin, dgmax, anti, valid) -> state tuple
+    (ops/wave.py layout, padding rows dead).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, W = cfg.n, cfg.w
+    assert N % BT == 0
+    NB = N // BT
+    fwd = direction > 0
+    BARv = -1 if fwd else 0x7FFFFFFF
+
+    def kernel(aw_r, alen_r, bw_r, blen_r, minp_r, maxp_r,
+               dgmin_r, dgmax_r, anti_r, valid_r,
+               pool_r,
+               Vo_r, Thio_r, Tloo_r, Mo_r, sco_r,
+               awin_r, bwin_r, awf_r, bwf_r, sem_r):
+        BAR = jnp.int32(BARv)
+        NP = pool_r.shape[0] * 8
+        wix = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
+        big = jnp.int32(1 << 30)
+
+        def shl(A, sh, fill):
+            r = pltpu.roll(A, W - sh, 1)
+            return jnp.where(wix < W - sh, r, fill)
+
+        def shr(A, sh, fill):
+            r = pltpu.roll(A, sh, 1)
+            return jnp.where(wix >= sh, r, fill)
+
+        # --- fetch machinery (same as the chunk kernel) ---
+        def refill(win_r, base, woff_r, iw, act, slot):
+            loc = iw - base
+            bad = act & ((loc < 0) | (loc >= SW))
+            anybad = bad.astype(jnp.int32).max(axis=1)[:, None]
+            iww = jnp.where(act, iw, big)
+            want = iww.min(axis=1)[:, None] - 8
+            pgw = jnp.clip(woff_r[:, :] + want, 0, NP * PGS - 1)
+            page = pgw >> PGS_LOG
+            newbase = jnp.where(anybad > 0, page * PGS - woff_r[:, :],
+                                base)
+            for t in range(BT):
+                @pl.when(anybad[t, 0] > 0)
+                def _():
+                    dma = pltpu.make_async_copy(
+                        pool_r.at[page[t, 0] >> 3],
+                        win_r.at[t], sem_r.at[slot])
+                    dma.start()
+                    dma.wait()
+            return newbase
+
+        def fetch64(win_r, wf_r, base, woff_r, iw, sh, act):
+            loc = jnp.clip(iw - base, 0, PGW - 6)
+            acti = act.astype(jnp.int32).max(axis=1)[:, None]
+            m0 = jnp.clip(jnp.where(act, loc, big).min(axis=1)[:, None],
+                          0, PGW - NW)
+            locn = jnp.clip(loc - m0, 0, NW - 5)
+            subl = ((base + woff_r[:, :]) >> PGS_LOG) & 7
+            rix = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+            six = jax.lax.broadcasted_iota(jnp.int32, (NW, 5 * W), 0)
+            for t in range(BT):
+                @pl.when(acti[t, 0] > 0)
+                def _():
+                    w32g = win_r[t]
+                    wn = pltpu.roll(w32g, (-m0[t, 0]) % PGW, 1)[:, :NW]
+                    ohrow = (rix == subl[t, 0]).astype(jnp.float32)
+                    locn5 = jnp.concatenate(
+                        [locn[t:t + 1, :] + k for k in range(5)], axis=1)
+                    oh5 = (six == locn5).astype(jnp.float32)
+                    rows = []
+                    for b in range(4):
+                        pv = ((wn >> jnp.uint32(8 * b))
+                              & jnp.uint32(0xFF)) \
+                            .astype(jnp.int32).astype(jnp.float32)
+                        rows.append(jax.lax.dot_general(
+                            ohrow, pv, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32))
+                    mat4 = jnp.concatenate(rows, axis=0)
+                    g = jax.lax.dot_general(
+                        mat4, oh5, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    gi = g.astype(jnp.int32).astype(jnp.uint32)
+                    wf_r[pl.ds(t, 1), :] = (
+                        gi[0:1, :] | (gi[1:2, :] << jnp.uint32(8))
+                        | (gi[2:3, :] << jnp.uint32(16))
+                        | (gi[3:4, :] << jnp.uint32(24)))
+            wordsall = wf_r[:, :]
+            words5 = [wordsall[:, k * W:(k + 1) * W] for k in range(5)]
+            shv = sh.astype(jnp.uint32)
+            outs = []
+            for k in range(4):
+                lo_ = jnp.where(shv > 0, words5[k] >> shv, words5[k])
+                hi_ = jnp.where(shv > 0,
+                                words5[k + 1] << (jnp.uint32(32) - shv),
+                                jnp.uint32(0))
+                outs.append(lo_ | hi_)
+            return outs
+
+        def popcount(v):
+            v = v - ((v >> 1) & jnp.uint32(0x55555555))
+            v = (v & jnp.uint32(0x33333333)) + ((v >> 2)
+                                                & jnp.uint32(0x33333333))
+            v = (v + (v >> 4)) & jnp.uint32(0x0F0F0F0F)
+            return ((v * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+        def ctz2(x):
+            low = x & (~x + jnp.uint32(1))
+            pc = popcount(low - jnp.uint32(1))
+            return jnp.where(x == 0, 16, pc >> 1)
+
+        def rev2(v):
+            v = ((v >> 2) & jnp.uint32(0x33333333)) | \
+                ((v & jnp.uint32(0x33333333)) << 2)
+            v = ((v >> 4) & jnp.uint32(0x0F0F0F0F)) | \
+                ((v & jnp.uint32(0x0F0F0F0F)) << 4)
+            v = ((v >> 8) & jnp.uint32(0x00FF00FF)) | \
+                ((v & jnp.uint32(0x00FF00FF)) << 8)
+            return (v >> 16) | (v << 16)
+
+        alen = alen_r[:, :]
+        blen = blen_r[:, :]
+        dgmin = dgmin_r[:, :]
+        dgmax = dgmax_r[:, :]
+        anti = anti_r[:, :]
+        valid = valid_r[:, :] > 0
+
+        kbase = dgmin + ((dgmax - dgmin) >> 1) - W // 2
+        low = dgmin - kbase
+        hgh = dgmax - kbase
+        k = kbase + wix
+        in_band = (wix >= low) & (wix <= hgh) & valid
+
+        x0 = (anti + k) >> 1
+
+        # ---- snake0 ----
+        def scond(st):
+            return st[3].max() > 0
+
+        def sbody(st):
+            x_, ab_, bb_, cont_i = st
+            cont = cont_i > 0
+            y_ = x_ - k
+            if fwd:
+                va = jnp.clip(alen - x_, 0, 64)
+                vb = jnp.clip(blen - y_, 0, 64)
+                sa, sb_ = x_, y_
+            else:
+                va = jnp.clip(x_, 0, 64)
+                vb = jnp.clip(y_, 0, 64)
+                sa, sb_ = x_ - 64, y_ - 64
+            iwa = sa >> 4
+            iwb = sb_ >> 4
+            sha = (sa & 15) << 1
+            shb = (sb_ & 15) << 1
+            ab = refill(awin_r, ab_, aw_r, iwa, cont, 0)
+            bb = refill(bwin_r, bb_, bw_r, iwb, cont, 1)
+            was = fetch64(awin_r, awf_r, ab, aw_r, iwa, sha, cont)
+            wbs = fetch64(bwin_r, bwf_r, bb, bw_r, iwb, shb, cont)
+            if not fwd:
+                was = [rev2(w) for w in was][::-1]
+                wbs = [rev2(w) for w in wbs][::-1]
+            mm = [ctz2(a ^ b) for a, b in zip(was, wbs)]
+            run = mm[0]
+            fullr = mm[0] == 16
+            for kk in (1, 2, 3):
+                run = jnp.where(fullr, 16 * kk + mm[kk], run)
+                fullr = fullr & (mm[kk] == 16)
+            run = jnp.minimum(jnp.minimum(run, va), vb)
+            run = jnp.where(cont, run, 0)
+            x2 = x_ + (run if fwd else -run)
+            cont2 = (cont & (run == 64)).astype(jnp.int32)
+            return x2, ab, bb, cont2
+
+        base0 = jnp.full((BT, 1), -big, jnp.int32)
+        x, _, _, _ = jax.lax.while_loop(
+            scond, sbody, (x0, base0, base0,
+                           in_band.astype(jnp.int32)))
+        y = x - k
+        if fwd:
+            b_sent = (y < 0) | (y >= blen)
+            a_sent = ~b_sent & ((x < 0) | (x >= alen))
+        else:
+            b_sent = (y - 1 < 0) | (y - 1 >= blen)
+            a_sent = ~b_sent & ((x - 1 < 0) | (x - 1 >= alen))
+        b_sent = b_sent & in_band
+        a_sent = a_sent & in_band
+        c = (x << 1) - k
+
+        besta0 = anti
+        bestx0 = (anti + (kbase + hgh)) >> 1
+
+        def suffix_max(cv):
+            v = cv
+            sh = 1
+            while sh < W:
+                v = jnp.maximum(v, shl(v, sh, BAR))
+                sh <<= 1
+            return v
+
+        def prefix_min(cv):
+            v = cv
+            sh = 1
+            while sh < W:
+                v = jnp.minimum(v, shr(v, sh, BAR))
+                sh <<= 1
+            return v
+
+        cm = jnp.where(in_band, c, BAR)
+        if fwd:
+            rc = suffix_max(cm)
+            suff = shl(rc, 1, BAR)
+            improver = in_band & (c > jnp.maximum(besta0, suff))
+            cbest = rc.max(axis=1)[:, None]
+            better = cbest > besta0
+        else:
+            rc = prefix_min(cm)
+            pre = shr(rc, 1, BAR)
+            improver = in_band & (c < jnp.minimum(besta0, pre))
+            cbest = rc.min(axis=1)[:, None]
+            better = cbest < besta0
+        imp_c = jnp.where(improver, c, BAR)
+        isbest = improver & (imp_c == cbest)
+        bslot = jnp.where(isbest, wix, big).min(axis=1)[:, None]
+        x_at_b = jnp.where(wix == bslot, x, -big).max(axis=1)[:, None]
+
+        besta = jnp.where(better, cbest, besta0)
+        bestx = jnp.where(better, x_at_b, bestx0)
+        trim_slot = jnp.where(better, kbase + bslot, kbase + hgh)
+
+        hit = (a_sent | b_sent).any(axis=1)[:, None]
+        more = ~hit
+        by = besta - bestx
+        if fwd:
+            b_in = (by >= 0) & (by < blen)
+            a_in = (bestx >= 0) & (bestx < alen)
+        else:
+            b_in = (by - 1 >= 0) & (by - 1 < blen)
+            a_in = (bestx - 1 >= 0) & (bestx - 1 < alen)
+        more = more | (b_in & a_in)
+
+        if fwd:
+            aclip = jnp.where(a_sent, wix, big).min(axis=1)[:, None]
+            bclip = jnp.where(b_sent, wix, -big).max(axis=1)[:, None]
+            hgh2 = jnp.where(hit & (hgh >= aclip), aclip - 1, hgh)
+            low2 = jnp.where(hit & (low <= bclip), bclip + 1, low)
+        else:
+            aclip = jnp.where(a_sent, wix, -big).max(axis=1)[:, None]
+            bclip = jnp.where(b_sent, wix, big).min(axis=1)[:, None]
+            low2 = jnp.where(hit & (low <= aclip), aclip + 1, low)
+            hgh2 = jnp.where(hit & (hgh >= bclip), bclip - 1, hgh)
+
+        Vo_r[:, :] = jnp.where(in_band, c, BAR)
+        Thio_r[:, :] = jnp.where(in_band, jnp.uint32((1 << 28) - 1),
+                                 jnp.uint32(0))
+        Tloo_r[:, :] = jnp.where(in_band, jnp.uint32(0xFFFFFFFF),
+                                 jnp.uint32(0))
+        Mo_r[:, :] = jnp.where(in_band, jnp.int32(PATH_LEN),
+                               jnp.int32(0))
+        alive = more & valid
+        z = jnp.zeros((BT, 1), jnp.int32)
+        sco_r[:, :] = jnp.concatenate(
+            [kbase, low2, hgh2, besta, bestx, besta, besta, bestx, z,
+             z, trim_slot, alive.astype(jnp.int32), z, z,
+             jnp.zeros((BT, NSC - 14), jnp.int32)], axis=1)
+
+    def col():
+        return pl.BlockSpec((BT, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def row():
+        return pl.BlockSpec((BT, W), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=(NB,),
+        in_specs=[col()] * 10 + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[row(), row(), row(), row(),
+                   pl.BlockSpec((BT, NSC), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[
+            pltpu.VMEM((BT, 8, PGW), jnp.uint32),
+            pltpu.VMEM((BT, 8, PGW), jnp.uint32),
+            pltpu.VMEM((BT, 5 * W), jnp.uint32),
+            pltpu.VMEM((BT, 5 * W), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    import jax
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, W), jnp.int32),
+            jax.ShapeDtypeStruct((N, W), jnp.uint32),
+            jax.ShapeDtypeStruct((N, W), jnp.uint32),
+            jax.ShapeDtypeStruct((N, W), jnp.int32),
+            jax.ShapeDtypeStruct((N, NSC), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def init_fn(pages3, targs, dgmin, dgmax, anti, valid):
+        aw, alen, bw, blen, minp, maxp = targs
+
+        def c2(v):
+            return v[:, None].astype(jnp.int32)
+
+        V, Thi, Tlo, M, sc = call(
+            c2(aw), c2(alen), c2(bw), c2(blen), c2(minp), c2(maxp),
+            c2(dgmin), c2(dgmax), c2(anti), c2(valid), pages3)
+        st = (V, Thi, Tlo, M,
+              sc[:, SC_KBASE], sc[:, SC_LOW], sc[:, SC_HGH],
+              sc[:, SC_BESTA], sc[:, SC_BESTX], sc[:, SC_LASTA],
+              sc[:, SC_TRIMA], sc[:, SC_TRIMX], sc[:, SC_TRIMD],
+              sc[:, SC_TRIMW], sc[:, SC_TRIMS],
+              sc[:, SC_ALIVE] > 0, sc[:, SC_FALL] > 0, sc[:, SC_DIF])
+        return st
+
+    return init_fn
