@@ -1263,6 +1263,16 @@ _MAX_DEV_BASES = int(__import__("os").environ.get(
 _jit_cache = {}
 
 
+def _tcap_for(nscap: int, tcap: int) -> int:
+    """Tube-output cap scaled to the seed cap.  The chain sweep's cost
+    is O(NS) regardless of tcap (tcap only sizes the output compaction
+    arrays), so a generous cap is nearly free — while an undersized cap
+    discards the whole seed phase (the r3 bench paid the pipeline twice:
+    device_tubes overflowed its 32k default at ~113k tubes and the
+    caller fell back to device_tubes_paneled)."""
+    return min(max(int(tcap), _pad_bucket(nscap // 96)), 1 << 22)
+
+
 def _pad_bucket(n: int) -> int:
     """Smallest cap >= n from {2^k, 1.5*2^k} (fewer wasted slots than
     pure pow2 while keeping the compile-shape count small)."""
@@ -1780,13 +1790,20 @@ def device_tubes_tables(t1, t2, alens_by_rank, amax: int, bmax: int,
             mfn = _merge_jit(E1, E2, NSCAP, ACAP, freq, soft_mask,
                              has_masks, presorted=True)
             out = mfn(T1, T2, mb1, mb2)
-        res, ns, nalive, plsum = _run_chain(
-            None, out, NSCAP, tcap, chain_break, chain_min, amax, bmax,
-            alens_by_rank)
+        tcap_eff = _tcap_for(NSCAP, tcap)
+        for _ in range(3):
+            res, ns, nalive, plsum = _run_chain(
+                None, out, NSCAP, tcap_eff, chain_break, chain_min,
+                amax, bmax, alens_by_rank)
+            nt_host = int(np.asarray(res[8]))
+            if nt_host <= tcap_eff or tcap_eff >= (1 << 22):
+                break
+            tcap_eff = min(_pad_bucket(nt_host + (nt_host >> 2)),
+                           1 << 22)
         out2 = tuple(np.asarray(x) for x in res) + (
             np.asarray(ns), np.asarray(nalive), np.asarray(plsum))
     res, ns, nalive, plsum = out2[:9], out2[9], out2[10], out2[11]
-    return _finish_tubes(res, ns, nalive, plsum, NSCAP, ACAP, tcap,
+    return _finish_tubes(res, ns, nalive, plsum, NSCAP, ACAP, tcap_eff,
                          lambda: False)
 
 
@@ -2040,11 +2057,18 @@ def device_tubes_paneled(gdb1, gdb2, alens_by_rank, freq: int = 10,
             del T1, T2, out
         spl, sac, sap, sbc, sbp, sbo = _unpack_seeds_jit(GCAP)(g1, g2)
         del g1, g2
-        res, ns_, nal_, pls_ = _run_chain(
-            None, (spl, sac, sap, sbc, sbp, sbo, goff,
-                   jnp.int32(0), jnp.int32(0)),
-            GCAP, tcap, chain_break, chain_min, amax, bmax,
-            alens_by_rank)
+        tcap_eff = _tcap_for(GCAP, tcap)
+        seeds9 = (spl, sac, sap, sbc, sbp, sbo, goff,
+                  jnp.int32(0), jnp.int32(0))
+        for _ in range(3):
+            res, ns_, nal_, pls_ = _run_chain(
+                None, seeds9, GCAP, tcap_eff, chain_break, chain_min,
+                amax, bmax, alens_by_rank)
+            nt_host = int(np.asarray(res[8]))
+            if nt_host <= tcap_eff or tcap_eff >= (1 << 22):
+                break
+            tcap_eff = min(_pad_bucket(nt_host + (nt_host >> 2)),
+                           1 << 22)
         outv = tuple(np.asarray(x) for x in res) + (np.asarray(goff),)
     (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt, goff_h) = outv
     if int(goff_h) != nseeds_tot or int(nt) > len(ga):
@@ -2087,15 +2111,22 @@ def device_tubes_self(gdb1, alens_by_rank, freq: int = 10,
         out = sfn(T1, None)
         ne1 = T1[7]
         del T1
-        res, ns, nalive, plsum = _run_chain(
-            None, out, NSCAP, tcap, chain_break, chain_min, amax, amax,
-            alens_by_rank)
+        tcap_eff = _tcap_for(NSCAP, tcap)
+        for _ in range(3):
+            res, ns, nalive, plsum = _run_chain(
+                None, out, NSCAP, tcap_eff, chain_break, chain_min,
+                amax, amax, alens_by_rank)
+            nt_host = int(np.asarray(res[8]))
+            if nt_host <= tcap_eff or tcap_eff >= (1 << 22):
+                break
+            tcap_eff = min(_pad_bucket(nt_host + (nt_host >> 2)),
+                           1 << 22)
         out2 = tuple(np.asarray(x) for x in res) + (
             np.asarray(ns), np.asarray(nalive), np.asarray(plsum),
             np.asarray(ne1))
     res, ns, nalive, plsum, ne1 = out2[:9], out2[9], out2[10], \
         out2[11], out2[12]
-    return _finish_tubes(res, ns, nalive, plsum, NSCAP, ACAP, tcap,
+    return _finish_tubes(res, ns, nalive, plsum, NSCAP, ACAP, tcap_eff,
                          lambda: int(ne1) > E1)
 
 
@@ -2238,15 +2269,24 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
         ne1, ne2 = T1[7], T2[7]
         T1 = T2 = None   # beyond-cache sizes: release the entry arrays
                          # before the chain sweep's panel temporaries
-        res, ns, nalive, plsum = _run_chain(
-            None, mout, NSCAP, tcap, chain_break, chain_min, amax, bmax,
-            alens_by_rank)
+        tcap_eff = _tcap_for(NSCAP, tcap)
+        for _ in range(3):
+            res, ns, nalive, plsum = _run_chain(
+                None, mout, NSCAP, tcap_eff, chain_break, chain_min,
+                amax, bmax, alens_by_rank)
+            nt_host = int(np.asarray(res[8]))
+            if nt_host <= tcap_eff or tcap_eff >= (1 << 22):
+                break
+            # overflow backstop: the seeds are still device-resident,
+            # so only the chain stage reruns (one extra shape class)
+            tcap_eff = min(_pad_bucket(nt_host + (nt_host >> 2)),
+                           1 << 22)
         t0 = _tick("chain", t0, res)
         out = tuple(res) + (ns, nalive, plsum, ne1, ne2)
     (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt, ns, nalive, plsum,
      ne1, ne2) = [np.asarray(x) for x in out]
     if int(ne1) > E1 or int(ne2) > E2 or int(ns) > NSCAP \
-            or int(nalive) > ACAP or int(nt) > tcap:
+            or int(nalive) > ACAP or int(nt) > tcap_eff:
         return None               # caps exceeded: host fallback
     n = int(nt)
     tubes = TubeBatch(

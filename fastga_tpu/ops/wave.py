@@ -1449,6 +1449,20 @@ class WaveEngine:
             1,
             int(-(-max(int(pf[7][:n].max()) if n else 1,
                        int(pr[7][:n].max()) if n else 1) // CW)))
+        prof.count("wave.pair_pred_chunks",
+                   len(h["chs_f"]) + len(h["chs_r"]))
+        prof.count("wave.pair_need_chunks", need * 2)
+        _blog = os.environ.get("FASTGA_TPU_BATCH_LOG")
+        if _blog and n:
+            nwf = np.asarray(pf[7][:n])
+            nwr = np.asarray(pr[7][:n])
+            with open(_blog, "a") as f:
+                f.write(f"n={n} chs_f={len(h['chs_f'])} "
+                        f"chs_r={len(h['chs_r'])} "
+                        f"nwf_max={int(nwf.max())} "
+                        f"nwf_p50={int(np.median(nwf))} "
+                        f"nwr_max={int(nwr.max())} "
+                        f"nwr_p50={int(np.median(nwr))}\n")
         if len(self._chunk_pred) > 4096:
             self._chunk_pred.clear()
         self._chunk_pred[h["pkey"]] = need

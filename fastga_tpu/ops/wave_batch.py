@@ -193,6 +193,8 @@ class BatchAligner:
         deterministic order (per-token order depends only on the item
         stream, not on batching).
         """
+        import heapq
+        import itertools
         import os
         from collections import deque
 
@@ -204,18 +206,27 @@ class BatchAligner:
         eng = self.engine
         B = self.cfg.n
         tspace = self.spec.trace_space
-        ready = list(first)
+        # min-heap on expected wave count (hintless items last): batches
+        # die together, so the chunk budget fits every tube in the batch
+        # instead of its stragglers (occupancy).  A heap instead of a
+        # per-batch full sort: `ready` starts at one item per pairing
+        # queue (~1 per tube — 100k+ at bench scale) and a sort per
+        # take() was O(R log R) per batch.
+        _tick = itertools.count()
+        ready = []
+        for ti in first:
+            heapq.heappush(ready, (ti[1].waves_hint < 0,
+                                   ti[1].waves_hint, next(_tick), ti))
         inflight = deque()   # entries: dict(kind='fwd'|'rev', ...)
 
+        def push(ti):
+            heapq.heappush(ready, (ti[1].waves_hint < 0,
+                                   ti[1].waves_hint, next(_tick), ti))
+
         def take(k):
-            """Pop the k items with the lowest expected wave counts —
-            batches die together, so the chunk budget fits every tube
-            in the batch instead of its stragglers (occupancy)."""
-            ready.sort(key=lambda ti: (ti[1].waves_hint < 0,
-                                       ti[1].waves_hint))
-            out = ready[:k]
-            del ready[:k]
-            return out
+            """Pop the k items with the lowest expected wave counts."""
+            k = min(k, len(ready))
+            return [heapq.heappop(ready)[3] for _ in range(k)]
 
         use_pair = bool(getattr(eng, "supports_pair", False))
 
@@ -538,7 +549,8 @@ class BatchAligner:
             for i in idxs:
                 out.extend(more_fn(rb["tokens"][i], paths[i],
                                    int(max(fwd_nw[i], rev_nw[i]))))
-            ready.extend(out)
+            for ti in out:
+                push(ti)
 
         while ready or inflight:
             # keep the device fed: submit full batches up to the window
