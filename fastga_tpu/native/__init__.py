@@ -90,6 +90,16 @@ def get_tracerec():
                 c.c_int, c.c_int64, c.c_int64, c.c_int64,
                 c.c_int64, c.c_int64, c.c_int, i32p, c.c_int, i32p,
                 i32p, i32p, c.POINTER(c.c_int)]
+            pp = c.POINTER(c.c_void_p)
+            lib.trw_replay_pair_batch.restype = c.c_int
+            lib.trw_replay_pair_batch.argtypes = [
+                pp, i64p, pp, i64p,           # As/alens, Bs/blens
+                i64p, i64p, c.c_int64,        # antis, aoffs, tspace
+                i32p, c.c_int64, i32p, i64p, i64p, i64p,   # fwd
+                i32p, c.c_int64, i32p, i64p, i64p, i64p,   # rev
+                u8p, c.c_int,                 # skip, nitems
+                i32p, c.c_int64, i64p, i64p,  # tr, cap, troff, stats
+                i32p]                         # rcs
             _lib = lib
         except Exception:
             _lib = None

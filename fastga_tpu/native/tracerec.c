@@ -726,9 +726,10 @@ int trw_path_reach(const int8_t *A, int64_t alen,
    semantics).  Returns 0 ok, -1 reach short of trim point (caller falls
    back to the exact engine), -2 output capacity exceeded. */
 
-int trw_replay_fwd(const int8_t *A, int64_t alen,
+static int replay_fwd_core(const int8_t *A, int64_t alen,
                    const int8_t *B, int64_t blen,
-                   int64_t anti, const int32_t *diags, int ntw,
+                   int64_t anti, const int32_t *diags, int64_t dst,
+                   int ntw,
                    int64_t trima, int64_t trimx, int64_t trimd,
                    int64_t aoff, int64_t tspace,
                    int32_t *tr, int cap, int32_t *ntr)
@@ -746,12 +747,12 @@ int trw_replay_fwd(const int8_t *A, int64_t alen,
   for (w = 0; w <= ntw; w++)
     { int64_t kc;
       if (w > 0)
-        { int64_t dcur = diags[w], dprev = diags[w-1];
+        { int64_t dcur = diags[w*dst], dprev = diags[(w-1)*dst];
           int64_t c_pre = 2*x - dprev + (dcur == dprev ? 2 : 1);
           x = (c_pre + dcur) >> 1;
           x += fwd_snake_len(A, alen, B, blen, x, dcur);
         }
-      kc = diags[w];
+      kc = diags[w*dst];
       while (last + tspace <= x)
         { int64_t m = last + tspace;
           int64_t a = m - kc;
@@ -782,15 +783,27 @@ int trw_replay_fwd(const int8_t *A, int64_t alen,
   return 0;
 }
 
+int trw_replay_fwd(const int8_t *A, int64_t alen,
+                   const int8_t *B, int64_t blen,
+                   int64_t anti, const int32_t *diags, int ntw,
+                   int64_t trima, int64_t trimx, int64_t trimd,
+                   int64_t aoff, int64_t tspace,
+                   int32_t *tr, int cap, int32_t *ntr)
+{ return replay_fwd_core(A, alen, B, blen, anti, diags, 1, ntw,
+                         trima, trimx, trimd, aoff, tspace,
+                         tr, cap, ntr);
+}
+
 /* Reverse replay.  ``pre`` receives the prepend pairs in build order
    (the caller reverses); when the first emission must merge into the
    caller's existing trace[0] (align.c:1340-1414 seam merge), the delta
    is returned in first_dd/first_db with *first_mod = 1.
    has_existing = (path.tlen != 0) on entry. */
 
-int trw_replay_rev(const int8_t *A, int64_t alen,
+static int replay_rev_core(const int8_t *A, int64_t alen,
                    const int8_t *B, int64_t blen,
-                   int64_t anti, const int32_t *diags, int ntw,
+                   int64_t anti, const int32_t *diags, int64_t dst,
+                   int ntw,
                    int64_t trima, int64_t trimx, int64_t trimd,
                    int64_t aoff, int64_t tspace, int has_existing,
                    int32_t *pre, int cap, int32_t *npre,
@@ -827,12 +840,12 @@ int trw_replay_rev(const int8_t *A, int64_t alen,
   for (w = 0; w <= ntw; w++)
     { int64_t kc;
       if (w > 0)
-        { int64_t dcur = diags[w], dprev = diags[w-1];
+        { int64_t dcur = diags[w*dst], dprev = diags[(w-1)*dst];
           int64_t c_pre = 2*x - dprev - (dcur == dprev ? 2 : 1);
           x = (c_pre + dcur) >> 1;
           x -= rev_snake_len(A, alen, B, blen, x, dcur);
         }
-      kc = diags[w];
+      kc = diags[w*dst];
       while (last - tspace >= x)
         { int64_t m = last - tspace;
           int64_t a = m - kc;
@@ -899,6 +912,120 @@ int trw_replay_rev(const int8_t *A, int64_t alen,
         }
     }
   *npre = n;
+  return 0;
+}
+
+int trw_replay_rev(const int8_t *A, int64_t alen,
+                   const int8_t *B, int64_t blen,
+                   int64_t anti, const int32_t *diags, int ntw,
+                   int64_t trima, int64_t trimx, int64_t trimd,
+                   int64_t aoff, int64_t tspace, int has_existing,
+                   int32_t *pre, int cap, int32_t *npre,
+                   int32_t *first_dd, int32_t *first_db,
+                   int *first_mod)
+{ return replay_rev_core(A, alen, B, blen, anti, diags, 1, ntw,
+                         trima, trimx, trimd, aoff, tspace,
+                         has_existing, pre, cap, npre,
+                         first_dd, first_db, first_mod);
+}
+
+/* ---- batched fwd+rev replay with seam merge ---------------------------
+   One call per device batch (ops/wave_batch.on_pair): per-item wrapper
+   overhead (~22 us of ctypes/numpy glue per replay) dominated the host
+   replay phase on the single-core box.
+
+   The diagonal logs are the [G+1, ld] row-major arrays the engine
+   fetches (column i = item i; ld = batch width).  For each item with
+   skip[i] == 0, runs the forward replay, then the reverse replay with
+   has_existing = (fwd pairs > 0), applies the seam merge, and emits the
+   FINAL trace (reverse prepend reversed + merged forward pairs) at
+   tr[2*troff[i] .. 2*troff[i+1]).  stats[6*i..]: abpos, bbpos, aepos,
+   bepos, diffs, seam(d0 fwd).  rcs[i]: 0 ok, -1 fwd reach short, -2 rev
+   reach short, -3 capacity (caller falls back per item). */
+
+int trw_replay_pair_batch(
+    const int8_t **As, const int64_t *alens,
+    const int8_t **Bs, const int64_t *blens,
+    const int64_t *antis, const int64_t *aoffs, int64_t tspace,
+    const int32_t *df, int64_t ldf, const int32_t *ntwf,
+    const int64_t *trimaf, const int64_t *trimxf, const int64_t *trimdf,
+    const int32_t *dr, int64_t ldr, const int32_t *ntwr,
+    const int64_t *trimar, const int64_t *trimxr, const int64_t *trimdr,
+    const uint8_t *skip, int nitems,
+    int32_t *tr, int64_t cap, int64_t *troff, int64_t *stats,
+    int32_t *rcs)
+{ int64_t off = 0;
+  int     i;
+  int64_t scap = 0;
+  int32_t *ftr, *pre;
+
+  for (i = 0; i < nitems; i++)
+    { int64_t c = alens[i] / tspace + ntwf[i] + ntwr[i] + 32;
+      if (c > scap)
+        scap = c;
+    }
+  ftr = (int32_t *) malloc(2 * (size_t) scap * sizeof(int32_t));
+  pre = (int32_t *) malloc(2 * (size_t) scap * sizeof(int32_t));
+  if (ftr == NULL || pre == NULL)
+    { free(ftr); free(pre);
+      for (i = 0; i < nitems; i++)
+        { rcs[i] = -3; troff[i] = off; }
+      troff[nitems] = off;
+      return -3;
+    }
+
+  for (i = 0; i < nitems; i++)
+    { int32_t nf = 0, np = 0;
+      int32_t fdd = 0, fdb = 0;
+      int     fmod = 0, rc;
+      int64_t j, need;
+
+      troff[i] = off;
+      rcs[i] = 0;
+      if (skip[i])
+        continue;
+      rc = replay_fwd_core(As[i], alens[i], Bs[i], blens[i],
+                           antis[i], df + i, ldf, ntwf[i],
+                           trimaf[i], trimxf[i], trimdf[i],
+                           aoffs[i], tspace, ftr, (int) scap, &nf);
+      if (rc != 0)
+        { rcs[i] = (rc == -1) ? -1 : -3;
+          continue;
+        }
+      rc = replay_rev_core(As[i], alens[i], Bs[i], blens[i],
+                           antis[i], dr + i, ldr, ntwr[i],
+                           trimar[i], trimxr[i], trimdr[i],
+                           aoffs[i], tspace, nf > 0,
+                           pre, (int) scap, &np, &fdd, &fdb, &fmod);
+      if (rc != 0)
+        { rcs[i] = (rc == -1) ? -2 : -3;
+          continue;
+        }
+      if (fmod && nf > 0)
+        { ftr[0] += fdd;
+          ftr[1] += fdb;
+        }
+      need = (int64_t) nf + np;
+      if (off + need > cap)
+        { rcs[i] = -3;
+          continue;
+        }
+      for (j = 0; j < np; j++)
+        { tr[2*(off + j)]     = pre[2*(np - 1 - j)];
+          tr[2*(off + j) + 1] = pre[2*(np - 1 - j) + 1];
+        }
+      memcpy(tr + 2*(off + np), ftr, 2 * (size_t) nf * sizeof(int32_t));
+      off += need;
+      stats[6*i]     = trimxr[i];                  /* abpos */
+      stats[6*i + 1] = trimar[i] - trimxr[i];      /* bbpos */
+      stats[6*i + 2] = trimxf[i];                  /* aepos */
+      stats[6*i + 3] = trimaf[i] - trimxf[i];      /* bepos */
+      stats[6*i + 4] = trimdf[i] + trimdr[i];      /* diffs */
+      stats[6*i + 5] = df[i];                      /* fwd d0 (seam) */
+    }
+  troff[nitems] = off;
+  free(ftr);
+  free(pre);
   return 0;
 }
 

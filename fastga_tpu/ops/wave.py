@@ -1274,7 +1274,8 @@ class WaveEngine:
         self.n_chunk_calls += k
         return st, chs, bls
 
-    def submit_pair(self, pool, tubes: dict, pred_hint: int = None):
+    def submit_pair(self, pool, tubes: dict, pred_hint: int = None,
+                    pred_cap: int = None):
         """Dispatch forward AND reverse passes of one batch, fully on
         device: packed upload -> fwd init -> fwd chunks -> fwd walk ->
         rev init from the walk's seam row -> rev chunks -> rev walk ->
@@ -1315,12 +1316,29 @@ class WaveEngine:
         kbase0 = (big[:, 6]
                   + ((big[:, 7] - big[:, 6]) >> 1) - cfg.w // 2)
 
+        snap = os.environ.get("FASTGA_TPU_WAVE_SNAPSHOT")
+        if snap and not globals().get("_SNAPPED") and n == cfg.n:
+            # pair-mode twin of _prep's snapshot hook: capture the host
+            # wave-0 state for tools/microbench_wave.py
+            targs_np = tuple(big[:, j] for j in range(6))
+            st_np, _ = host_wave0(
+                self._pool_host(pool), targs_np, big[:, 6], big[:, 7],
+                big[:, 8], cfg, +1)
+            alive0 = st_np[15].copy()
+            alive0[n:] = False
+            globals()["_SNAPPED"] = True
+            full_st = st_np[:15] + (alive0,) + st_np[16:]
+            np.savez(snap, pool=self._pool_host(pool), n=n,
+                     **{f"targ{i}": t for i, t in enumerate(targs_np)},
+                     **{f"st{i}": np.asarray(s)
+                        for i, s in enumerate(full_st)})
         pkey = self._pkey(tubes, +2, n)   # +2: pair-mode namespace
         pred = self._chunk_pred.get(pkey)
         if pred is None:
             pred = pred_hint if pred_hint is not None else \
                 getattr(self, "_pred_default", {}).get(+2, 2)
-        cap = int(os.environ.get("FASTGA_TPU_PRED_CAP", "8"))
+        cap = pred_cap if pred_cap is not None else \
+            int(os.environ.get("FASTGA_TPU_PRED_CAP", "8"))
         pred = max(1, min(int(pred), cap, cfg.max_chunks))
 
         with prof.span("wave.pair_dispatch"):
@@ -1368,10 +1386,17 @@ class WaveEngine:
             fallback=fallback[:n])
         return res, diags
 
-    def collect_pair(self, h, wait: bool = False):
+    def collect_pair(self, h, wait: bool = False,
+                     requeue: bool = False):
         """Finish a paired batch -> ((res_f, diags_f), (res_r,
         diags_r)); None (re-queue) when stragglers forced an extension
-        and wait is False."""
+        and wait is False.
+
+        ``requeue``: straggler decapitation — instead of extending the
+        whole wide batch (a forward extension redoes the entire reverse
+        pass, and one 10k-wave tube can drag 512 lanes through 100+
+        chunks), mark still-alive tubes in h["requeue"] and return; the
+        caller resubmits them on the narrow sibling engine."""
         from ..utils import prof
         cfg = self.cfg
         CW = cfg.chunk
@@ -1391,6 +1416,10 @@ class WaveEngine:
             if len(h["chs_f"]) >= cfg.max_chunks \
                     and len(h["chs_r"]) >= cfg.max_chunks:
                 break   # budget exhausted: rows flagged fallback
+            if requeue:
+                h["requeue"] = ((np.asarray(pf[5][:n]) != 0)
+                                | (np.asarray(pr[5][:n]) != 0))
+                break
             with prof.span("wave.pair_extend"):
                 if f_alive and len(h["chs_f"]) < cfg.max_chunks:
                     # extend fwd, then REDO the whole reverse pass from
@@ -1444,11 +1473,19 @@ class WaveEngine:
                 prof.count("wave.pair_continuations")
                 return None
         # predictions: exact per-shape need for the next identical
-        # batch; per-mode default drifts toward the straggler max
-        need = max(
-            1,
-            int(-(-max(int(pf[7][:n].max()) if n else 1,
-                       int(pr[7][:n].max()) if n else 1) // CW)))
+        # batch (requeued stragglers excluded — their counts saturate at
+        # the budget); per-mode default drifts toward the straggler max
+        req = h.get("requeue")
+        if req is not None and n:
+            fin = ~req
+            nwf_f = pf[7][:n][fin]
+            nwr_f = pr[7][:n][fin]
+            mx = max(int(nwf_f.max()) if nwf_f.size else 1,
+                     int(nwr_f.max()) if nwr_f.size else 1)
+        else:
+            mx = max(int(pf[7][:n].max()) if n else 1,
+                     int(pr[7][:n].max()) if n else 1)
+        need = max(1, int(-(-mx // CW)))
         prof.count("wave.pair_pred_chunks",
                    len(h["chs_f"]) + len(h["chs_r"]))
         prof.count("wave.pair_need_chunks", need * 2)

@@ -59,7 +59,7 @@ class BatchAligner:
         self.offs = offs
         self.seq = seq_lookup
         self.stats = {"fallbacks": 0, "device_waves": 0, "items": 0,
-                      "rerun_fwd": 0, "rerun_rev": 0}
+                      "rerun_fwd": 0, "rerun_rev": 0, "requeues": 0}
 
     @property
     def pool(self):
@@ -214,23 +214,81 @@ class BatchAligner:
         # take() was O(R log R) per batch.
         _tick = itertools.count()
         ready = []
-        for ti in first:
-            heapq.heappush(ready, (ti[1].waves_hint < 0,
-                                   ti[1].waves_hint, next(_tick), ti))
         inflight = deque()   # entries: dict(kind='fwd'|'rev', ...)
-
-        def push(ti):
-            heapq.heappush(ready, (ti[1].waves_hint < 0,
-                                   ti[1].waves_hint, next(_tick), ti))
+        use_pair = bool(getattr(eng, "supports_pair", False))
 
         def take(k):
             """Pop the k items with the lowest expected wave counts."""
             k = min(k, len(ready))
             return [heapq.heappop(ready)[3] for _ in range(k)]
 
-        use_pair = bool(getattr(eng, "supports_pair", False))
+        # -- long lane: items whose expected wave count exceeds the wide
+        # batch budget run on the narrow sibling engine with a budget of
+        # their own.  One 10k-wave alignment in an n=512 batch drags 512
+        # lanes through 100+ chunks (the r3 bench: batch p50 ~110 waves,
+        # max up to 9828); here it costs 64 lanes with an exact budget.
+        CW = self.cfg.chunk
+        cap_big = int(os.environ.get("FASTGA_TPU_PRED_CAP", "8"))
+        cap_long = int(os.environ.get("FASTGA_TPU_PRED_CAP_LONG", "64"))
+        long_T = int((cap_big * CW - 32) / 1.3)
+        long_ready = []
+        SL = getattr(getattr(eng, "_small", None), "cfg", self.cfg).n
 
-        def submit_pair(batch):
+        def push(ti):
+            if use_pair and ti[1].waves_hint > long_T:
+                heapq.heappush(long_ready,
+                               (ti[1].waves_hint, next(_tick), ti))
+            else:
+                heapq.heappush(ready, (ti[1].waves_hint < 0,
+                                       ti[1].waves_hint, next(_tick),
+                                       ti))
+
+        def take_long(k):
+            k = min(k, len(long_ready))
+            return [heapq.heappop(long_ready)[2] for _ in range(k)]
+
+        for ti in first:
+            push(ti)
+
+        def _long_engine():
+            s = getattr(eng, "_small", None)
+            if (not use_pair or s is None
+                    or s._warm_evt is None or not s._warm_evt.is_set()
+                    or getattr(s, "_warm_exc", None) is not None):
+                return None
+            if getattr(s, "_pool_np", None) is None \
+                    or s._pool_np[0] is not self.pool:
+                s._pool_np = (self.pool, self._pool_words)
+            return s
+
+        def submit_long(batch):
+            s = _long_engine()
+            if s is None:       # cold sibling: wide engine, old budget
+                submit_pair(batch, force_cap=cap_big)
+                return
+            with prof.span("stream.submit_long"):
+                tokens = [t for t, _ in batch]
+                items = [it for _, it in batch]
+                n = len(items)
+                hgh = np.array([it.dgmax for it in items], np.int64)
+                anti = np.array([it.anti for it in items], np.int64)
+                low = np.array([it.dgmin for it in items], np.int64)
+                for i in range(n):
+                    while ((anti[i] - hgh[i]) >> 1) < 0:
+                        hgh[i] -= 1
+                tubes = self._tubes_of(items, low, hgh, anti)
+                mh = max(max(it.waves_hint for it in items), 0)
+                ph = min(int(mh * 1.3 + 2 * CW) // CW + 1, cap_long,
+                         s.cfg.max_chunks)
+                h = s.submit_pair(self.pool, tubes, pred_hint=ph,
+                                  pred_cap=cap_long)
+                self.stats["items"] += n
+                prof.count("batch.long_tubes", n)
+                inflight.append(dict(kind="pair", h=h, eng=s,
+                                     tokens=tokens, items=items,
+                                     anti=anti, long=True))
+
+        def submit_pair(batch, force_cap=None):
           with prof.span("stream.submit_fwd"):
             tokens = [t for t, _ in batch]
             items = [it for _, it in batch]
@@ -242,18 +300,55 @@ class BatchAligner:
                 while ((anti[i] - hgh[i]) >> 1) < 0:
                     hgh[i] -= 1
             tubes = self._tubes_of(items, low, hgh, anti)
-            CW = self.cfg.chunk
             hints = [it.waves_hint for it in items]
             ph = None
             if all(hh >= 0 for hh in hints):
-                # generous: in pair mode an under-prediction redoes the
-                # whole reverse pass; dead chunks are nearly free
-                ph = int(max(hints) * 2 + 150) // CW + 1
-            h = eng.submit_pair(self.pool, tubes, pred_hint=ph)
+                # tight: under-predicted stragglers are decapitated and
+                # requeued on the narrow engine, so the budget fits the
+                # batch's bulk, not its tail
+                ph = int(max(hints) * 1.3 + 32) // CW + 1
+            h = eng.submit_pair(self.pool, tubes, pred_hint=ph,
+                                pred_cap=force_cap)
             self.stats["items"] += n
             prof.count("batch.tubes", n)
-            inflight.append(dict(kind="pair", h=h, tokens=tokens,
-                                 items=items, anti=anti))
+            inflight.append(dict(kind="pair", h=h, eng=eng,
+                                 tokens=tokens, items=items, anti=anti,
+                                 long=False))
+
+        def _pair_replays_singly(items, anti, host, paths,
+                                 res_f, diags_f, res_r, diags_r,
+                                 only=None):
+            """Per-item replay fallback (native-lib-less or batch
+            capacity retry); mirrors the batched call's semantics."""
+            n = len(items)
+            tw_f = res_f.trim_wave
+            tw_r = res_r.trim_wave
+            idxs = range(n) if only is None else only
+            for i in idxs:
+                if host[i]:
+                    continue
+                try:
+                    wrep.replay_forward(
+                        self.seq(items[i].akey),
+                        self.seq(items[i].bkey),
+                        int(anti[i]),
+                        int(items[i].alen % tspace
+                            if items[i].acomp else 0),
+                        diags_f[:int(tw_f[i]) + 1, i],
+                        int(res_f.trima[i]), int(res_f.trimx[i]),
+                        int(res_f.trimd[i]), paths[i], tspace)
+                    wrep.replay_reverse(
+                        self.seq(items[i].akey),
+                        self.seq(items[i].bkey),
+                        int(anti[i]),
+                        int(items[i].alen % tspace
+                            if items[i].acomp else 0),
+                        diags_r[:int(tw_r[i]) + 1, i],
+                        int(res_r.trima[i]), int(res_r.trimx[i]),
+                        int(res_r.trimd[i]), paths[i], tspace)
+                except AssertionError:
+                    host[i] = True
+                    paths[i] = Path()
 
         def on_pair(e):
           with prof.span("stream.on_pair"):
@@ -265,45 +360,73 @@ class BatchAligner:
             self.stats["device_waves"] += int(res_r.nwaves.sum())
             host = (np.asarray(res_f.fallback[:n])
                     | np.asarray(res_r.fallback[:n])).copy()
+            req = e["h"].get("requeue")
+            if req is not None:
+                # decapitated stragglers: resubmit on the long lane with
+                # the consumed budget as the floor of the new hint
+                host &= ~req
+                spent = max(len(e["h"]["chs_f"]),
+                            len(e["h"]["chs_r"])) * CW
+                for i in np.flatnonzero(req):
+                    it = items[i]
+                    self.stats["requeues"] += 1
+                    nit = WorkItem(it.akey, it.bkey, it.dgmin, it.dgmax,
+                                   it.anti, it.acomp, it.alen, it.blen,
+                                   selfie=it.selfie, lbord=it.lbord,
+                                   hbord=it.hbord,
+                                   waves_hint=spent * 2)
+                    heapq.heappush(long_ready,
+                                   (spent * 2, next(_tick),
+                                    (e["tokens"][i], nit)))
             paths = [Path() for _ in range(n)]
-            tw_f = res_f.trim_wave
-            with prof.span("batch.replay_fwd"):
-                for i in range(n):
-                    if host[i]:
-                        continue
-                    try:
-                        wrep.replay_forward(
-                            self.seq(items[i].akey),
-                            self.seq(items[i].bkey),
-                            int(anti[i]),
-                            int(items[i].alen % tspace
-                                if items[i].acomp else 0),
-                            diags_f[:int(tw_f[i]) + 1, i],
-                            int(res_f.trima[i]), int(res_f.trimx[i]),
-                            int(res_f.trimd[i]), paths[i], tspace)
-                    except AssertionError:
-                        host[i] = True
-                        paths[i] = Path()
+            skiprep = host if req is None else (host | req)
+            with prof.span("batch.replay"):
+                aoffs = np.array(
+                    [it.alen % tspace if it.acomp else 0
+                     for it in items], np.int64)
+                out = wrep.replay_pair_batch(
+                    [self.seq(it.akey) for it in items],
+                    [self.seq(it.bkey) for it in items],
+                    anti[:n], aoffs, tspace,
+                    diags_f, res_f.trim_wave[:n],
+                    res_f.trima[:n], res_f.trimx[:n], res_f.trimd[:n],
+                    diags_r, res_r.trim_wave[:n],
+                    res_r.trima[:n], res_r.trimx[:n], res_r.trimd[:n],
+                    skiprep)
+                if out is None:
+                    _pair_replays_singly(
+                        items, anti, host, paths,
+                        res_f, diags_f, res_r, diags_r,
+                        only=np.flatnonzero(~skiprep))
+                else:
+                    tr, troff, pstats, rcs = out
+                    retry = []
+                    for i in range(n):
+                        if skiprep[i]:
+                            continue
+                        rc = int(rcs[i])
+                        if rc == -3:
+                            retry.append(i)
+                            continue
+                        if rc != 0:
+                            host[i] = True
+                            continue
+                        p = paths[i]
+                        (p.abpos, p.bbpos, p.aepos, p.bepos,
+                         p.diffs) = (int(pstats[i, 0]),
+                                     int(pstats[i, 1]),
+                                     int(pstats[i, 2]),
+                                     int(pstats[i, 3]),
+                                     int(pstats[i, 4]))
+                        seg = tr[2 * int(troff[i]):2 * int(troff[i + 1])]
+                        p.trace = list(map(tuple,
+                                           seg.reshape(-1, 2).tolist()))
+                    if retry:
+                        _pair_replays_singly(
+                            items, anti, host, paths,
+                            res_f, diags_f, res_r, diags_r, only=retry)
             fshort = np.array([(p.aepos + p.bepos) - anti[i] < DUB_TRIM
                                for i, p in enumerate(paths)])
-            tw_r = res_r.trim_wave
-            with prof.span("batch.replay_rev"):
-                for i in range(n):
-                    if host[i]:
-                        continue
-                    try:
-                        wrep.replay_reverse(
-                            self.seq(items[i].akey),
-                            self.seq(items[i].bkey),
-                            int(anti[i]),
-                            int(items[i].alen % tspace
-                                if items[i].acomp else 0),
-                            diags_r[:int(tw_r[i]) + 1, i],
-                            int(res_r.trima[i]), int(res_r.trimx[i]),
-                            int(res_r.trimd[i]), paths[i], tspace)
-                    except AssertionError:
-                        host[i] = True
-                        paths[i] = Path()
             rshort = np.array([anti[i] - (p.abpos + p.bbpos) < DUB_TRIM
                                for i, p in enumerate(paths)])
             rb = dict(items=items, paths=paths, host=host,
@@ -312,6 +435,8 @@ class BatchAligner:
                       rev_nw=np.asarray(res_r.nwaves[:n]))
             fwdr, revr, done = [], [], []
             for i in range(n):
+                if req is not None and req[i]:
+                    continue   # resubmitted on the long lane
                 if host[i]:
                     done.append(i)
                 elif fshort[i] and rshort[i]:
@@ -552,12 +677,19 @@ class BatchAligner:
             for ti in out:
                 push(ti)
 
-        while ready or inflight:
+        while ready or long_ready or inflight:
             # keep the device fed: submit full batches up to the window
             while len(ready) >= B and len(inflight) < max_inflight:
                 submit_fwd(take(B))
+            # long lane: its items run the longest — dispatch full
+            # narrow batches early so they overlap the bulk
+            while len(long_ready) >= SL and len(inflight) < max_inflight:
+                submit_long(take_long(SL))
             if not inflight:
-                submit_fwd(take(min(B, len(ready))))
+                if ready:
+                    submit_fwd(take(min(B, len(ready))))
+                if long_ready:
+                    submit_long(take_long(min(SL, len(long_ready))))
                 continue
             # drain the tail: nothing ready and only one batch in
             # flight -> a partial batch keeps the pipeline deep enough
@@ -566,11 +698,17 @@ class BatchAligner:
                                                e.get("idxs", ())))
                                          for e in inflight) <= 2 * B):
                 submit_fwd(take(min(B, len(ready))))
+            elif long_ready and len(inflight) < 2:
+                submit_long(take_long(min(SL, len(long_ready))))
             e = inflight.popleft()
+            ceng = e.get("eng", eng)
             if e["kind"] == "pair":
-                r = eng.collect_pair(e["h"], wait=False)
+                r = ceng.collect_pair(
+                    e["h"], wait=False,
+                    requeue=(not e.get("long")
+                             and _long_engine() is not None))
             else:
-                r = eng.collect(e["h"], wait=False)
+                r = ceng.collect(e["h"], wait=False)
             if r is None:
                 # straggler continuation dispatched; keep the pipeline
                 # moving on other batches while its fetch runs

@@ -315,6 +315,78 @@ def replay_reverse(A, B, anti: int, aoff: int, diags, trima: int,
     path.diffs += trimd
 
 
+def replay_pair_batch(seqs_a, seqs_b, antis, aoffs, tspace,
+                      diags_f, ntw_f, trima_f, trimx_f, trimd_f,
+                      diags_r, ntw_r, trima_r, trimx_r, trimd_r,
+                      skip):
+    """Batched fwd+rev replay with seam merge: ONE C call per device
+    batch (trw_replay_pair_batch) instead of 2n wrapper calls — the
+    per-call ctypes/numpy glue (~22 us) dominated host replay time on
+    the single-core box.
+
+    ``seqs_a``/``seqs_b``: per-item uint8 code arrays (kept alive for
+    the call).  ``diags_f``/``diags_r``: the engine's [G+1, N] diagonal
+    blocks (column i = item i).  Returns (tr, troff, stats, rcs) or
+    None when the native library is unavailable; stats[i] = (abpos,
+    bbpos, aepos, bepos, diffs, seam), rcs[i]: 0 ok, -1/-2 reach short
+    (fwd/rev), -3 capacity (retry that item per-call)."""
+    from .. import native
+    lib = native.get_tracerec()
+    if lib is None or getattr(lib, "trw_replay_pair_batch", None) is None:
+        return None
+    n = len(seqs_a)
+    a8 = [_i8view(a) for a in seqs_a]
+    b8 = [_i8view(b) for b in seqs_b]
+    ap = np.array([a.ctypes.data for a in a8], np.uint64)
+    bp = np.array([b.ctypes.data for b in b8], np.uint64)
+    alens = np.array([len(a) for a in a8], np.int64)
+    blens = np.array([len(b) for b in b8], np.int64)
+    df = np.ascontiguousarray(diags_f, np.int32)
+    dr = np.ascontiguousarray(diags_r, np.int32)
+    ldf, ldr = df.shape[1], dr.shape[1]
+
+    def i64(x):
+        return np.ascontiguousarray(x, np.int64)
+
+    ntwf = np.ascontiguousarray(ntw_f, np.int32)
+    ntwr = np.ascontiguousarray(ntw_r, np.int32)
+    cap = int((alens // tspace).sum()
+              + ntwf.astype(np.int64).sum() + ntwr.astype(np.int64).sum()
+              + 32 * n)
+    tr = np.empty(2 * cap, np.int32)
+    troff = np.empty(n + 1, np.int64)
+    stats = np.zeros(6 * n, np.int64)
+    rcs = np.empty(n, np.int32)
+    sk = np.ascontiguousarray(skip, np.uint8)
+    # bind every array for the call's duration (data_as pointers do not
+    # themselves keep the temporaries alive across all numpy versions)
+    keep = (antis, aoffs, trima_f, trimx_f, trimd_f,
+            trima_r, trimx_r, trimd_r) = (
+        i64(antis), i64(aoffs), i64(trima_f), i64(trimx_f),
+        i64(trimd_f), i64(trima_r), i64(trimx_r), i64(trimd_r))
+    _PP = ctypes.POINTER(ctypes.c_void_p)
+    _I64 = ctypes.POINTER(ctypes.c_int64)
+    lib.trw_replay_pair_batch(
+        ap.ctypes.data_as(_PP), alens.ctypes.data_as(_I64),
+        bp.ctypes.data_as(_PP), blens.ctypes.data_as(_I64),
+        antis.ctypes.data_as(_I64),
+        aoffs.ctypes.data_as(_I64), int(tspace),
+        df.ctypes.data_as(_I32P), ldf, ntwf.ctypes.data_as(_I32P),
+        trima_f.ctypes.data_as(_I64),
+        trimx_f.ctypes.data_as(_I64),
+        trimd_f.ctypes.data_as(_I64),
+        dr.ctypes.data_as(_I32P), ldr, ntwr.ctypes.data_as(_I32P),
+        trima_r.ctypes.data_as(_I64),
+        trimx_r.ctypes.data_as(_I64),
+        trimd_r.ctypes.data_as(_I64),
+        sk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+        tr.ctypes.data_as(_I32P), cap,
+        troff.ctypes.data_as(_I64), stats.ctypes.data_as(_I64),
+        rcs.ctypes.data_as(_I32P))
+    del keep, a8, b8
+    return tr, troff, stats.reshape(n, 6), rcs
+
+
 # -- FASTGA_TPU_REPLAY_CHECK=1: run C and Python replays side by side and
 # dump any divergence (debug aid; the C path is the production one) ------
 

@@ -65,6 +65,60 @@ def test_batched_local_alignment_exact(spec, rng):
         assert p.trace == q.trace, i
 
 
+def test_requeue_long_lane_exact(spec, rng, monkeypatch):
+    """Deliberately under-predicted batches must decapitate stragglers
+    onto the narrow sibling engine (requeue > 0) without changing any
+    result vs the scalar reference."""
+    import threading
+
+    monkeypatch.setenv("FASTGA_TPU_WAVE", "pallas")
+    # cap 4 keeps long_T positive (hint 5 starts in the wide lane) while
+    # the 48-wave budget forces divergent pairs through decapitation
+    monkeypatch.setenv("FASTGA_TPU_PRED_CAP", "4")
+    cases = make_cases(rng, 10)
+    seqs = {}
+    for i, (A, B) in enumerate(cases):
+        seqs[("A", i)] = A
+        seqs[("B", i)] = B
+    pool = seqpack.SeqPool.build(seqs)
+    cfg = wk.WaveConfig(n=64, w=256, chunk=16, max_chunks=256)
+    eng = wk.WaveEngine(spec, cfg)
+    small = wk.WaveEngine(spec, wk.WaveConfig(n=32, w=256, chunk=16,
+                                              max_chunks=256))
+    evt = threading.Event()
+    evt.set()
+    small._warm_evt = evt
+    small._warm_exc = None
+    eng._small = small
+    ba = wb.BatchAligner(spec, pool.words, pool.offs,
+                         lambda k: seqs[k], cfg, engine=eng)
+
+    refs, first = [], []
+    for i, (A, B) in enumerate(cases):
+        anti = int((len(A) // 2 + rng.integers(-200, 200)) * 2)
+        dgmin, dgmax = int(rng.integers(-40, 0)), int(rng.integers(1, 40))
+        # hint=5 waves: far below the actual need for divergent pairs
+        first.append((i, wb.WorkItem(("A", i), ("B", i), dgmin, dgmax,
+                                     anti, False, len(A), len(B),
+                                     waves_hint=5)))
+        refs.append(wr.local_alignment(spec, A, B, dgmin, dgmax, anti,
+                                       -1, -1, selfie=False, acomp=False,
+                                       alen=len(A), blen=len(B)))
+    got = {}
+
+    def more_fn(token, p, waves=-1):
+        got[token] = p
+        return []
+
+    ba.run_stream(first, more_fn)
+    assert ba.stats["requeues"] > 0, "expected straggler requeues"
+    for i, p in enumerate(refs):
+        q = got[i]
+        assert (p.abpos, p.bbpos, p.aepos, p.bepos, p.diffs) == \
+               (q.abpos, q.bbpos, q.aepos, q.bepos, q.diffs), i
+        assert p.trace == q.trace, i
+
+
 def test_e2e_jax_engine_matches_ref_engine(tmp_path, rng):
     from fastga_tpu.io import gdb as gdbm, gix as gixm
     from fastga_tpu.models import aligner
