@@ -909,7 +909,13 @@ class WaveEngine:
     def _chunk_pool(self, pool):
         """Kernel-ready pool operand: for the Pallas path, the prebuilt
         overlapping page-group array (cached per pool object — building
-        it is a 2x-pool HBM copy that once dominated per-chunk cost)."""
+        it is a 2x-pool HBM copy that once dominated per-chunk cost).
+
+        Page groups are zero-padded up to power-of-two tiers so the
+        kernel programs see a FIXED pool shape per tier: without this,
+        every distinct pool bucket changes the pallas operand shape and
+        forces a cold Mosaic recompile of every kernel (the dominant
+        cold-start cost across workload sizes)."""
         if not self._pallas:
             return pool
         if pool.ndim == 3:
@@ -920,10 +926,26 @@ class WaveEngine:
         import jax
         import jax.numpy as jnp
         from . import wave_pallas
-        fn = getattr(self, "_pages_fn", None)
+        fns = getattr(self, "_pages_fns", None)
+        if fns is None:
+            fns = self._pages_fns = {}
+
+        def build_padded(p, ng):
+            pages = wave_pallas.build_pool_pages(jnp, p)
+            pad = ng - pages.shape[0]
+            if pad > 0:
+                pages = jnp.concatenate(
+                    [pages, jnp.zeros((pad,) + pages.shape[1:],
+                                      pages.dtype)], axis=0)
+            return pages
+
+        m = pool.shape[0] // wave_pallas.PGS
+        raw_ng = -(-(m - 1 + 7) // 8) if m > 1 else 1
+        ng = max(256, 1 << (raw_ng - 1).bit_length())   # pow2 tiers
+        key = (pool.shape[0], ng)
+        fn = fns.get(key)
         if fn is None:
-            fn = self._pages_fn = jax.jit(
-                lambda p: wave_pallas.build_pool_pages(jnp, p))
+            fn = fns[key] = jax.jit(lambda p: build_padded(p, ng))
         pages = fn(pool)
         _PAGES_CACHE.append((pool, pages))
         del _PAGES_CACHE[:-2]   # keep the two most recent pools
@@ -1274,6 +1296,149 @@ class WaveEngine:
         self.n_chunk_calls += k
         return st, chs, bls
 
+    def _pair_prog(self, k: int, pages_shape):
+        """ONE jitted program for a whole paired batch: fwd init + k
+        chunks (lax.scan) + walk + rev init from the fwd seam + k chunks
+        + walk -> a SINGLE packed [2*(9+G/16), N] int32 output.
+
+        Motivation (measured on the remote-tunnel platform): each device
+        call carries a ~3-10 ms runtime fixed cost and multi-output jits
+        degrade unpredictably, so the classic per-chunk dispatch paid
+        ~10 ms x ~15 calls per batch.  Here the whole batch is one
+        program with one output; the fixed cost is paid once and the
+        result crosses the tunnel once."""
+        key = ("pairprog", k, tuple(pages_shape))
+        cache = getattr(self, "_pairprog_cache", None)
+        if cache is None:
+            cache = self._pairprog_cache = {}
+        fn = cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        import jax.numpy as jnp
+        from . import wave_pallas
+        cfg = self.cfg
+        CW, N, W = cfg.chunk, cfg.n, cfg.w
+        G = k * CW
+        assert G % 8 == 0
+        walk = wave_pallas.build_backtrack_walk(
+            cfg, G, interpret=self._interp)
+        init_f = wave_pallas.build_wave0_pallas(
+            cfg, +1, interpret=self._interp)
+        init_r = wave_pallas.build_wave0_pallas(
+            cfg, -1, interpret=self._interp)
+        fwd_chunk, rev_chunk = self.fwd_chunk, self.rev_chunk
+        sh16 = (2 * np.arange(16, dtype=np.uint32))[:, None]
+
+        def run_dir(chunk, cpool, targs, st):
+            def body(st, _):
+                st2, chlog, bandlog = chunk(cpool, targs, st)
+                return st2, (chlog, bandlog[:, :, 2])
+
+            st, (chs, kbs) = jax.lax.scan(body, st, None, length=k)
+            ch = chs.reshape(G, N, W)
+            kb = kbs.reshape(G, N)
+            d0, Ds = walk(jnp.transpose(ch, (0, 2, 1)), kb,
+                          st[14], st[13])
+            D = jnp.concatenate([d0[None], Ds], axis=0)
+            delta = (D[1:] - D[:-1] + 1).astype(jnp.uint32)
+            packed = (delta.reshape(G // 16, 16, N)
+                      << jnp.asarray(sh16)[None]).sum(
+                axis=1, dtype=jnp.uint32)
+            fields = jnp.stack(
+                [st[10], st[11], st[12], st[13], st[14],
+                 st[15].astype(jnp.int32), st[16].astype(jnp.int32),
+                 st[17]])
+            return jnp.concatenate(
+                [fields, d0[None],
+                 jax.lax.bitcast_convert_type(packed, jnp.int32)],
+                axis=0)
+
+        def prog(cpool, big):
+            cols = tuple(big[:, j] for j in range(10))
+            targs = cols[:6]
+            dgmin, dgmax, anti, valid = cols[6:10]
+            st_f = init_f(cpool, targs, dgmin, dgmax, anti, valid)
+            pf = run_dir(fwd_chunk, cpool, targs, st_f)
+            seam = pf[8]
+            st_r = init_r(cpool, targs, seam, seam, anti, valid)
+            pr = run_dir(rev_chunk, cpool, targs, st_r)
+            return jnp.concatenate([pf, pr], axis=0)
+
+        fn = jax.jit(prog)
+        cache[key] = fn
+        return fn
+
+    @staticmethod
+    def _pair_k_class(pred: int) -> int:
+        """Round a chunk budget up to a power of two: each class is a
+        separately compiled (and persistently cached) program."""
+        return 1 << (max(1, pred) - 1).bit_length()
+
+    def _collect_pair_fused(self, h, wait: bool, requeue: bool):
+        """collect_pair for fused single-program handles.  Stragglers
+        are either marked for requeue (wide engine) or re-run from
+        scratch with a doubled k class (total work <= 2x the final
+        budget; rare).  Rows still alive at the class cap keep their
+        fallback flag and are replayed exactly on the host."""
+        from ..utils import prof
+        cfg = self.cfg
+        CW = cfg.chunk
+        n = h["n"]
+        kcap = min(int(os.environ.get("FASTGA_TPU_PAIR_FUSED_MAX",
+                                      "64")), cfg.max_chunks)
+        while True:
+            with prof.span("wave.collect_fetch"):
+                h["fetcher"].join()
+                if "fetch_exc" in h:
+                    raise h["fetch_exc"]
+                packed = h["packed_np"]
+            pf = packed[:h["rows_f"]]
+            pr = packed[h["rows_f"]:]
+            alive = (pf[5][:n] != 0) | (pr[5][:n] != 0)
+            if not alive.any():
+                break
+            if requeue:
+                h["requeue"] = alive.copy()
+                break
+            k2 = h["k"] * 2
+            if k2 > kcap:
+                break   # budget exhausted: rows flagged fallback
+            with prof.span("wave.pair_extend"):
+                out = self._pair_prog(k2, h["cpool"].shape)(
+                    h["cpool"], h["big"])
+                self.n_chunk_calls += 2 * k2
+                h["k"] = k2
+                h["rows_f"] = 9 + (k2 * CW) // 16
+                h["packed_dev"] = out
+                self._start_fetch(h, out)
+            if not wait:
+                prof.count("wave.pair_continuations")
+                return None
+        req = h.get("requeue")
+        if req is not None and n:
+            fin = ~req
+            nwf = pf[7][:n][fin]
+            nwr = pr[7][:n][fin]
+            mx = max(int(nwf.max()) if nwf.size else 1,
+                     int(nwr.max()) if nwr.size else 1)
+        else:
+            mx = max(int(pf[7][:n].max()) if n else 1,
+                     int(pr[7][:n].max()) if n else 1)
+        need = max(1, int(-(-mx // CW)))
+        prof.count("wave.pair_pred_chunks", 2 * h["k"])
+        prof.count("wave.pair_need_chunks", need * 2)
+        if len(self._chunk_pred) > 4096:
+            self._chunk_pred.clear()
+        self._chunk_pred[h["pkey"]] = need
+        dflt = getattr(self, "_pred_default", None)
+        if dflt is None:
+            dflt = self._pred_default = {}
+        dflt[+2] = max(need, dflt.get(+2, 2))
+        kb0 = h["kbase0"]
+        return (self._unpack_result(pf, n, kb0),
+                self._unpack_result(pr, n, np.zeros_like(kb0)))
+
     def submit_pair(self, pool, tubes: dict, pred_hint: int = None,
                     pred_cap: int = None):
         """Dispatch forward AND reverse passes of one batch, fully on
@@ -1309,9 +1474,7 @@ class WaveEngine:
             big[:, 7] = padn(tubes["dgmax"])
             big[:, 8] = padn(tubes["anti"])
             big[:n, 9] = 1
-            cols = self._unpack12_fn()(jnp.asarray(big))
-        targs = cols[:6]
-        dgmin, dgmax, anti, valid = cols[6], cols[7], cols[8], cols[9]
+            big_dev = jnp.asarray(big)
         cpool = self._chunk_pool(pool)
         kbase0 = (big[:, 6]
                   + ((big[:, 7] - big[:, 6]) >> 1) - cfg.w // 2)
@@ -1341,6 +1504,24 @@ class WaveEngine:
             int(os.environ.get("FASTGA_TPU_PRED_CAP", "8"))
         pred = max(1, min(int(pred), cap, cfg.max_chunks))
 
+        kcap = int(os.environ.get("FASTGA_TPU_PAIR_FUSED_MAX", "64"))
+        k = self._pair_k_class(pred)
+        if k <= min(kcap, cfg.max_chunks):
+            # fused single-program path: one dispatch, one output
+            with prof.span("wave.pair_dispatch"):
+                out = self._pair_prog(k, cpool.shape)(cpool, big_dev)
+            self.n_chunk_calls += 2 * k
+            h = dict(pair=True, fused=True, n=n, k=k, tubes=tubes,
+                     cpool=cpool, big=big_dev,
+                     rows_f=9 + (k * cfg.chunk) // 16,
+                     kbase0=kbase0, pkey=pkey, fetcher=None,
+                     packed_dev=out)
+            self._start_fetch(h, out)
+            return h
+
+        cols = self._unpack12_fn()(big_dev)
+        targs = cols[:6]
+        dgmin, dgmax, anti, valid = cols[6], cols[7], cols[8], cols[9]
         with prof.span("wave.pair_dispatch"):
             st_f = self._init_fn(+1)(cpool, targs, dgmin, dgmax, anti,
                                      valid)
@@ -1401,6 +1582,8 @@ class WaveEngine:
         cfg = self.cfg
         CW = cfg.chunk
         n = h["n"]
+        if h.get("fused"):
+            return self._collect_pair_fused(h, wait, requeue)
         while True:
             with prof.span("wave.collect_fetch"):
                 h["fetcher"].join()

@@ -365,8 +365,10 @@ class BatchAligner:
                 # decapitated stragglers: resubmit on the long lane with
                 # the consumed budget as the floor of the new hint
                 host &= ~req
-                spent = max(len(e["h"]["chs_f"]),
-                            len(e["h"]["chs_r"])) * CW
+                hh = e["h"]
+                spent = (hh["k"] if hh.get("fused")
+                         else max(len(hh["chs_f"]),
+                                  len(hh["chs_r"]))) * CW
                 for i in np.flatnonzero(req):
                     it = items[i]
                     self.stats["requeues"] += 1

@@ -7,9 +7,12 @@ waves per pallas_call with all state resident in VMEM/registers:
 - grid over tube blocks (BT=8 tubes = one VPU sublane tile, W lanes);
 - per-tube sequence windows staged in VMEM by DMA from the packed pool in
   HBM, refilled when the wavefront escapes them;
-- per-lane sequence fetch via one-hot f32 contractions on the MXU (TPUs
-  have no per-lane gather; a [W, SW] one-hot against 16-bit window halves
-  is exact in f32 and nearly free);
+- per-lane sequence fetch via a fully batched strip select (TPUs have no
+  per-lane gather): a per-tube 64-word strip tracks the active lanes'
+  word span (refreshed by a rare gated row pick + lane roll), and the
+  per-lane extraction is a compare/select sweep over the strip columns
+  batched over all tubes — ~9x cheaper than per-tube one-hot MXU
+  contractions and far smaller Mosaic IR;
 - the suffix-positive trim test computed arithmetically from the match
   bit-vectors (30 fused VPU steps) instead of the reference's 2^15-entry
   tables;
@@ -34,7 +37,10 @@ PGW = 1024      # page size: pages overlap 50% so any <=512-word span fits
                 # entirely in page (start_word >> 9); pages are grouped 8
                 # to a [8, PGW] tile so HBM DMA slices are tile-aligned
 SW = PGW - 8    # refill when an active lane's word index passes this
-NW = 128        # narrowed fetch window words (band spans ~25)
+JW = 64         # per-tube strip words for the batched lane select: a
+                # wave's active lanes span <= (WAVE_LAG + W)/2 bases
+                # (~11 words at W=256), so a 64-word strip leaves ~50
+                # words of drift headroom between per-tube refreshes
 
 NSC = 16        # scalar-state columns (padded to a nice width)
 (SC_KBASE, SC_LOW, SC_HGH, SC_BESTA, SC_BESTX, SC_LASTA, SC_TRIMA,
@@ -43,13 +49,21 @@ NSC = 16        # scalar-state columns (padded to a nice width)
 
 def build_pool_pages(jnp, pool):
     """Overlapping page groups [NG, 8, PGW]: page p = words[p*PGS :
-    p*PGS+PGW] (pure reshape/concat — no gather); edge-replica pad rows
-    keep every page index from the kernel's clip valid.  Costs a
-    2x-pool-size HBM copy — build once per pool and reuse."""
+    p*PGS+PGW] (pure reshape/concat — no gather).  The pool is extended
+    by one zero page stride so the LAST page exists with correct
+    content: the anchor-page choice is p = word >> 9, and for words in
+    the pool's final PGS span that page extends past the pool end —
+    an edge-replica pad there returns data off by PGS words (latent
+    fetch corruption whenever a sequence ends within the last PGS
+    words of its bucket).  Zero tails are only reachable beyond the
+    sentinel-clipped sequence ends.  Costs a 2x-pool-size HBM copy —
+    build once per pool and reuse."""
     m = pool.shape[0] // PGS
     r = pool.reshape(m, PGS)
-    pages = jnp.concatenate([r[:-1], r[1:]], axis=1)         # [m-1, PGW]
-    npad = (-(m - 1)) % 8
+    rz = jnp.concatenate(
+        [r, jnp.zeros((1, PGS), pool.dtype)], axis=0)        # [m+1, PGS]
+    pages = jnp.concatenate([rz[:-1], rz[1:]], axis=1)       # [m, PGW]
+    npad = (-m) % 8
     if npad:
         pages = jnp.concatenate(
             [pages, jnp.repeat(pages[-1:], npad, axis=0)], axis=0)
@@ -86,7 +100,7 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                V_r, Thi_r, Tlo_r, M_r, sc_r,
                pool_r,
                Vo_r, Thio_r, Tloo_r, Mo_r, sco_r, chlog_r, bandlog_r,
-               awin_r, bwin_r, awf_r, bwf_r, sem_r):
+               awin_r, bwin_r, astr_r, bstr_r, sem_r):
         BAR = jnp.int32(BARv)
         NP = pool_r.shape[0] * 8          # pages (incl. edge-replica pads)
         wix = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
@@ -122,77 +136,72 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
             pgw = jnp.clip(woff_r[:, :] + want, 0, NP * PGS - 1)
             page = pgw >> PGS_LOG                                # [BT,1]
             newbase = jnp.where(anybad > 0, page * PGS - woff_r[:, :], base)
-            for t in range(BT):
-                @pl.when(anybad[t, 0] > 0)
-                def _():
-                    dma = pltpu.make_async_copy(
-                        pool_r.at[page[t, 0] >> 3],
-                        win_r.at[t], sem_r.at[slot])
-                    dma.start()
-                    dma.wait()
+
+            @pl.when(anybad.max() > 0)   # skip all BT branch tests when
+            def _():                     # no tube needs a refill (common)
+                for t in range(BT):
+                    @pl.when(anybad[t, 0] > 0)
+                    def _():
+                        dma = pltpu.make_async_copy(
+                            pool_r.at[page[t, 0] >> 3],
+                            win_r.at[t], sem_r.at[slot])
+                        dma.start()
+                        dma.wait()
             return newbase
 
-        def fetch64(win_r, wf_r, base, woff_r, iw, sh, act):
-            """words iw..iw+4 per lane from the staged [8, PGW] page group.
+        def fetchw(win_r, str_r, base, sb_, woff_r, iw, sh, act):
+            """words iw..iw+4 per lane via a batched strip select.
 
-            Per tube: a dynamic lane roll narrows the group to the NW
-            words around the tube's minimum active index (the band only
-            spans ~25 words, so NW=128 is ample); four [1, 8] one-hot
-            dots pick the page sublane per byte plane; one [4, NW] x
-            [NW, 5W] one-hot contraction picks per-lane words for all
-            five word offsets at once.  Byte-plane values are <= 255 so
-            the dots are exact at the TPU's default single-pass-bf16
-            matmul precision.  Assembly and funnel shifting run batched
-            over tubes.  Returns four uint32 words [BT, W]."""
-            loc = jnp.clip(iw - base, 0, PGW - 6)
+            ``str_r`` [BT, JW] caches pool words [sb, sb+JW) per tube
+            (absolute word indices).  A wave's active lanes span only
+            ~(WAVE_LAG + W)/2 bases, so the strip needs a per-tube
+            refresh (one [1, PGW] row pick + dynamic lane roll from the
+            staged page window) only every ~50 words of drift; the hot
+            per-lane extraction is a fully batched compare/select loop
+            over the JW strip columns — no per-tube work at all.
+            Returns (4 funnel-shifted u32 words [BT, W], new sb [BT,1],
+            overflow guard [BT, W])."""
             acti = act.astype(jnp.int32).max(axis=1)[:, None]    # [BT,1]
-            m0 = jnp.clip(jnp.where(act, loc, big).min(axis=1)[:, None],
-                          0, PGW - NW)                           # [BT,1]
-            locn = jnp.clip(loc - m0, 0, NW - 5)                 # [BT,W]
+            m0 = jnp.where(act, iw, big).min(axis=1)[:, None]    # [BT,1]
+            mx = jnp.where(act, iw, -big).max(axis=1)[:, None]
+            stale = (acti > 0) & ((m0 < sb_) | (mx > sb_ + (JW - 5)))
+            sb_new = jnp.clip(m0 - 2 - base, 0, PGW - JW) + base
+            sb = jnp.where(stale, sb_new, sb_)
             subl = ((base + woff_r[:, :]) >> PGS_LOG) & 7        # [BT,1]
-            rix = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-            six = jax.lax.broadcasted_iota(jnp.int32, (NW, 5 * W), 0)
-            for t in range(BT):
-                # only tubes with an active lane fetch: after the first
-                # snake iteration almost every tube is done, and fully
-                # dead tubes never pay for the dots at all
-                @pl.when(acti[t, 0] > 0)
+            off = sb - base                                      # [BT,1]
+            stale_i = stale.astype(jnp.int32)   # Mosaic: no bool squeeze
+
+            @pl.when(stale_i.max() > 0)   # one test skips all BT branch
+            def _():                      # tests when no strip is stale
+              for t in range(BT):
+                @pl.when(stale_i[t, 0] > 0)
                 def _():
-                    w32g = win_r[t]                              # [8, PGW]
-                    wn = pltpu.roll(w32g, (-m0[t, 0]) % PGW, 1)[:, :NW]
-                    ohrow = (rix == subl[t, 0]).astype(jnp.float32)
-                    locn5 = jnp.concatenate(
-                        [locn[t:t + 1, :] + k for k in range(5)], axis=1)
-                    oh5 = (six == locn5).astype(jnp.float32)     # [NW,5W]
-                    rows = []
-                    for b in range(4):
-                        # Mosaic lacks direct u32<->f32 casts: hop via i32
-                        pv = ((wn >> jnp.uint32(8 * b))
-                              & jnp.uint32(0xFF)) \
-                            .astype(jnp.int32).astype(jnp.float32)
-                        rows.append(jax.lax.dot_general(
-                            ohrow, pv, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32))  # [1,NW]
-                    mat4 = jnp.concatenate(rows, axis=0)         # [4, NW]
-                    g = jax.lax.dot_general(
-                        mat4, oh5, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)      # [4, 5W]
-                    gi = g.astype(jnp.int32).astype(jnp.uint32)
-                    wf_r[pl.ds(t, 1), :] = (
-                        gi[0:1, :] | (gi[1:2, :] << jnp.uint32(8))
-                        | (gi[2:3, :] << jnp.uint32(16))
-                        | (gi[3:4, :] << jnp.uint32(24)))        # [1, 5W]
-            wordsall = wf_r[:, :]                                # [BT, 5W]
-            words5 = [wordsall[:, k * W:(k + 1) * W] for k in range(5)]
+                    row = win_r[t, 0:1, :]                       # [1, PGW]
+                    for r in range(1, 8):
+                        row = jnp.where(subl[t, 0] == r,
+                                        win_r[t, r:r + 1, :], row)
+                    str_r[pl.ds(t, 1), :] = pltpu.roll(
+                        row, (-off[t, 0]) % PGW, 1)[:, :JW]
+            locr = iw - sb                                       # [BT,W]
+            bad = act & ((locr < 0) | (locr > JW - 5))
+            locn = jnp.clip(locr, 0, JW - 5)
+            strip = str_r[:, :]                                  # [BT,JW]
+            z32 = jnp.zeros((BT, W), jnp.uint32)
+            w5 = [z32, z32, z32, z32, z32]
+            for j in range(JW - 4):
+                mj = locn == j
+                for kk in range(5):
+                    w5[kk] = jnp.where(mj, strip[:, j + kk:j + kk + 1],
+                                       w5[kk])
             shv = sh.astype(jnp.uint32)                          # [BT, W]
             outs = []
             for k in range(4):
-                lo_ = jnp.where(shv > 0, words5[k] >> shv, words5[k])
+                lo_ = jnp.where(shv > 0, w5[k] >> shv, w5[k])
                 hi_ = jnp.where(shv > 0,
-                                words5[k + 1] << (jnp.uint32(32) - shv),
+                                w5[k + 1] << (jnp.uint32(32) - shv),
                                 jnp.uint32(0))
                 outs.append(lo_ | hi_)
-            return outs                                          # 4x [BT,W]
+            return outs, sb, bad                        # 4x [BT,W], ...
 
         def popcount(v):
             v = v - ((v >> 1) & jnp.uint32(0x55555555))
@@ -256,6 +265,14 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
             return (t15 >= 0) & (t30 + s15 >= 0)
 
         def wave_body(wi, carry):
+            if "noop" in _abl:   # loop/log floor probe (results WRONG)
+                chlog_r[pl.ds(wi, 1)] = jnp.full((1, BT, W), CH_NONE,
+                                                 jnp.uint8)
+                bandlog_r[pl.ds(wi, 1)] = jnp.zeros((1, BT, 128),
+                                                    jnp.int32)
+                return carry
+            if "nocond" in _abl:   # cond-dispatch cost probe
+                return _wave_live(wi, carry)
             anyalive = carry[4][:, SC_ALIVE:SC_ALIVE + 1].max() > 0
             return jax.lax.cond(anyalive, _wave_live, _wave_dead,
                                 wi, carry)
@@ -264,7 +281,7 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
             """No live tube in this block: the XLA stepper still logs
             CH_NONE rows and commits the band fixed point hgh = low - 1
             (ops/wave.py one_wave with alive all-False)."""
-            V, Thi, Tlo, M, sc, abase, bbase = carry
+            V, Thi, Tlo, M, sc, abase, bbase, asb, bsb = carry
             kbase = sc[:, SC_KBASE:SC_KBASE + 1]
             low = sc[:, SC_LOW:SC_LOW + 1]
             hgh = sc[:, SC_HGH:SC_HGH + 1]
@@ -277,10 +294,10 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
             bandlog_r[pl.ds(wi, 1)] = bandcols[None]
             scix = jax.lax.broadcasted_iota(jnp.int32, (BT, NSC), 1)
             sc2 = jnp.where(scix == SC_HGH, low - 1, sc)
-            return V, Thi, Tlo, M, sc2, abase, bbase
+            return V, Thi, Tlo, M, sc2, abase, bbase, asb, bsb
 
         def _wave_live(wi, carry):
-            V, Thi, Tlo, M, sc, abase, bbase = carry
+            V, Thi, Tlo, M, sc, abase, bbase, asb0, bsb0 = carry
             kbase = sc[:, SC_KBASE:SC_KBASE + 1]
             low = sc[:, SC_LOW:SC_LOW + 1]
             hgh = sc[:, SC_HGH:SC_HGH + 1]
@@ -355,7 +372,8 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
             def sbody(st):
                 # cont is carried as int32: scf.yield cannot carry i1
                 # vectors on TPU
-                x_, thi_, tlo_, m_, cont_i, ab_, bb_ = st
+                (x_, thi_, tlo_, m_, cont_i, ab_, bb_, asb_, bsb_,
+                 fbad_) = st
                 cont = cont_i > 0
                 y_ = x_ - k
                 if fwd:
@@ -375,11 +393,16 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                     was = [zz, zz, zz, zz]
                     wbs = [zz + jnp.uint32(1)] * 4
                     ab, bb = ab_, bb_
+                    asb, bsb, fbad = asb_, bsb_, fbad_
                 else:
                     ab = refill(awin_r, ab_, aw_r, iwa, cont, 0)
                     bb = refill(bwin_r, bb_, bw_r, iwb, cont, 1)
-                    was = fetch64(awin_r, awf_r, ab, aw_r, iwa, sha, cont)
-                    wbs = fetch64(bwin_r, bwf_r, bb, bw_r, iwb, shb, cont)
+                    was, asb, abad = fetchw(awin_r, astr_r, ab, asb_,
+                                            aw_r, iwa, sha, cont)
+                    wbs, bsb, bbad = fetchw(bwin_r, bstr_r, bb, bsb_,
+                                            bw_r, iwb, shb, cont)
+                    fbad = fbad_ | (abad | bbad).astype(jnp.int32).max(
+                        axis=1)[:, None]
                 if not fwd:
                     was = [rev2(w) for w in was][::-1]
                     wbs = [rev2(w) for w in wbs][::-1]
@@ -412,15 +435,20 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                     thi2 = nthi
                 x2 = x_ + (run if fwd else -run)
                 cont2 = (cont & (run == 64)).astype(jnp.int32)
-                return x2, thi2, tlo2, m2, cont2, ab, bb
+                return (x2, thi2, tlo2, m2, cont2, ab, bb, asb, bsb,
+                        fbad)
 
             if "nosnake" in _abl:
                 abase2, bbase2 = abase, bbase
+                asb2, bsb2 = asb0, bsb0
+                fbad = jnp.zeros((BT, 1), jnp.int32)
             else:
-                x, thi, tlo, m, _, abase2, bbase2 = jax.lax.while_loop(
+                (x, thi, tlo, m, _, abase2, bbase2, asb2, bsb2,
+                 fbad) = jax.lax.while_loop(
                     scond, sbody,
                     (x, thi, tlo, m, in_band.astype(jnp.int32), abase,
-                     bbase))
+                     bbase, asb0, bsb0,
+                     jnp.zeros((BT, 1), jnp.int32)))
             y = x - k
             if fwd:
                 b_sent = (y < 0) | (y >= blen)
@@ -531,8 +559,10 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                 going = more & (lasta2 <= besta2 + TRIM_MLAG)
             width = hgh4 - low4 + 1
             over = alive & going & (width > W - 4)
-            fall2 = fall | over | (alive & going & empty)
-            alive2 = alive & going & ~over & ~empty
+            fbad_b = fbad > 0   # strip-select overflow guard (never in
+            # practice: active-lane spans are bounded far below JW)
+            fall2 = fall | over | (alive & going & empty) | fbad_b
+            alive2 = alive & going & ~over & ~empty & ~fbad_b
 
             # ---- gated recenter via per-tube dynamic roll ----
             need = (alive2 & ((low4 <= 2) | (hgh4 >= W - 3))
@@ -583,12 +613,13 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                  trimx2, trimd2, trimw2, trims2,
                  alive2.astype(jnp.int32), fall2.astype(jnp.int32), dif2,
                  jnp.zeros((BT, NSC - 14), jnp.int32)], axis=1)
-            return V3, Thi3, Tlo3, M3, sc2, abase2, bbase2
+            return V3, Thi3, Tlo3, M3, sc2, abase2, bbase2, asb2, bsb2
 
         base0 = jnp.full((BT, 1), -big, jnp.int32)
-        V, Thi, Tlo, M, sc, _, _ = jax.lax.fori_loop(
+        V, Thi, Tlo, M, sc, _, _, _, _ = jax.lax.fori_loop(
             0, CW, wave_body,
-            (V_r[:], Thi_r[:], Tlo_r[:], M_r[:], sc_r[:], base0, base0))
+            (V_r[:], Thi_r[:], Tlo_r[:], M_r[:], sc_r[:], base0, base0,
+             base0, base0))
 
         Vo_r[:] = V
         Thio_r[:] = Thi
@@ -622,8 +653,8 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
         scratch_shapes=[
             pltpu.VMEM((BT, 8, PGW), jnp.uint32),
             pltpu.VMEM((BT, 8, PGW), jnp.uint32),
-            pltpu.VMEM((BT, 5 * W), jnp.uint32),
-            pltpu.VMEM((BT, 5 * W), jnp.uint32),
+            pltpu.VMEM((BT, JW), jnp.uint32),
+            pltpu.VMEM((BT, JW), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -804,7 +835,7 @@ def build_wave0_pallas(cfg: WaveConfig, direction: int = +1,
                dgmin_r, dgmax_r, anti_r, valid_r,
                pool_r,
                Vo_r, Thio_r, Tloo_r, Mo_r, sco_r,
-               awin_r, bwin_r, awf_r, bwf_r, sem_r):
+               awin_r, bwin_r, astr_r, bstr_r, sem_r):
         BAR = jnp.int32(BARv)
         NP = pool_r.shape[0] * 8
         wix = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
@@ -829,62 +860,62 @@ def build_wave0_pallas(cfg: WaveConfig, direction: int = +1,
             page = pgw >> PGS_LOG
             newbase = jnp.where(anybad > 0, page * PGS - woff_r[:, :],
                                 base)
-            for t in range(BT):
-                @pl.when(anybad[t, 0] > 0)
-                def _():
-                    dma = pltpu.make_async_copy(
-                        pool_r.at[page[t, 0] >> 3],
-                        win_r.at[t], sem_r.at[slot])
-                    dma.start()
-                    dma.wait()
+
+            @pl.when(anybad.max() > 0)   # one test skips all BT branch
+            def _():                     # tests in the common case
+                for t in range(BT):
+                    @pl.when(anybad[t, 0] > 0)
+                    def _():
+                        dma = pltpu.make_async_copy(
+                            pool_r.at[page[t, 0] >> 3],
+                            win_r.at[t], sem_r.at[slot])
+                        dma.start()
+                        dma.wait()
             return newbase
 
-        def fetch64(win_r, wf_r, base, woff_r, iw, sh, act):
-            loc = jnp.clip(iw - base, 0, PGW - 6)
+        def fetchw(win_r, str_r, base, sb_, woff_r, iw, sh, act):
+            # batched strip-select fetch (see the chunk kernel's twin)
             acti = act.astype(jnp.int32).max(axis=1)[:, None]
-            m0 = jnp.clip(jnp.where(act, loc, big).min(axis=1)[:, None],
-                          0, PGW - NW)
-            locn = jnp.clip(loc - m0, 0, NW - 5)
+            m0 = jnp.where(act, iw, big).min(axis=1)[:, None]
+            mx = jnp.where(act, iw, -big).max(axis=1)[:, None]
+            stale = (acti > 0) & ((m0 < sb_) | (mx > sb_ + (JW - 5)))
+            sb_new = jnp.clip(m0 - 2 - base, 0, PGW - JW) + base
+            sb = jnp.where(stale, sb_new, sb_)
             subl = ((base + woff_r[:, :]) >> PGS_LOG) & 7
-            rix = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-            six = jax.lax.broadcasted_iota(jnp.int32, (NW, 5 * W), 0)
-            for t in range(BT):
-                @pl.when(acti[t, 0] > 0)
+            off = sb - base
+            stale_i = stale.astype(jnp.int32)   # Mosaic: no bool squeeze
+
+            @pl.when(stale_i.max() > 0)   # one test skips all BT branch
+            def _():                      # tests when no strip is stale
+              for t in range(BT):
+                @pl.when(stale_i[t, 0] > 0)
                 def _():
-                    w32g = win_r[t]
-                    wn = pltpu.roll(w32g, (-m0[t, 0]) % PGW, 1)[:, :NW]
-                    ohrow = (rix == subl[t, 0]).astype(jnp.float32)
-                    locn5 = jnp.concatenate(
-                        [locn[t:t + 1, :] + k for k in range(5)], axis=1)
-                    oh5 = (six == locn5).astype(jnp.float32)
-                    rows = []
-                    for b in range(4):
-                        pv = ((wn >> jnp.uint32(8 * b))
-                              & jnp.uint32(0xFF)) \
-                            .astype(jnp.int32).astype(jnp.float32)
-                        rows.append(jax.lax.dot_general(
-                            ohrow, pv, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32))
-                    mat4 = jnp.concatenate(rows, axis=0)
-                    g = jax.lax.dot_general(
-                        mat4, oh5, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    gi = g.astype(jnp.int32).astype(jnp.uint32)
-                    wf_r[pl.ds(t, 1), :] = (
-                        gi[0:1, :] | (gi[1:2, :] << jnp.uint32(8))
-                        | (gi[2:3, :] << jnp.uint32(16))
-                        | (gi[3:4, :] << jnp.uint32(24)))
-            wordsall = wf_r[:, :]
-            words5 = [wordsall[:, k * W:(k + 1) * W] for k in range(5)]
+                    row = win_r[t, 0:1, :]
+                    for r in range(1, 8):
+                        row = jnp.where(subl[t, 0] == r,
+                                        win_r[t, r:r + 1, :], row)
+                    str_r[pl.ds(t, 1), :] = pltpu.roll(
+                        row, (-off[t, 0]) % PGW, 1)[:, :JW]
+            locr = iw - sb
+            bad = act & ((locr < 0) | (locr > JW - 5))
+            locn = jnp.clip(locr, 0, JW - 5)
+            strip = str_r[:, :]
+            z32 = jnp.zeros((BT, W), jnp.uint32)
+            w5 = [z32, z32, z32, z32, z32]
+            for j in range(JW - 4):
+                mj = locn == j
+                for kk in range(5):
+                    w5[kk] = jnp.where(mj, strip[:, j + kk:j + kk + 1],
+                                       w5[kk])
             shv = sh.astype(jnp.uint32)
             outs = []
             for k in range(4):
-                lo_ = jnp.where(shv > 0, words5[k] >> shv, words5[k])
+                lo_ = jnp.where(shv > 0, w5[k] >> shv, w5[k])
                 hi_ = jnp.where(shv > 0,
-                                words5[k + 1] << (jnp.uint32(32) - shv),
+                                w5[k + 1] << (jnp.uint32(32) - shv),
                                 jnp.uint32(0))
                 outs.append(lo_ | hi_)
-            return outs
+            return outs, sb, bad
 
         def popcount(v):
             v = v - ((v >> 1) & jnp.uint32(0x55555555))
@@ -924,10 +955,10 @@ def build_wave0_pallas(cfg: WaveConfig, direction: int = +1,
 
         # ---- snake0 ----
         def scond(st):
-            return st[3].max() > 0
+            return st[6].max() > 0
 
         def sbody(st):
-            x_, ab_, bb_, cont_i = st
+            x_, ab_, bb_, asb_, bsb_, fbad_, cont_i = st
             cont = cont_i > 0
             y_ = x_ - k
             if fwd:
@@ -944,8 +975,12 @@ def build_wave0_pallas(cfg: WaveConfig, direction: int = +1,
             shb = (sb_ & 15) << 1
             ab = refill(awin_r, ab_, aw_r, iwa, cont, 0)
             bb = refill(bwin_r, bb_, bw_r, iwb, cont, 1)
-            was = fetch64(awin_r, awf_r, ab, aw_r, iwa, sha, cont)
-            wbs = fetch64(bwin_r, bwf_r, bb, bw_r, iwb, shb, cont)
+            was, asb, abad = fetchw(awin_r, astr_r, ab, asb_,
+                                    aw_r, iwa, sha, cont)
+            wbs, bsb, bbad = fetchw(bwin_r, bstr_r, bb, bsb_,
+                                    bw_r, iwb, shb, cont)
+            fbad = fbad_ | (abad | bbad).astype(jnp.int32).max(
+                axis=1)[:, None]
             if not fwd:
                 was = [rev2(w) for w in was][::-1]
                 wbs = [rev2(w) for w in wbs][::-1]
@@ -959,11 +994,12 @@ def build_wave0_pallas(cfg: WaveConfig, direction: int = +1,
             run = jnp.where(cont, run, 0)
             x2 = x_ + (run if fwd else -run)
             cont2 = (cont & (run == 64)).astype(jnp.int32)
-            return x2, ab, bb, cont2
+            return x2, ab, bb, asb, bsb, fbad, cont2
 
         base0 = jnp.full((BT, 1), -big, jnp.int32)
-        x, _, _, _ = jax.lax.while_loop(
-            scond, sbody, (x0, base0, base0,
+        x, _, _, _, _, fbad, _ = jax.lax.while_loop(
+            scond, sbody, (x0, base0, base0, base0, base0,
+                           jnp.zeros((BT, 1), jnp.int32),
                            in_band.astype(jnp.int32)))
         y = x - k
         if fwd:
@@ -1046,11 +1082,14 @@ def build_wave0_pallas(cfg: WaveConfig, direction: int = +1,
                                  jnp.uint32(0))
         Mo_r[:, :] = jnp.where(in_band, jnp.int32(PATH_LEN),
                                jnp.int32(0))
-        alive = more & valid
+        fbad_b = fbad > 0   # strip-select overflow guard (never in
+        # practice); flagged as fallback so the host replays exactly
+        alive = more & valid & ~fbad_b
         z = jnp.zeros((BT, 1), jnp.int32)
         sco_r[:, :] = jnp.concatenate(
             [kbase, low2, hgh2, besta, bestx, besta, besta, bestx, z,
-             z, trim_slot, alive.astype(jnp.int32), z, z,
+             z, trim_slot, alive.astype(jnp.int32),
+             fbad_b.astype(jnp.int32), z,
              jnp.zeros((BT, NSC - 14), jnp.int32)], axis=1)
 
     def col():
@@ -1070,8 +1109,8 @@ def build_wave0_pallas(cfg: WaveConfig, direction: int = +1,
         scratch_shapes=[
             pltpu.VMEM((BT, 8, PGW), jnp.uint32),
             pltpu.VMEM((BT, 8, PGW), jnp.uint32),
-            pltpu.VMEM((BT, 5 * W), jnp.uint32),
-            pltpu.VMEM((BT, 5 * W), jnp.uint32),
+            pltpu.VMEM((BT, JW), jnp.uint32),
+            pltpu.VMEM((BT, JW), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -159,3 +159,51 @@ def test_fused_run_matches_chunked(monkeypatch, kmax, resumes):
     for i in range(n):
         assert np.array_equal(diags_c[:tw[i] + 1, i],
                               diags_f[:tw[i] + 1, i]), f"tube {i}"
+
+
+def test_pool_tail_page_fetch_exact():
+    """Sequences ending within the pool's last PGS words must fetch
+    exactly: the anchor page for those words is the pool's final page,
+    which build_pool_pages must materialize with true content (an
+    edge-replica pad there returned data off by PGS words and silently
+    truncated long alignments — the r4 latent-fetch-corruption bug)."""
+    import os
+
+    from fastga_tpu.ops import seqpack, wave as wavek
+    from fastga_tpu.ops.wave_batch import BatchAligner, WorkItem
+    from fastga_tpu.ops.wave_ref import AlignSpec, local_alignment
+
+    os.environ["FASTGA_TPU_WAVE"] = "pallas"
+    try:
+        rng = np.random.default_rng(7)
+        spec = AlignSpec(0.7, 100, False, (0.25, 0.25, 0.25, 0.25))
+        A = rng.integers(0, 4, 30000).astype(np.uint8)
+        B = A.copy()
+        idx = rng.integers(0, len(B), 2400)
+        B[idx] = (B[idx] + rng.integers(1, 4, 2400)) % 4
+        seqs = {("a", 0, False): A, ("b", 0): B}
+        pool = seqpack.SeqPool.build(seqs)
+        # B's data must reach into the last PGS words of the pool for
+        # the regression to bite
+        assert pool.offs[("b", 0)][0] + len(B) // 16 \
+            > len(pool.words) - 512
+        cfg = wavek.WaveConfig(n=64, w=256, chunk=96, max_chunks=64)
+        eng = wavek.WaveEngine(spec, cfg)
+        ba = BatchAligner(spec, pool.words, pool.offs,
+                          lambda k: seqs[k], cfg, engine=eng)
+        items = [WorkItem(("a", 0, False), ("b", 0), -20, 20,
+                          2000 + 9000 * i, False, len(A), len(B))
+                 for i in range(3)]
+        results = {}
+        ba.run_stream([(i, it) for i, it in enumerate(items)],
+                      lambda tok, p, waves=-1: results.__setitem__(
+                          tok, p) or [])
+        for i, it in enumerate(items):
+            ref = local_alignment(spec, A, B, it.dgmin, it.dgmax,
+                                  it.anti, -1, -1)
+            p = results[i]
+            assert (p.abpos, p.bbpos, p.aepos, p.bepos, p.diffs,
+                    p.trace) == (ref.abpos, ref.bbpos, ref.aepos,
+                                 ref.bepos, ref.diffs, ref.trace), i
+    finally:
+        del os.environ["FASTGA_TPU_WAVE"]

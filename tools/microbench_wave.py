@@ -26,6 +26,8 @@ import numpy as np
 
 ABLATIONS = [
     (),
+    ("noop",),
+    ("nocond",),
     ("nosnake",),
     ("nofetch",),
     ("notrim",),
