@@ -659,7 +659,20 @@ def _get_engine(gdb1, gdb2, spec):
             seng._warm_evt = evt2
             seng._warm_exc = None
 
-            def _chained(first=eng, second=seng, b=bucket, e2=evt2):
+            # band-overflow rescue lane (W=512): pre-create so its
+            # kernels warm in the background too — a cold compile at
+            # first overflow would stall the stream for minutes
+            reng = wavek.WaveEngine(
+                spec, wavek.WaveConfig(n=32, w=512, chunk=96,
+                                       max_chunks=max(
+                                           64, kw["max_chunks"])))
+            evt3 = threading.Event()
+            reng._warm_evt = evt3
+            reng._warm_exc = None
+            eng._rescue_engs = {0: reng}
+
+            def _chained(first=eng, second=seng, third=reng, b=bucket,
+                         e2=evt2, e3=evt3):
                 first._warm_evt.wait()
                 try:
                     second.warmup(b)
@@ -667,6 +680,12 @@ def _get_engine(gdb1, gdb2, spec):
                     second._warm_exc = e
                 finally:
                     e2.set()
+                try:
+                    third.warmup(b)
+                except Exception as e:
+                    third._warm_exc = e
+                finally:
+                    e3.set()
 
             threading.Thread(target=_chained, daemon=True).start()
             eng._small = seng
@@ -879,7 +898,8 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
                 item = WorkItem(("a", ar, cm), ("b", br),
                                 q.dgmin, q.dgmax, int(amid), cm,
                                 alen, blen, lbord=lbord, hbord=hbord,
-                                waves_hint=hint)
+                                waves_hint=hint,
+                                hint_measured=q.hint >= 0)
                 return ((q, int(amid), alen, blen, ctg1, ctg2, extent),
                         item)
 

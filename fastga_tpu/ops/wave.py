@@ -55,6 +55,8 @@ class WaveResult(NamedTuple):
     kbase0: np.ndarray
     nwaves: np.ndarray
     fallback: np.ndarray
+    budget: np.ndarray = None   # fallback subset: wave-budget exhausted
+    # (still alive) rather than band overflow / empty band
 
 
 def _ctz2(jnp, x):
@@ -1323,23 +1325,41 @@ class WaveEngine:
         assert G % 8 == 0
         walk = wave_pallas.build_backtrack_walk(
             cfg, G, interpret=self._interp)
+        walk_e = wave_pallas.build_backtrack_walk(
+            cfg, G, interpret=self._interp, kb_embedded=True)
         init_f = wave_pallas.build_wave0_pallas(
             cfg, +1, interpret=self._interp)
         init_r = wave_pallas.build_wave0_pallas(
             cfg, -1, interpret=self._interp)
+        spec = self.spec
+        mega_f = wave_pallas.build_chunk_pallas(
+            cfg, spec.ave_path, spec.mscore, spec.dscore, +1,
+            interpret=self._interp, mega_k=k) if self._pallas else None
+        mega_r = wave_pallas.build_chunk_pallas(
+            cfg, spec.ave_path, spec.mscore, spec.dscore, -1,
+            interpret=self._interp, mega_k=k) if self._pallas else None
         fwd_chunk, rev_chunk = self.fwd_chunk, self.rev_chunk
         sh16 = (2 * np.arange(16, dtype=np.uint32))[:, None]
 
-        def run_dir(chunk, cpool, targs, st):
-            def body(st, _):
-                st2, chlog, bandlog = chunk(cpool, targs, st)
-                return st2, (chlog, bandlog[:, :, 2])
+        def run_dir(chunk, mega, cpool, targs, st):
+            if mega is not None:
+                # ONE early-exit pallas call for all G waves (dead
+                # blocks stop; this platform charges a multi-ms fixed
+                # cost per program execution); per-wave kbase rides in
+                # the choice log's spare bits
+                st, ch, _ = mega(cpool, targs, st)
+                d0, Ds = walk_e(jnp.transpose(ch, (0, 2, 1)),
+                                st[14], st[13])
+            else:
+                def body(st, _):
+                    st2, chlog, bandlog = chunk(cpool, targs, st)
+                    return st2, (chlog, bandlog[:, :, 2])
 
-            st, (chs, kbs) = jax.lax.scan(body, st, None, length=k)
-            ch = chs.reshape(G, N, W)
-            kb = kbs.reshape(G, N)
-            d0, Ds = walk(jnp.transpose(ch, (0, 2, 1)), kb,
-                          st[14], st[13])
+                st, (chs, kbs) = jax.lax.scan(body, st, None, length=k)
+                ch = chs.reshape(G, N, W)
+                kb = kbs.reshape(G, N)
+                d0, Ds = walk(jnp.transpose(ch, (0, 2, 1)), kb,
+                              st[14], st[13])
             D = jnp.concatenate([d0[None], Ds], axis=0)
             delta = (D[1:] - D[:-1] + 1).astype(jnp.uint32)
             packed = (delta.reshape(G // 16, 16, N)
@@ -1359,10 +1379,10 @@ class WaveEngine:
             targs = cols[:6]
             dgmin, dgmax, anti, valid = cols[6:10]
             st_f = init_f(cpool, targs, dgmin, dgmax, anti, valid)
-            pf = run_dir(fwd_chunk, cpool, targs, st_f)
+            pf = run_dir(fwd_chunk, mega_f, cpool, targs, st_f)
             seam = pf[8]
             st_r = init_r(cpool, targs, seam, seam, anti, valid)
-            pr = run_dir(rev_chunk, cpool, targs, st_r)
+            pr = run_dir(rev_chunk, mega_r, cpool, targs, st_r)
             return jnp.concatenate([pf, pr], axis=0)
 
         fn = jax.jit(prog)
@@ -1371,9 +1391,12 @@ class WaveEngine:
 
     @staticmethod
     def _pair_k_class(pred: int) -> int:
-        """Round a chunk budget up to a power of two: each class is a
-        separately compiled (and persistently cached) program."""
-        return 1 << (max(1, pred) - 1).bit_length()
+        """Round a chunk budget up to {4, 16, 64}: each class is a
+        separately compiled (and persistently cached) program, and the
+        mega kernel's per-block early exit makes generous budgets
+        nearly free, so a tiny class set beats fine-grained ones."""
+        p = max(1, pred)
+        return 4 if p <= 4 else (16 if p <= 16 else 64)
 
     def _collect_pair_fused(self, h, wait: bool, requeue: bool):
         """collect_pair for fused single-program handles.  Stragglers
@@ -1385,14 +1408,20 @@ class WaveEngine:
         cfg = self.cfg
         CW = cfg.chunk
         n = h["n"]
-        kcap = min(int(os.environ.get("FASTGA_TPU_PAIR_FUSED_MAX",
-                                      "64")), cfg.max_chunks)
+        kcap = min(int(os.environ.get(
+            "FASTGA_TPU_PAIR_FUSED_MAX",
+            "16" if cfg.n > 128 else "64")), cfg.max_chunks)
         while True:
             with prof.span("wave.collect_fetch"):
-                h["fetcher"].join()
+                if h["fetcher"] is not None:
+                    h["fetcher"].join()
                 if "fetch_exc" in h:
                     raise h["fetch_exc"]
-                packed = h["packed_np"]
+                packed = h.get("packed_np")
+                if packed is None:
+                    raise RuntimeError(
+                        "fused pair handle lost its fetch: keys="
+                        + ",".join(sorted(map(str, h))))
             pf = packed[:h["rows_f"]]
             pr = packed[h["rows_f"]:]
             alive = (pf[5][:n] != 0) | (pr[5][:n] != 0)
@@ -1401,9 +1430,21 @@ class WaveEngine:
             if requeue:
                 h["requeue"] = alive.copy()
                 break
-            k2 = h["k"] * 2
+            k2 = h["k"] * 4
             if k2 > kcap:
-                break   # budget exhausted: rows flagged fallback
+                # beyond the fused class cap: chain to the classic
+                # incremental path (re-runs from scratch once, then
+                # extends chunk-by-chunk up to cfg.max_chunks) instead
+                # of stranding tubes on the scalar host fallback
+                h2 = self.submit_pair(
+                    h["cpool"], h["tubes"],
+                    pred_hint=min(k2, cfg.max_chunks),
+                    pred_cap=cfg.max_chunks, force_classic=True)
+                h["chain"] = h2
+                if not wait:
+                    prof.count("wave.pair_continuations")
+                    return None
+                return self.collect_pair(h2, wait=True)
             with prof.span("wave.pair_extend"):
                 out = self._pair_prog(k2, h["cpool"].shape)(
                     h["cpool"], h["big"])
@@ -1440,7 +1481,7 @@ class WaveEngine:
                 self._unpack_result(pr, n, np.zeros_like(kb0)))
 
     def submit_pair(self, pool, tubes: dict, pred_hint: int = None,
-                    pred_cap: int = None):
+                    pred_cap: int = None, force_classic: bool = False):
         """Dispatch forward AND reverse passes of one batch, fully on
         device: packed upload -> fwd init -> fwd chunks -> fwd walk ->
         rev init from the walk's seam row -> rev chunks -> rev walk ->
@@ -1504,9 +1545,11 @@ class WaveEngine:
             int(os.environ.get("FASTGA_TPU_PRED_CAP", "8"))
         pred = max(1, min(int(pred), cap, cfg.max_chunks))
 
-        kcap = int(os.environ.get("FASTGA_TPU_PAIR_FUSED_MAX", "64"))
+        kcap = int(os.environ.get(
+            "FASTGA_TPU_PAIR_FUSED_MAX",
+            "16" if cfg.n > 128 else "64"))
         k = self._pair_k_class(pred)
-        if k <= min(kcap, cfg.max_chunks):
+        if not force_classic and k <= min(kcap, cfg.max_chunks):
             # fused single-program path: one dispatch, one output
             with prof.span("wave.pair_dispatch"):
                 out = self._pair_prog(k, cpool.shape)(cpool, big_dev)
@@ -1564,7 +1607,8 @@ class WaveEngine:
             trim_slot=packed[4][:n],
             kbase0=kbase0[:n],
             nwaves=packed[7][:n],
-            fallback=fallback[:n])
+            fallback=fallback[:n],
+            budget=alive[:n])
         return res, diags
 
     def collect_pair(self, h, wait: bool = False,
@@ -1582,6 +1626,10 @@ class WaveEngine:
         cfg = self.cfg
         CW = cfg.chunk
         n = h["n"]
+        while "chain" in h:   # over-budget fused handles chain to a
+            h = h["chain"]    # fresh classic handle (fetcher threads
+            # write into the dict they were started with, so the chain
+            # is followed by reference, never by dict mutation)
         if h.get("fused"):
             return self._collect_pair_fused(h, wait, requeue)
         while True:
@@ -1797,7 +1845,8 @@ class WaveEngine:
             trim_slot=packed[4][:n],
             kbase0=h["kbase0"][:n],
             nwaves=packed[7][:n],
-            fallback=fallback[:n])
+            fallback=fallback[:n],
+            budget=alive[:n])
         return res, diags
 
     def run(self, pool, tubes: dict, direction: int, overlap=None):
@@ -2029,5 +2078,6 @@ class WaveEngine:
             trim_slot=packed[4][:n],
             kbase0=kbase0[:n],
             nwaves=packed[7][:n],
-            fallback=fallback[:n])
+            fallback=fallback[:n],
+            budget=alive[:n])
         return res, diags

@@ -34,6 +34,11 @@ class WorkItem:
     lbord: int = -1
     hbord: int = -1
     waves_hint: int = -1   # expected per-direction wave count (-1 unknown)
+    hint_measured: bool = False   # hint from a measured prior tile (vs a
+    # calibration-ratio guess): only measured hints may route an item to
+    # the long lane — a mis-calibrated ratio on a fresh workload (e.g.
+    # low-divergence long contigs) otherwise sends EVERY first tile to
+    # the narrow engine with a maximal chunk budget
 
 
 class BatchAligner:
@@ -74,6 +79,39 @@ class BatchAligner:
             self._pool = jnp.asarray(self._pool_words)
             self.engine._pool_np = (self._pool, self._pool_words)
         return self._pool
+
+    _RESCUE_CFGS = (dict(n=32, w=512, chunk=96),
+                    dict(n=32, w=2048, chunk=24))
+
+    def _rescue_aligner(self, tier: int = 0):
+        """Band-overflow lanes: tubes whose pruned band outgrows the
+        main engine's W fall here instead of the scalar host engine (a
+        single scalar Local_Alignment on a deep tube costs seconds;
+        the wide-band device batch costs milliseconds).  Tier 0 is
+        W=512; the rare tube that outgrows even that gets the W=2048
+        tier before the scalar engine.  Built lazily — overflows are
+        rare — and shared via the engine object so repeated runs reuse
+        the compiled kernels."""
+        bas = getattr(self.engine, "_rescue_bas", None)
+        if bas is None:
+            bas = self.engine._rescue_bas = {}
+        ra = bas.get(tier)
+        if ra is None or ra._pool_words is not self._pool_words:
+            kw = dict(self._RESCUE_CFGS[tier])
+            cfg = wavek.WaveConfig(max_chunks=max(
+                64, self.cfg.max_chunks), **kw)
+            engs = getattr(self.engine, "_rescue_engs", None)
+            if engs is None:
+                engs = self.engine._rescue_engs = {}
+            reng = engs.get(tier)
+            if reng is None:
+                reng = wavek.WaveEngine(self.spec, cfg)
+                engs[tier] = reng
+            ra = BatchAligner(self.spec, self._pool_words, self.offs,
+                              self.seq, cfg, engine=reng,
+                              pool_dev=self._pool)
+            bas[tier] = ra
+        return ra
 
     def _pick_engine(self, nsel: int):
         """The main engine, or its warm small-batch sibling when the
@@ -140,7 +178,7 @@ class BatchAligner:
             prof.count("batch.tubes", len(sel))
             self.stats["device_waves"] += int(res.nwaves.sum())
             for j, i in enumerate(sel):
-                rows[i] = tuple(int(f[j]) for f in res)
+                rows[i] = tuple(int(f[j]) for f in res[:8])
                 fall[i] = bool(res.fallback[j])
                 if not fall[i]:
                     tw = int(res.trim_wave[j])
@@ -235,7 +273,8 @@ class BatchAligner:
         SL = getattr(getattr(eng, "_small", None), "cfg", self.cfg).n
 
         def push(ti):
-            if use_pair and ti[1].waves_hint > long_T:
+            if use_pair and ti[1].waves_hint > long_T \
+                    and ti[1].hint_measured:
                 heapq.heappush(long_ready,
                                (ti[1].waves_hint, next(_tick), ti))
             else:
@@ -360,6 +399,13 @@ class BatchAligner:
             self.stats["device_waves"] += int(res_r.nwaves.sum())
             host = (np.asarray(res_f.fallback[:n])
                     | np.asarray(res_r.fallback[:n])).copy()
+            if res_f.budget is not None:
+                bud = (np.asarray(res_f.budget[:n])
+                       | np.asarray(res_r.budget[:n]))
+                self.stats["fall_budget"] = self.stats.get(
+                    "fall_budget", 0) + int(bud.sum())
+                self.stats["fall_band"] = self.stats.get(
+                    "fall_band", 0) + int((host & ~bud).sum())
             req = e["h"].get("requeue")
             if req is not None:
                 # decapitated stragglers: resubmit on the long lane with
@@ -376,7 +422,8 @@ class BatchAligner:
                                    it.anti, it.acomp, it.alen, it.blen,
                                    selfie=it.selfie, lbord=it.lbord,
                                    hbord=it.hbord,
-                                   waves_hint=spent * 2)
+                                   waves_hint=spent * 2,
+                                   hint_measured=True)
                     heapq.heappush(long_ready,
                                    (spent * 2, next(_tick),
                                     (e["tokens"][i], nit)))
@@ -644,24 +691,24 @@ class BatchAligner:
                     paths[i] = Path()
             finalize(rb, e["idxs"])
 
+        rescue = []   # (rb, i): device-flagged tubes awaiting the
+        # W=512 band-overflow lane (flushed when the pipeline drains)
+
         def finalize(rb, idxs):
-            """Fallbacks, complement reflection and result delivery for
-            a subset of a reverse batch's items (per-queue order is
-            preserved: a queue has at most one item in flight)."""
+            """Complement reflection and result delivery for a subset
+            of a batch's items (per-queue order is preserved: a queue
+            has at most one item in flight).  Device-flagged items
+            defer to the wide-band rescue lane — their queues simply
+            pause until the flush."""
             items, paths, host = rb["items"], rb["paths"], rb["host"]
-            with prof.span("batch.host_fallback"):
-                for i in idxs:
-                    if not host[i]:
-                        continue
-                    self.stats["fallbacks"] += 1
-                    it = items[i]
-                    paths[i] = local_alignment(
-                        self.spec, self.seq(it.akey), self.seq(it.bkey),
-                        it.dgmin, it.dgmax, it.anti, it.lbord, it.hbord,
-                        selfie=it.selfie, acomp=it.acomp, alen=it.alen,
-                        blen=it.blen)
+            deliver = []
             for i in idxs:
-                if not host[i] and items[i].acomp:
+                if host[i]:
+                    rescue.append((rb, i))
+                else:
+                    deliver.append(i)
+            for i in deliver:
+                if items[i].acomp:
                     p = paths[i]
                     a0 = p.abpos
                     p.abpos = items[i].alen - p.aepos
@@ -673,13 +720,41 @@ class BatchAligner:
             fwd_nw = rb["fwd_nw"]
             rev_nw = rb["rev_nw"]
             out = []
-            for i in idxs:
+            for i in deliver:
                 out.extend(more_fn(rb["tokens"][i], paths[i],
                                    int(max(fwd_nw[i], rev_nw[i]))))
             for ti in out:
                 push(ti)
 
-        while ready or long_ready or inflight:
+        def flush_rescue():
+            batch = rescue[:]
+            del rescue[:]
+            items = [rb["items"][i] for rb, i in batch]
+            self.stats["rescued"] = self.stats.get("rescued", 0) \
+                + len(items)
+            with prof.span("batch.rescue"):
+                ra = self._rescue_aligner(0)
+                paths, still = ra.run(items, defer_fallback=True)
+                if still.any():
+                    ra2 = self._rescue_aligner(1)
+                    idx = np.flatnonzero(still)
+                    self.stats["rescued2"] = self.stats.get(
+                        "rescued2", 0) + len(idx)
+                    p2 = ra2.run([items[i] for i in idx])
+                    for j, i in enumerate(idx):
+                        paths[i] = p2[j]
+                    self.stats["fallbacks"] += ra2.stats["fallbacks"]
+                    ra2.stats["fallbacks"] = 0
+            out = []
+            for (rb, i), p in zip(batch, paths):
+                rb["paths"][i] = p
+                out.extend(more_fn(
+                    rb["tokens"][i], p,
+                    int(max(rb["fwd_nw"][i], rb["rev_nw"][i]))))
+            for ti in out:
+                push(ti)
+
+        while ready or long_ready or inflight or rescue:
             # keep the device fed: submit full batches up to the window
             while len(ready) >= B and len(inflight) < max_inflight:
                 submit_fwd(take(B))
@@ -692,6 +767,8 @@ class BatchAligner:
                     submit_fwd(take(min(B, len(ready))))
                 if long_ready:
                     submit_long(take_long(min(SL, len(long_ready))))
+                if not ready and not long_ready and rescue:
+                    flush_rescue()
                 continue
             # drain the tail: nothing ready and only one batch in
             # flight -> a partial batch keeps the pipeline deep enough
@@ -823,12 +900,17 @@ class BatchAligner:
 
     # -- public --------------------------------------------------------------
 
-    def run(self, items: Sequence[WorkItem]) -> List[Path]:
+    def run(self, items: Sequence[WorkItem],
+            defer_fallback: bool = False):
+        """Synchronous batch; returns paths (or (paths, host-mask)
+        with ``defer_fallback``, leaving device-flagged items to the
+        caller instead of the scalar engine)."""
         n = len(items)
         self.stats["items"] += n
         paths = [Path() for _ in range(n)]
         if n == 0:
-            return paths
+            return (paths, np.zeros(0, bool)) if defer_fallback \
+                else paths
         tspace = self.spec.trace_space
 
         hgh = np.array([it.dgmax for it in items], np.int64)
@@ -966,21 +1048,25 @@ class BatchAligner:
                     paths[i] = Path()
 
         # ---- exact-host fallback ----
-        with prof.span("batch.host_fallback"):
-            for i in np.flatnonzero(host):
-                self.stats["fallbacks"] += 1
-                it = items[i]
-                paths[i] = local_alignment(
-                    self.spec, self.seq(it.akey), self.seq(it.bkey),
-                    it.dgmin, it.dgmax, it.anti, it.lbord, it.hbord,
-                    selfie=it.selfie, acomp=it.acomp, alen=it.alen,
-                    blen=it.blen)
-                # host path includes the acomp flip; skip the flip below
-                host[i] = True
+        if not defer_fallback:
+            with prof.span("batch.host_fallback"):
+                for i in np.flatnonzero(host):
+                    self.stats["fallbacks"] += 1
+                    it = items[i]
+                    paths[i] = local_alignment(
+                        self.spec, self.seq(it.akey),
+                        self.seq(it.bkey),
+                        it.dgmin, it.dgmax, it.anti, it.lbord,
+                        it.hbord,
+                        selfie=it.selfie, acomp=it.acomp, alen=it.alen,
+                        blen=it.blen)
+                    # host path includes the acomp flip
+                    host[i] = True
+        flipped = host if not defer_fallback else host.copy()
 
         # ---- A-complement reflection (align.c:1534-1557) ----
         for i in range(n):
-            if host[i] or not items[i].acomp:
+            if flipped[i] or not items[i].acomp:
                 continue
             p = paths[i]
             a0 = p.abpos
@@ -991,4 +1077,6 @@ class BatchAligner:
             p.bepos = items[i].blen - b0
             p.trace.reverse()
 
+        if defer_fallback:
+            return paths, host
         return paths

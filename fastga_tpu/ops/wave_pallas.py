@@ -72,11 +72,21 @@ def build_pool_pages(jnp, pool):
 
 def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                        dscore: int, direction: int = +1,
-                       interpret: bool = False, ablate: tuple = ()):
+                       interpret: bool = False, ablate: tuple = (),
+                       mega_k: int = 0):
     """Compile the in-VMEM chunk stepper.
 
     Returns fn(pool_words_u32, targs, state) -> (state2, chlog, bandlog)
     with the state-tuple layout of ops/wave.build_forward_chunk.
+
+    ``mega_k`` > 0 selects MEGA mode: ONE pallas call runs up to
+    mega_k*chunk waves with a per-block early-exit while loop; choice
+    logs stage in VMEM and DMA-flush to an HBM output every ``chunk``
+    waves (this platform charges a multi-ms fixed cost per program
+    execution, so per-chunk dispatch dominated the wave phase).  The
+    adapter then returns (state2, chlog [G, N, W] u8, kb [G, N] i32)
+    — dead waves beyond a block's exit are unwritten/garbage and are
+    masked by trim_wave in the backtrack walk.
 
     ``ablate`` (perf attribution only — results are WRONG): any of
     'nosnake' (skip the snake loop), 'nofetch' (snake without sequence
@@ -89,6 +99,8 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
     from jax.experimental.pallas import tpu as pltpu
 
     N, W, CW = cfg.n, cfg.w, cfg.chunk
+    MEGA = mega_k > 0
+    G = CW * mega_k if MEGA else CW
     _abl = frozenset(ablate)
     assert N % BT == 0
     NB = N // BT
@@ -100,8 +112,43 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                V_r, Thi_r, Tlo_r, M_r, sc_r,
                pool_r,
                Vo_r, Thio_r, Tloo_r, Mo_r, sco_r, chlog_r, bandlog_r,
-               awin_r, bwin_r, astr_r, bstr_r, sem_r):
+               awin_r, bwin_r, astr_r, bstr_r, chstg_r, sem_r):
         BAR = jnp.int32(BARv)
+        blk_i = pl.program_id(0)   # hoisted: program_id is not
+        # lowerable inside traced control flow in interpret mode
+
+        def log_rows(wi, choice, bandcols):
+            """Per-wave log emission.  Classic: direct VMEM block
+            writes.  MEGA: the choice row stages in VMEM and flushes to
+            the HBM log by DMA every CW waves (+ a final flush after the
+            loop); the band log carries only the kbase row."""
+            if not MEGA:
+                chlog_r[pl.ds(wi, 1)] = choice[None]
+                bandlog_r[pl.ds(wi, 1)] = bandcols[None]
+                return
+            rem = jax.lax.rem(wi, CW)
+            # kbase rides in the spare high bits of the choice row:
+            # choice needs 2 bits, so lanes l < 16 carry kbase bits
+            # (2l, 2l+1) in bits (2, 3) — the walk reassembles them
+            # (dynamic lane-offset stores for a separate kb log are
+            # not lowerable on TPU)
+            kb_u = bandcols[:, 2:3].astype(jnp.uint32)
+            sh2 = (2 * wix).astype(jnp.uint32)
+            kbbits = jnp.where(wix < 16, (kb_u >> sh2) & jnp.uint32(3),
+                               jnp.uint32(0))
+            chstg_r[pl.ds(rem, 1)] = (
+                choice | (kbbits << jnp.uint32(2)).astype(jnp.uint8)
+            )[None]
+
+            @pl.when(rem == CW - 1)
+            def _():
+                dma = pltpu.make_async_copy(
+                    chstg_r,
+                    chlog_r.at[pl.ds(wi - (CW - 1), CW),
+                               pl.ds(blk_i * BT, BT)],
+                    sem_r.at[2])
+                dma.start()
+                dma.wait()
         NP = pool_r.shape[0] * 8          # pages (incl. edge-replica pads)
         wix = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
         big = jnp.int32(1 << 30)
@@ -266,10 +313,8 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
 
         def wave_body(wi, carry):
             if "noop" in _abl:   # loop/log floor probe (results WRONG)
-                chlog_r[pl.ds(wi, 1)] = jnp.full((1, BT, W), CH_NONE,
-                                                 jnp.uint8)
-                bandlog_r[pl.ds(wi, 1)] = jnp.zeros((1, BT, 128),
-                                                    jnp.int32)
+                log_rows(wi, jnp.full((BT, W), CH_NONE, jnp.uint8),
+                         jnp.zeros((BT, 128), jnp.int32))
                 return carry
             if "nocond" in _abl:   # cond-dispatch cost probe
                 return _wave_live(wi, carry)
@@ -286,12 +331,11 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
             low = sc[:, SC_LOW:SC_LOW + 1]
             hgh = sc[:, SC_HGH:SC_HGH + 1]
             dif = sc[:, SC_DIF:SC_DIF + 1]
-            chlog_r[pl.ds(wi, 1)] = jnp.full((1, BT, W), CH_NONE,
-                                             jnp.uint8)
             bandcols = jnp.concatenate(
                 [low, hgh, kbase, dif,
                  jnp.zeros((BT, 124), jnp.int32)], axis=1)
-            bandlog_r[pl.ds(wi, 1)] = bandcols[None]
+            log_rows(wi, jnp.full((BT, W), CH_NONE, jnp.uint8),
+                     bandcols)
             scix = jax.lax.broadcasted_iota(jnp.int32, (BT, NSC), 1)
             sc2 = jnp.where(scix == SC_HGH, low - 1, sc)
             return V, Thi, Tlo, M, sc2, abase, bbase, asb, bsb
@@ -602,11 +646,10 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                     (V2, Thi2, Tlo2, M2, kbase, low4, hgh4, alive2))
 
             # ---- logs ----
-            chlog_r[pl.ds(wi, 1)] = choice[None]
             bandcols = jnp.concatenate(
                 [low2, hgh2, kbase, dif2,
                  jnp.zeros((BT, 124), jnp.int32)], axis=1)
-            bandlog_r[pl.ds(wi, 1)] = bandcols[None]
+            log_rows(wi, choice, bandcols)
 
             sc2 = jnp.concatenate(
                 [kbase2, low5, hgh5, besta2, bestx2, lasta2, trima2,
@@ -616,10 +659,35 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
             return V3, Thi3, Tlo3, M3, sc2, abase2, bbase2, asb2, bsb2
 
         base0 = jnp.full((BT, 1), -big, jnp.int32)
-        V, Thi, Tlo, M, sc, _, _, _, _ = jax.lax.fori_loop(
-            0, CW, wave_body,
-            (V_r[:], Thi_r[:], Tlo_r[:], M_r[:], sc_r[:], base0, base0,
-             base0, base0))
+        carry0 = (V_r[:], Thi_r[:], Tlo_r[:], M_r[:], sc_r[:],
+                  base0, base0, base0, base0)
+        if not MEGA:
+            V, Thi, Tlo, M, sc, _, _, _, _ = jax.lax.fori_loop(
+                0, CW, wave_body, carry0)
+        else:
+            # early-exit wave loop: a block stops at its last live wave
+            # (unwritten log rows beyond it are masked by trim_wave)
+            def mcond(c):
+                wi, carry = c
+                return ((wi < G)
+                        & (carry[4][:, SC_ALIVE:SC_ALIVE + 1].max()
+                           > 0))
+
+            def mbody(c):
+                wi, carry = c
+                return wi + 1, _wave_live(wi, carry)
+
+            wi_x, (V, Thi, Tlo, M, sc, _, _, _, _) = jax.lax.while_loop(
+                mcond, mbody, (jnp.int32(0), carry0))
+            # flush the staging tail (full CW rows; stale/garbage rows
+            # land beyond the exit wave and are masked downstream)
+            fbase = jnp.clip((wi_x // CW) * CW, 0, G - CW)
+            dma = pltpu.make_async_copy(
+                chstg_r,
+                chlog_r.at[pl.ds(fbase, CW), pl.ds(blk_i * BT, BT)],
+                sem_r.at[2])
+            dma.start()
+            dma.wait()
 
         Vo_r[:] = V
         Thio_r[:] = Thi
@@ -640,22 +708,35 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
     scs = pl.BlockSpec((BT, NSC), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
 
+    if MEGA:
+        # kbase rides inside chlog; a tiny dummy keeps the kernel's
+        # positional signature identical across modes
+        log_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
+                     pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+        log_shapes = [jax.ShapeDtypeStruct((G, N, W), jnp.uint8),
+                      jax.ShapeDtypeStruct((8, 128), jnp.int32)]
+    else:
+        log_specs = [pl.BlockSpec((CW, BT, W), lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((CW, BT, 128), lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+        log_shapes = [jax.ShapeDtypeStruct((CW, N, W), jnp.uint8),
+                      jax.ShapeDtypeStruct((CW, N, 128), jnp.int32)]
+
     grid_spec = pl.GridSpec(
         grid=(NB,),
         in_specs=[col(), col(), col(), col(), col(), col(),
                   row(), row(), row(), row(), scs,
                   pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[row(), row(), row(), row(), scs,
-                   pl.BlockSpec((CW, BT, W), lambda i: (0, i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((CW, BT, 128), lambda i: (0, i, 0),
-                                memory_space=pltpu.VMEM)],
+        out_specs=[row(), row(), row(), row(), scs] + log_specs,
         scratch_shapes=[
             pltpu.VMEM((BT, 8, PGW), jnp.uint32),
             pltpu.VMEM((BT, 8, PGW), jnp.uint32),
             pltpu.VMEM((BT, JW), jnp.uint32),
             pltpu.VMEM((BT, JW), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((CW, BT, W) if MEGA else (1, 1, 1), jnp.uint8),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
 
@@ -668,9 +749,7 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
             jax.ShapeDtypeStruct((N, W), jnp.uint32),
             jax.ShapeDtypeStruct((N, W), jnp.int32),
             jax.ShapeDtypeStruct((N, NSC), jnp.int32),
-            jax.ShapeDtypeStruct((CW, N, W), jnp.uint8),
-            jax.ShapeDtypeStruct((CW, N, 128), jnp.int32),
-        ],
+        ] + log_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -698,21 +777,23 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
         def c2(v):
             return v[:, None].astype(jnp.int32)
 
-        V2, Thi2, Tlo2, M2, sc2, chlog, bandlog = call(
+        outs = call(
             c2(aw), c2(alen), c2(bw), c2(blen), c2(minp), c2(maxp),
             V, Thi, Tlo, M, sc, pages3)
+        V2, Thi2, Tlo2, M2, sc2, chlog, bandlog = outs
         st2 = (V2, Thi2, Tlo2, M2,
                sc2[:, SC_KBASE], sc2[:, SC_LOW], sc2[:, SC_HGH],
                sc2[:, SC_BESTA], sc2[:, SC_BESTX], sc2[:, SC_LASTA],
                sc2[:, SC_TRIMA], sc2[:, SC_TRIMX], sc2[:, SC_TRIMD],
                sc2[:, SC_TRIMW], sc2[:, SC_TRIMS],
                sc2[:, SC_ALIVE] > 0, sc2[:, SC_FALL] > 0, sc2[:, SC_DIF])
-        return st2, chlog, bandlog[:, :, :4]
+        return st2, chlog, (None if MEGA else bandlog[:, :, :4])
 
     return jax.jit(chunk_fn)
 
 
-def build_backtrack_walk(cfg: WaveConfig, G: int, interpret: bool = False):
+def build_backtrack_walk(cfg: WaveConfig, G: int, interpret: bool = False,
+                         kb_embedded: bool = False):
     """In-VMEM path walk over G waves of choice logs.
 
     The XLA formulation (WaveEngine._backtrack_fn) is a lax.scan whose
@@ -743,7 +824,7 @@ def build_backtrack_walk(cfg: WaveConfig, G: int, interpret: bool = False):
     GB = G // WB
     assert GB * WB == G
 
-    def kernel(ch_r, kb_r, td_r, tw_r, Do_r, d0_r, diag_r):
+    def kernel_body(ch_r, kb_r, td_r, tw_r, Do_r, d0_r, diag_r):
         j = pl.program_id(0)
 
         @pl.when(j == 0)
@@ -758,9 +839,20 @@ def build_backtrack_walk(cfg: WaveConfig, G: int, interpret: bool = False):
             w = WB - 1 - i           # block-local wave, descending
             wv = base + w + 1
             ch_w = ch_r[w].astype(jnp.int32)           # [W, N]
-            kb_w = kb_r[w:w + 1, :]                    # [1, N]
+            if kb_embedded:
+                # the mega chunk kernel packs each wave's kbase into
+                # bits (2, 3) of the row's first 16 lanes (2 bits per
+                # lane); choices are the low 2 bits
+                kb_w = jnp.zeros((1, N), jnp.int32)
+                for l in range(16):
+                    kb_w = kb_w | (
+                        ((ch_w[l:l + 1, :] >> 2) & 3) << (2 * l))
+                chv = ch_w & 3
+            else:
+                kb_w = kb_r[w:w + 1, :]                # [1, N]
+                chv = ch_w
             slot = jnp.clip(diag - kb_w, 0, W - 1)
-            cc = jnp.where(subl == slot, ch_w, 0).max(
+            cc = jnp.where(subl == slot, chv, 0).max(
                 axis=0, keepdims=True)                 # [1, N]
             active = wv <= tw
             Do_r[w:w + 1, :] = diag
@@ -773,24 +865,28 @@ def build_backtrack_walk(cfg: WaveConfig, G: int, interpret: bool = False):
         def _():
             d0_r[:, :] = diag
 
+    if kb_embedded:
+        def kernel(ch_r, td_r, tw_r, Do_r, d0_r, diag_r):
+            kernel_body(ch_r, None, td_r, tw_r, Do_r, d0_r, diag_r)
+    else:
+        def kernel(ch_r, kb_r, td_r, tw_r, Do_r, d0_r, diag_r):
+            kernel_body(ch_r, kb_r, td_r, tw_r, Do_r, d0_r, diag_r)
+
+    ch_spec = pl.BlockSpec((WB, W, N), lambda j: (GB - 1 - j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    kb_spec = pl.BlockSpec((WB, N), lambda j: (GB - 1 - j, 0),
+                           memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, N), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
         grid=(GB,),
-        in_specs=[
-            pl.BlockSpec((WB, W, N), lambda j: (GB - 1 - j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((WB, N), lambda j: (GB - 1 - j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=([ch_spec] + ([] if kb_embedded else [kb_spec])
+                  + [vec_spec, vec_spec]),
         out_specs=[
             pl.BlockSpec((WB, N), lambda j: (GB - 1 - j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
+            vec_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((G, N), jnp.int32),
@@ -800,9 +896,15 @@ def build_backtrack_walk(cfg: WaveConfig, G: int, interpret: bool = False):
         interpret=interpret,
     )
 
-    def fn(chT, kb, trim_diag, trim_wave):
-        D, d0 = call(chT, kb, trim_diag[None, :], trim_wave[None, :])
-        return d0[0], D
+    if kb_embedded:
+        def fn(chT, trim_diag, trim_wave):
+            D, d0 = call(chT, trim_diag[None, :], trim_wave[None, :])
+            return d0[0], D
+    else:
+        def fn(chT, kb, trim_diag, trim_wave):
+            D, d0 = call(chT, kb, trim_diag[None, :],
+                         trim_wave[None, :])
+            return d0[0], D
 
     return fn
 

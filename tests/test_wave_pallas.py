@@ -207,3 +207,45 @@ def test_pool_tail_page_fetch_exact():
                                  ref.bepos, ref.diffs, ref.trace), i
     finally:
         del os.environ["FASTGA_TPU_WAVE"]
+
+
+def test_band_overflow_rescue_lane():
+    """Device-flagged tubes (band overflow / exhausted wave budget)
+    must defer to the wide rescue lane (W=512, deep budget) and still
+    match the scalar reference exactly.  A max_chunks=1 main engine
+    guarantees budget exhaustion here."""
+    import os
+
+    from fastga_tpu.ops import seqpack, wave as wavek
+    from fastga_tpu.ops.wave_batch import BatchAligner, WorkItem
+    from fastga_tpu.ops.wave_ref import AlignSpec, local_alignment
+
+    os.environ["FASTGA_TPU_WAVE"] = "pallas"
+    try:
+        rng = np.random.default_rng(11)
+        spec = AlignSpec(0.7, 100, False, (0.25, 0.25, 0.25, 0.25))
+        A = rng.integers(0, 4, 20000).astype(np.uint8)
+        B = _mutate(A, 0.08, rng)
+        seqs = {("a", 0, False): A, ("b", 0): B}
+        pool = seqpack.SeqPool.build(seqs)
+        cfg = wavek.WaveConfig(n=32, w=256, chunk=96, max_chunks=1)
+        eng = wavek.WaveEngine(spec, cfg)
+        ba = BatchAligner(spec, pool.words, pool.offs,
+                          lambda k: seqs[k], cfg, engine=eng)
+        items = [WorkItem(("a", 0, False), ("b", 0), -10, 10,
+                          1000 + 4000 * i, False, len(A), len(B))
+                 for i in range(4)]
+        results = {}
+        ba.run_stream([(i, it) for i, it in enumerate(items)],
+                      lambda tok, p, waves=-1: results.__setitem__(
+                          tok, p) or [])
+        assert ba.stats.get("rescued", 0) > 0, ba.stats
+        for i, it in enumerate(items):
+            ref = local_alignment(spec, A, B, it.dgmin, it.dgmax,
+                                  it.anti, -1, -1)
+            p = results[i]
+            assert (p.abpos, p.bbpos, p.aepos, p.bepos, p.diffs,
+                    p.trace) == (ref.abpos, ref.bbpos, ref.aepos,
+                                 ref.bepos, ref.diffs, ref.trace), i
+    finally:
+        del os.environ["FASTGA_TPU_WAVE"]
