@@ -81,7 +81,7 @@ class BatchAligner:
         return self._pool
 
     _RESCUE_CFGS = (dict(n=32, w=512, chunk=96),
-                    dict(n=32, w=2048, chunk=24))
+                    dict(n=32, w=2048, chunk=24, max_chunks=2048))
 
     def _rescue_aligner(self, tier: int = 0):
         """Band-overflow lanes: tubes whose pruned band outgrows the
@@ -98,8 +98,8 @@ class BatchAligner:
         ra = bas.get(tier)
         if ra is None or ra._pool_words is not self._pool_words:
             kw = dict(self._RESCUE_CFGS[tier])
-            cfg = wavek.WaveConfig(max_chunks=max(
-                64, self.cfg.max_chunks), **kw)
+            kw.setdefault("max_chunks", max(64, self.cfg.max_chunks))
+            cfg = wavek.WaveConfig(**kw)
             engs = getattr(self.engine, "_rescue_engs", None)
             if engs is None:
                 engs = self.engine._rescue_engs = {}
@@ -732,6 +732,14 @@ class BatchAligner:
             items = [rb["items"][i] for rb, i in batch]
             self.stats["rescued"] = self.stats.get("rescued", 0) \
                 + len(items)
+            import os as _os
+            dump = _os.environ.get("FASTGA_TPU_RESCUE_DUMP")
+            if dump:
+                import pickle
+                with open(dump, "ab") as fh:
+                    pickle.dump([(it, self.seq(it.akey),
+                                  self.seq(it.bkey)) for it in items],
+                                fh)
             with prof.span("batch.rescue"):
                 ra = self._rescue_aligner(0)
                 paths, still = ra.run(items, defer_fallback=True)

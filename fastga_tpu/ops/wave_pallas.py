@@ -197,49 +197,69 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
             return newbase
 
         def fetchw(win_r, str_r, base, sb_, woff_r, iw, sh, act):
-            """words iw..iw+4 per lane via a batched strip select.
+            """words iw..iw+4 per lane via batched strip selects.
 
-            ``str_r`` [BT, JW] caches pool words [sb, sb+JW) per tube
-            (absolute word indices).  A wave's active lanes span only
-            ~(WAVE_LAG + W)/2 bases, so the strip needs a per-tube
-            refresh (one [1, PGW] row pick + dynamic lane roll from the
-            staged page window) only every ~50 words of drift; the hot
-            per-lane extraction is a fully batched compare/select loop
-            over the JW strip columns — no per-tube work at all.
+            ``str_r`` [BT, JW] caches pool words [sb, sb+JW) per tube.
+            Active lanes usually cluster within a few words of the band
+            head, but STALE interior lanes (V far behind best — tandem
+            bands) can lag arbitrarily, so the select loops windows over
+            the remaining lanes: each round refreshes the strip to the
+            minimum unfetched word (per-tube gated row pick + lane roll)
+            and gathers every lane that fits; common case is ONE round.
+            Lanes still unfetched after RMAX rounds flag the overflow
+            guard (host replays those tubes exactly).
             Returns (4 funnel-shifted u32 words [BT, W], new sb [BT,1],
             overflow guard [BT, W])."""
-            acti = act.astype(jnp.int32).max(axis=1)[:, None]    # [BT,1]
-            m0 = jnp.where(act, iw, big).min(axis=1)[:, None]    # [BT,1]
-            mx = jnp.where(act, iw, -big).max(axis=1)[:, None]
-            stale = (acti > 0) & ((m0 < sb_) | (mx > sb_ + (JW - 5)))
-            sb_new = jnp.clip(m0 - 2 - base, 0, PGW - JW) + base
-            sb = jnp.where(stale, sb_new, sb_)
+            RMAX = 16
             subl = ((base + woff_r[:, :]) >> PGS_LOG) & 7        # [BT,1]
-            off = sb - base                                      # [BT,1]
-            stale_i = stale.astype(jnp.int32)   # Mosaic: no bool squeeze
-
-            @pl.when(stale_i.max() > 0)   # one test skips all BT branch
-            def _():                      # tests when no strip is stale
-              for t in range(BT):
-                @pl.when(stale_i[t, 0] > 0)
-                def _():
-                    row = win_r[t, 0:1, :]                       # [1, PGW]
-                    for r in range(1, 8):
-                        row = jnp.where(subl[t, 0] == r,
-                                        win_r[t, r:r + 1, :], row)
-                    str_r[pl.ds(t, 1), :] = pltpu.roll(
-                        row, (-off[t, 0]) % PGW, 1)[:, :JW]
-            locr = iw - sb                                       # [BT,W]
-            bad = act & ((locr < 0) | (locr > JW - 5))
-            locn = jnp.clip(locr, 0, JW - 5)
-            strip = str_r[:, :]                                  # [BT,JW]
             z32 = jnp.zeros((BT, W), jnp.uint32)
-            w5 = [z32, z32, z32, z32, z32]
-            for j in range(JW - 4):
-                mj = locn == j
-                for kk in range(5):
-                    w5[kk] = jnp.where(mj, strip[:, j + kk:j + kk + 1],
-                                       w5[kk])
+
+            def fcond(c):
+                return (c[0].max() > 0) & (c[7] < RMAX)
+
+            def fbody(c):
+                rem_i, w0, w1, w2, w3, w4, sb, it = c
+                rem = rem_i > 0
+                m0 = jnp.where(rem, iw, big).min(axis=1)[:, None]
+                need = rem.astype(jnp.int32).max(axis=1)[:, None] > 0
+                stale = need & ((m0 < sb) | (m0 > sb + (JW - 5)))
+                sb2 = jnp.where(
+                    stale, jnp.clip(m0 - 2 - base, 0, PGW - JW) + base,
+                    sb)
+                off = sb2 - base
+                stale_i = stale.astype(jnp.int32)
+
+                @pl.when(stale_i.max() > 0)
+                def _():
+                    for t in range(BT):
+                        @pl.when(stale_i[t, 0] > 0)
+                        def _():
+                            row = win_r[t, 0:1, :]
+                            for r in range(1, 8):
+                                row = jnp.where(subl[t, 0] == r,
+                                                win_r[t, r:r + 1, :],
+                                                row)
+                            str_r[pl.ds(t, 1), :] = pltpu.roll(
+                                row, (-off[t, 0]) % PGW, 1)[:, :JW]
+                locr = iw - sb2
+                sel = rem & (locr >= 0) & (locr <= JW - 5)
+                locn = jnp.clip(locr, 0, JW - 5)
+                strip = str_r[:, :]
+                w5 = [w0, w1, w2, w3, w4]
+                for j in range(JW - 4):
+                    mj = sel & (locn == j)
+                    for kk in range(5):
+                        w5[kk] = jnp.where(
+                            mj, strip[:, j + kk:j + kk + 1], w5[kk])
+                rem2 = jnp.where(sel, 0, rem_i)
+                return (rem2,) + tuple(w5) + (sb2, it + 1)
+
+            (rem_i, w0, w1, w2, w3, w4, sb, _) = jax.lax.while_loop(
+                fcond, fbody,
+                (act.astype(jnp.int32), z32, z32, z32, z32, z32, sb_,
+                 jnp.int32(0)))
+            bad = rem_i > 0
+            w5 = [w0, w1, w2, w3, w4]
             shv = sh.astype(jnp.uint32)                          # [BT, W]
             outs = []
             for k in range(4):
@@ -976,40 +996,70 @@ def build_wave0_pallas(cfg: WaveConfig, direction: int = +1,
             return newbase
 
         def fetchw(win_r, str_r, base, sb_, woff_r, iw, sh, act):
-            # batched strip-select fetch (see the chunk kernel's twin)
-            acti = act.astype(jnp.int32).max(axis=1)[:, None]
-            m0 = jnp.where(act, iw, big).min(axis=1)[:, None]
-            mx = jnp.where(act, iw, -big).max(axis=1)[:, None]
-            stale = (acti > 0) & ((m0 < sb_) | (mx > sb_ + (JW - 5)))
-            sb_new = jnp.clip(m0 - 2 - base, 0, PGW - JW) + base
-            sb = jnp.where(stale, sb_new, sb_)
-            subl = ((base + woff_r[:, :]) >> PGS_LOG) & 7
-            off = sb - base
-            stale_i = stale.astype(jnp.int32)   # Mosaic: no bool squeeze
+            """words iw..iw+4 per lane via batched strip selects.
 
-            @pl.when(stale_i.max() > 0)   # one test skips all BT branch
-            def _():                      # tests when no strip is stale
-              for t in range(BT):
-                @pl.when(stale_i[t, 0] > 0)
-                def _():
-                    row = win_r[t, 0:1, :]
-                    for r in range(1, 8):
-                        row = jnp.where(subl[t, 0] == r,
-                                        win_r[t, r:r + 1, :], row)
-                    str_r[pl.ds(t, 1), :] = pltpu.roll(
-                        row, (-off[t, 0]) % PGW, 1)[:, :JW]
-            locr = iw - sb
-            bad = act & ((locr < 0) | (locr > JW - 5))
-            locn = jnp.clip(locr, 0, JW - 5)
-            strip = str_r[:, :]
+            ``str_r`` [BT, JW] caches pool words [sb, sb+JW) per tube.
+            Active lanes usually cluster within a few words of the band
+            head, but STALE interior lanes (V far behind best — tandem
+            bands) can lag arbitrarily, so the select loops windows over
+            the remaining lanes: each round refreshes the strip to the
+            minimum unfetched word (per-tube gated row pick + lane roll)
+            and gathers every lane that fits; common case is ONE round.
+            Lanes still unfetched after RMAX rounds flag the overflow
+            guard (host replays those tubes exactly).
+            Returns (4 funnel-shifted u32 words [BT, W], new sb [BT,1],
+            overflow guard [BT, W])."""
+            RMAX = 16
+            subl = ((base + woff_r[:, :]) >> PGS_LOG) & 7        # [BT,1]
             z32 = jnp.zeros((BT, W), jnp.uint32)
-            w5 = [z32, z32, z32, z32, z32]
-            for j in range(JW - 4):
-                mj = locn == j
-                for kk in range(5):
-                    w5[kk] = jnp.where(mj, strip[:, j + kk:j + kk + 1],
-                                       w5[kk])
-            shv = sh.astype(jnp.uint32)
+
+            def fcond(c):
+                return (c[0].max() > 0) & (c[7] < RMAX)
+
+            def fbody(c):
+                rem_i, w0, w1, w2, w3, w4, sb, it = c
+                rem = rem_i > 0
+                m0 = jnp.where(rem, iw, big).min(axis=1)[:, None]
+                need = rem.astype(jnp.int32).max(axis=1)[:, None] > 0
+                stale = need & ((m0 < sb) | (m0 > sb + (JW - 5)))
+                sb2 = jnp.where(
+                    stale, jnp.clip(m0 - 2 - base, 0, PGW - JW) + base,
+                    sb)
+                off = sb2 - base
+                stale_i = stale.astype(jnp.int32)
+
+                @pl.when(stale_i.max() > 0)
+                def _():
+                    for t in range(BT):
+                        @pl.when(stale_i[t, 0] > 0)
+                        def _():
+                            row = win_r[t, 0:1, :]
+                            for r in range(1, 8):
+                                row = jnp.where(subl[t, 0] == r,
+                                                win_r[t, r:r + 1, :],
+                                                row)
+                            str_r[pl.ds(t, 1), :] = pltpu.roll(
+                                row, (-off[t, 0]) % PGW, 1)[:, :JW]
+                locr = iw - sb2
+                sel = rem & (locr >= 0) & (locr <= JW - 5)
+                locn = jnp.clip(locr, 0, JW - 5)
+                strip = str_r[:, :]
+                w5 = [w0, w1, w2, w3, w4]
+                for j in range(JW - 4):
+                    mj = sel & (locn == j)
+                    for kk in range(5):
+                        w5[kk] = jnp.where(
+                            mj, strip[:, j + kk:j + kk + 1], w5[kk])
+                rem2 = jnp.where(sel, 0, rem_i)
+                return (rem2,) + tuple(w5) + (sb2, it + 1)
+
+            (rem_i, w0, w1, w2, w3, w4, sb, _) = jax.lax.while_loop(
+                fcond, fbody,
+                (act.astype(jnp.int32), z32, z32, z32, z32, z32, sb_,
+                 jnp.int32(0)))
+            bad = rem_i > 0
+            w5 = [w0, w1, w2, w3, w4]
+            shv = sh.astype(jnp.uint32)                          # [BT, W]
             outs = []
             for k in range(4):
                 lo_ = jnp.where(shv > 0, w5[k] >> shv, w5[k])
@@ -1017,7 +1067,7 @@ def build_wave0_pallas(cfg: WaveConfig, direction: int = +1,
                                 w5[k + 1] << (jnp.uint32(32) - shv),
                                 jnp.uint32(0))
                 outs.append(lo_ | hi_)
-            return outs, sb, bad
+            return outs, sb, bad                        # 4x [BT,W], ...
 
         def popcount(v):
             v = v - ((v >> 1) & jnp.uint32(0x55555555))
