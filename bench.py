@@ -23,8 +23,9 @@ and per-phase detail go to stderr.
 
 Env knobs: BENCH_RR_MBP (primary size/side, default 24),
 BENCH_NCONTIG/BENCH_CLEN (secondary geometry), BENCH_SCENARIOS
-("repeatrich,uniform"), BENCH_RUNS (steady passes, default 1),
-BENCH_ENGINE (jax|ref).
+("repeatrich,uniform"), BENCH_RUNS (steady passes, default 2: the
+first steady pass can still compile programs whose caps the cold
+pass's seed-count estimate re-sized), BENCH_ENGINE (jax|ref).
 """
 
 import faulthandler
@@ -104,7 +105,7 @@ def main():
     from fastga_tpu.utils import synth
 
     engine = os.environ.get("BENCH_ENGINE", "jax")
-    runs = int(os.environ.get("BENCH_RUNS", 1))
+    runs = int(os.environ.get("BENCH_RUNS", 2))
     scenarios = os.environ.get("BENCH_SCENARIOS",
                                "repeatrich,uniform").split(",")
 

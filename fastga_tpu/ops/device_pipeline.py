@@ -980,6 +980,17 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
     < ns).  Returns fixed-cap tube arrays (acont, bcont, comp, dgmin,
     dgmax, alow, ahgh, pairing, ntubes) in host emission order."""
     jax, jnp = _jx()
+    import os as _os
+    _TR = int(_os.environ.get("FASTGA_CHAIN_TRUNC", "0"))
+
+    def _trunc(*dep):
+        # perf-bisect early return (WRONG results): dummy outputs that
+        # depend on the stages computed so far so XLA keeps them
+        z = jnp.zeros(tcap, jnp.int64)
+        acc = jnp.int64(0)
+        for d in dep:
+            acc = acc + d.ravel()[-1].astype(jnp.int64)
+        return (z + acc, z, z, z, z, z, z, z, acc)
     plen, acont, apost, bcont, bpost, bcomp = seeds
     NS = plen.shape[0]
     M2 = 2 * NS
@@ -1033,6 +1044,8 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
             tuple(jnp.concatenate([a, b]) for a, b in
                   ((k1ls, k1u), (k2ls, k2u), (vBls, vBu))))
     k1s, k2s, vBs = srt
+    if _TR == 1:   # after doubled-stream sort+merge
+        return _trunc(k1s, k2s, vBs)
 
     valid = k1s != _I64MAX
     ga = ((k1s >> 39) & (MAX_CONT - 1)).astype(jnp.int32)
@@ -1111,6 +1124,8 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
            | (ll.astype(jnp.int64) << 4) | (seg.astype(jnp.int64) << 3)
            | (new_row.astype(jnp.int64) << 2) | (tag.astype(jnp.int64) << 1)
            | keep_entry.astype(jnp.int64))
+    if _TR == 2:   # after examine/flag scans
+        return _trunc(kcomp, vA, vB2)
     c2s = jax.lax.sort((kcomp, jnp.where(keep_entry, vA, 0),
                         jnp.where(keep_entry, vB2, 0)), num_keys=1)
     vAc, vBc = c2s[1], c2s[2]
@@ -1137,27 +1152,54 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
                                   (f.astype(jnp.int32),))[0]
         return _seg_cummax(jax, jnp, x, f)
 
-    Mx = segmax1(cps, seg)
-    Mprev = jnp.roll(Mx, 1)
-    cps_prev = jnp.roll(cps, 1)
-    inner = (~seg) & valid
-    definite = inner & (aa >= Mprev + chain_break)
-    never = inner & (aa < cps_prev + chain_break)
-    amb = inner & ~definite & ~never
-    brk0 = seg | definite
+    if _TR == 3:   # after compaction sort
+        return _trunc(vAc, vBc)
+    if chain_break >= 256:
+        # Closed-form break test (no fixpoint).  Within a segment aa is
+        # non-decreasing and ll <= 255 (8-bit field), so with
+        # chain_break >= 256: (a) two entries within 255 aa units can
+        # never break apart (a break needs an aa gap >= chain_break),
+        # hence the running chain max at entry i equals the max cps
+        # over trailing entries with aa > aa_{i-1} - 256; (b) any older
+        # entry's cps <= aa + 255 < aa_{i-1} <= cps_{i-1} is dominated.
+        # That value-window max is exactly prefix-max within 256-wide
+        # aa bins joined with the previous bin's full max — two
+        # segmented scans instead of a data-dependent while loop whose
+        # round count equals the longest ambiguous run (the uniform
+        # low-divergence workload drove it to ~10^4 rounds / ~2 min).
+        binb = seg | ((ridx > 0) & ((aa >> 8) != jnp.roll(aa >> 8, 1)))
+        cpse = jnp.where(valid, cps, -big)
+        pbin = segmax1(cpse, binb)
+        prevb = jnp.where(binb & (~seg), jnp.roll(pbin, 1), -big)
+        prevf = segmax1(prevb, binb)
+        WM = jnp.maximum(pbin, prevf)
+        WMp = jnp.roll(WM, 1)
+        brk = seg | ((~seg) & valid & (aa >= WMp + chain_break))
+    else:
+        Mx = segmax1(cps, seg)
+        Mprev = jnp.roll(Mx, 1)
+        cps_prev = jnp.roll(cps, 1)
+        inner = (~seg) & valid
+        definite = inner & (aa >= Mprev + chain_break)
+        never = inner & (aa < cps_prev + chain_break)
+        amb = inner & ~definite & ~never
+        brk0 = seg | definite
 
-    def fix_cond(st):
-        return st[1]
+        def fix_cond(st):
+            return st[1]
 
-    def fix_body(st):
-        brk, _ = st
-        Mc = segmax1(cps, brk)
-        Mcp = jnp.roll(Mc, 1)
-        nb = brk | (amb & (aa >= Mcp + chain_break))
-        return nb, jnp.any(nb != brk)
+        def fix_body(st):
+            brk, _ = st
+            Mc = segmax1(cps, brk)
+            Mcp = jnp.roll(Mc, 1)
+            nb = brk | (amb & (aa >= Mcp + chain_break))
+            return nb, jnp.any(nb != brk)
 
-    brk, _ = jax.lax.while_loop(fix_cond, fix_body, (brk0, jnp.bool_(True)))
+        brk, _ = jax.lax.while_loop(fix_cond, fix_body,
+                                    (brk0, jnp.bool_(True)))
 
+    if _TR == 4:   # after break test
+        return _trunc(brk.astype(jnp.int32))
     # per-chain aggregates: stacked forward scans, values at chain ends
     ch_end = jnp.roll(brk, -1) | (ridx == M2 - 1)
     agg_vals = (

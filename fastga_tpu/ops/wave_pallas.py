@@ -4,7 +4,7 @@ The XLA graph version (ops/wave.py) materializes every [N, W] intermediate
 to HBM — ~67 MB of traffic per wave.  This kernel runs a whole chunk of
 waves per pallas_call with all state resident in VMEM/registers:
 
-- grid over tube blocks (BT=8 tubes = one VPU sublane tile, W lanes);
+- grid over tube blocks (BT=32 tubes per program instance, W lanes);
 - per-tube sequence windows staged in VMEM by DMA from the packed pool in
   HBM, refilled when the wavefront escapes them;
 - per-lane sequence fetch via a fully batched strip select (TPUs have no
@@ -525,57 +525,92 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
             c = (x << 1) - k
 
             # ---- best/trim updates ----
+            # gated: no lane can beat besta when the plain row max
+            # cannot (l_val/t_val <= cbest), and the TRIM_MLAG tail —
+            # a large fraction of every tube's waves — never does, so
+            # the suffix scans, trim tables and argmin reductions all
+            # skip (identity) for whole blocks there
             cm = jnp.where(in_band, c, BAR)
             if fwd:
-                rc = suffix_max(cm)
-                suff_excl = shl(rc, 1, BAR)
-                improver = in_band & (c > jnp.maximum(besta, suff_excl))
-                cbest = rc.max(axis=1)[:, None]
-                better = alive & (cbest > besta)
+                cbest = cm.max(axis=1)[:, None]
+                can = alive & (cbest > besta)
             else:
-                rc = prefix_min(cm)
-                pre_excl = shr(rc, 1, BAR)
-                improver = in_band & (c < jnp.minimum(besta, pre_excl))
-                cbest = rc.min(axis=1)[:, None]
-                better = alive & (cbest < besta)
+                cbest = cm.min(axis=1)[:, None]
+                can = alive & (cbest < besta)
 
-            imp_c = jnp.where(improver, c, BAR)
-            isbest = improver & (imp_c == cbest)
-            bslot = jnp.where(isbest, wix, big).min(axis=1)[:, None]
-            x_at_b = jnp.where(wix == bslot, x, -big).max(axis=1)[:, None]
-            besta2 = jnp.where(better, cbest, besta)
-            bestx2 = jnp.where(better, x_at_b, bestx)
+            def _upd_best(args):
+                (cm, c, thi, tlo, m, dif2, kbase, besta, bestx, lasta,
+                 trima, trimx, trimd, trimw, trims, alive, in_band,
+                 cbest) = args
+                if fwd:
+                    rc = suffix_max(cm)
+                    suff_excl = shl(rc, 1, BAR)
+                    improver = in_band & (c > jnp.maximum(besta,
+                                                          suff_excl))
+                    better = alive & (cbest > besta)
+                else:
+                    rc = prefix_min(cm)
+                    pre_excl = shr(rc, 1, BAR)
+                    improver = in_band & (c < jnp.minimum(besta,
+                                                          pre_excl))
+                    better = alive & (cbest < besta)
 
-            el = improver & (m >= PA)
-            el_c = jnp.where(el, c, BAR)
-            el_any = el.any(axis=1)[:, None]
-            if fwd:
-                l_val = el_c.max(axis=1)[:, None]
-                l_upd = alive & el_any & (l_val > besta)
-            else:
-                l_val = el_c.min(axis=1)[:, None]
-                l_upd = alive & el_any & (l_val < besta)
-            lasta2 = jnp.where(l_upd, l_val, lasta)
+                imp_c = jnp.where(improver, c, BAR)
+                isbest = improver & (imp_c == cbest)
+                bslot = jnp.where(isbest, wix, big).min(
+                    axis=1)[:, None]
+                # x at a slot is derivable: c = 2x - k
+                x_at_b = (cbest + kbase + bslot) >> 1
+                besta2 = jnp.where(better, cbest, besta)
+                bestx2 = jnp.where(better, x_at_b, bestx)
 
-            tok = (jnp.zeros((BT, W), jnp.int32) == 0) \
-                if "notrim" in _abl else trim_ok(thi, tlo)
-            et = el & tok
-            et_c = jnp.where(et, c, BAR)
-            et_any = et.any(axis=1)[:, None]
-            if fwd:
-                t_val = et_c.max(axis=1)[:, None]
-                t_upd = alive & et_any & (t_val > besta)
-            else:
-                t_val = et_c.min(axis=1)[:, None]
-                t_upd = alive & et_any & (t_val < besta)
-            t_hit = et & (et_c == t_val)
-            tslot = jnp.where(t_hit, wix, big).min(axis=1)[:, None]
-            x_at_t = jnp.where(wix == tslot, x, -big).max(axis=1)[:, None]
-            trima2 = jnp.where(t_upd, t_val, trima)
-            trimx2 = jnp.where(t_upd, x_at_t, trimx)
-            trimd2 = jnp.where(t_upd, dif2, trimd)
-            trimw2 = jnp.where(t_upd, dif2, trimw)
-            trims2 = jnp.where(t_upd, kbase + tslot, trims)
+                el = improver & (m >= PA)
+                el_c = jnp.where(el, c, BAR)
+                el_any = el.any(axis=1)[:, None]
+                if fwd:
+                    l_val = el_c.max(axis=1)[:, None]
+                    l_upd = alive & el_any & (l_val > besta)
+                else:
+                    l_val = el_c.min(axis=1)[:, None]
+                    l_upd = alive & el_any & (l_val < besta)
+                lasta2 = jnp.where(l_upd, l_val, lasta)
+
+                tok = (jnp.zeros((BT, W), jnp.int32) == 0) \
+                    if "notrim" in _abl else trim_ok(thi, tlo)
+                et = el & tok
+                et_c = jnp.where(et, c, BAR)
+                et_any = et.any(axis=1)[:, None]
+                if fwd:
+                    t_val = et_c.max(axis=1)[:, None]
+                    t_upd = alive & et_any & (t_val > besta)
+                else:
+                    t_val = et_c.min(axis=1)[:, None]
+                    t_upd = alive & et_any & (t_val < besta)
+                t_hit = et & (et_c == t_val)
+                tslot = jnp.where(t_hit, wix, big).min(
+                    axis=1)[:, None]
+                x_at_t = (t_val + kbase + tslot) >> 1
+                trima2 = jnp.where(t_upd, t_val, trima)
+                trimx2 = jnp.where(t_upd, x_at_t, trimx)
+                trimd2 = jnp.where(t_upd, dif2, trimd)
+                trimw2 = jnp.where(t_upd, dif2, trimw)
+                trims2 = jnp.where(t_upd, kbase + tslot, trims)
+                return (besta2, bestx2, lasta2, trima2, trimx2,
+                        trimd2, trimw2, trims2)
+
+            def _upd_none(args):
+                (cm, c, thi, tlo, m, dif2, kbase, besta, bestx, lasta,
+                 trima, trimx, trimd, trimw, trims, alive, in_band,
+                 cbest) = args
+                return (besta, bestx, lasta, trima, trimx, trimd,
+                        trimw, trims)
+
+            (besta2, bestx2, lasta2, trima2, trimx2, trimd2, trimw2,
+             trims2) = jax.lax.cond(
+                can.astype(jnp.int32).max() > 0, _upd_best, _upd_none,
+                (cm, c, thi, tlo, m, dif2, kbase, besta, bestx, lasta,
+                 trima, trimx, trimd, trimw, trims, alive, in_band,
+                 cbest))
 
             V2 = jnp.where(in_band, c, V1)
             Thi2 = jnp.where(in_band, thi, Thi)
@@ -583,27 +618,52 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
             M2 = jnp.where(in_band, m, M)
 
             # ---- sentinel clipping ----
-            hit = (a_sent | b_sent).any(axis=1)[:, None]
-            more = ~hit
-            by = besta2 - bestx2
-            if fwd:
-                b_in = (by >= 0) & (by < blen)
-                a_in = (bestx2 >= 0) & (bestx2 < alen)
-            else:
-                b_in = (by - 1 >= 0) & (by - 1 < blen)
-                a_in = (bestx2 - 1 >= 0) & (bestx2 - 1 < alen)
-            more = more | (b_in & a_in)
+            # gated: sentinels only fire near sequence ends, so whole
+            # blocks skip the clip reductions on most waves
+            sent = a_sent | b_sent
 
-            if fwd:
-                aclip = jnp.where(a_sent, wix, big).min(axis=1)[:, None]
-                bclip = jnp.where(b_sent, wix, -big).max(axis=1)[:, None]
-                hgh3 = jnp.where(hit & (hgh2 >= aclip), aclip - 1, hgh2)
-                low3 = jnp.where(hit & (low2 <= bclip), bclip + 1, low2)
-            else:
-                aclip = jnp.where(a_sent, wix, -big).max(axis=1)[:, None]
-                bclip = jnp.where(b_sent, wix, big).min(axis=1)[:, None]
-                low3 = jnp.where(hit & (low2 <= aclip), aclip + 1, low2)
-                hgh3 = jnp.where(hit & (hgh2 >= bclip), bclip - 1, hgh2)
+            def _clip_sent(args):
+                a_sent, b_sent, low2, hgh2, besta2, bestx2 = args
+                hit = (a_sent | b_sent).any(axis=1)[:, None]
+                more = ~hit
+                by = besta2 - bestx2
+                if fwd:
+                    b_in = (by >= 0) & (by < blen)
+                    a_in = (bestx2 >= 0) & (bestx2 < alen)
+                else:
+                    b_in = (by - 1 >= 0) & (by - 1 < blen)
+                    a_in = (bestx2 - 1 >= 0) & (bestx2 - 1 < alen)
+                more = more | (b_in & a_in)
+                if fwd:
+                    aclip = jnp.where(a_sent, wix, big).min(
+                        axis=1)[:, None]
+                    bclip = jnp.where(b_sent, wix, -big).max(
+                        axis=1)[:, None]
+                    hgh3 = jnp.where(hit & (hgh2 >= aclip), aclip - 1,
+                                     hgh2)
+                    low3 = jnp.where(hit & (low2 <= bclip), bclip + 1,
+                                     low2)
+                else:
+                    aclip = jnp.where(a_sent, wix, -big).max(
+                        axis=1)[:, None]
+                    bclip = jnp.where(b_sent, wix, big).min(
+                        axis=1)[:, None]
+                    low3 = jnp.where(hit & (low2 <= aclip), aclip + 1,
+                                     low2)
+                    hgh3 = jnp.where(hit & (hgh2 >= bclip), bclip - 1,
+                                     hgh2)
+                # yield int32: scf.yield cannot carry i1 vectors on TPU
+                return more.astype(jnp.int32), low3, hgh3
+
+            def _clip_none(args):
+                a_sent, b_sent, low2, hgh2, besta2, bestx2 = args
+                return jnp.ones((BT, 1), jnp.int32), low2, hgh2
+
+            more_i, low3, hgh3 = jax.lax.cond(
+                sent.astype(jnp.int32).max() > 0, _clip_sent,
+                _clip_none,
+                (a_sent, b_sent, low2, hgh2, besta2, bestx2))
+            more = more_i > 0
 
             if fwd:
                 ok = in_band & (V2 >= besta2 - WAVE_LAG)
