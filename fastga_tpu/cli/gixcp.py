@@ -1,6 +1,5 @@
 """gixcp entry point (see gixxfer.py)."""
-import sys
-
+from . import _common
 from .gixxfer import main_cp as main
 
 if __name__ == "__main__":

@@ -1,6 +1,5 @@
 """gixmv entry point (see gixxfer.py)."""
-import sys
-
+from . import _common
 from .gixxfer import main_mv as main
 
 if __name__ == "__main__":

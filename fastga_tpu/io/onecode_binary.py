@@ -18,9 +18,12 @@ fixed 2-bit little-endian DNAcodec; any list optionally compressed by a
 trained 12-bit length-limited Huffman codec (vcEncode/vcDecode
 ONElib.c:3479-3720) whose table is serialized in the footer.
 
-The writer never trains adaptive codecs (always-raw lists, a valid choice
-the reference reader accepts) but uses DNAcodec for DNA fields as
-required.
+The writer trains adaptive 12-bit Huffman list codecs exactly like the
+reference (_train_codec / vcCreate semantics; see write_binary below):
+the first CODEC_TRAINING bytes of a codec-eligible list type accumulate
+byte histograms, then the trained table compresses subsequent lists,
+matching ONElib's data sections byte for byte (verified by
+tools/refcheck.py --bytecmp).  DNA fields use the fixed DNAcodec.
 """
 
 from __future__ import annotations

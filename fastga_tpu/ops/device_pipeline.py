@@ -46,6 +46,18 @@ MAX_FREQ = 10             # device freq cap (window-min packing: 6+3
                           # six-bit values per value word); higher -f
                           # falls back to the host merge
 
+# Why the last device_tubes* call declined (returned None); the driver
+# (models/aligner.py) surfaces it on stderr and in stats so cap-based
+# host fallbacks are never silent (reference accepts any -f / contig
+# count: FastGA.c:4451-4459).
+DECLINE = None
+
+
+def _decline(reason):
+    global DECLINE
+    DECLINE = reason
+    return None
+
 
 def _jx():
     import jax
@@ -1663,7 +1675,9 @@ def _run_chain_paneled(seeds6, ns_host, nscap, tcap, chain_break,
         hi = int(np.searchsorted(bounds, start + PANEL, side="right")) - 1
         end = int(bounds[hi])
         if end <= start:
-            return None          # one contig's seeds exceed the panel
+            # one contig's seeds exceed the panel
+            return _decline("chain: one contig's seeds exceed the "
+                            "device panel")
         panels.append((start, min(end, ns_host)))
         start = end
     pfn = _chain_panel_jit(PANEL, tcap, chain_break, chain_min)
@@ -1678,7 +1692,7 @@ def _run_chain_paneled(seeds6, ns_host, nscap, tcap, chain_break,
         _chain_dbg(f"panel {pi + 1}/{len(panels)} rows={end - off} "
                    f"nt={nt}: {_t.time() - t0:.2f}s")
         if nt > tcap:
-            return None          # panel tube overflow -> host path
+            return _decline("chain: panel tube overflow")
         outs.append([x[:nt] for x in res[:8]])
         total += nt
     if not outs:
@@ -1757,7 +1771,7 @@ def _finish_tubes(res, ns, nalive, plsum, nscap, acap, tcap, extra_checks):
     # tube overflow test vs the emitted array length: == tcap for the
     # fixed-cap device sweep, exact (never overflows) for the host sweep
     if ns > nscap or nalive > acap or int(nt) > len(ga) or extra_checks():
-        return None
+        return _decline("seed/tube caps exceeded")
     n = int(nt)
     tubes = TubeBatch(
         acont=ga[:n].astype(np.int32), bcont=gb[:n].astype(np.int32),
@@ -1798,13 +1812,14 @@ def device_tubes_tables(t1, t2, alens_by_rank, amax: int, bmax: int,
     from jax import enable_x64
 
     selfish = t2 is t1
-    if freq > MAX_FREQ or t1.n >= (1 << 26) \
-            or (not selfish and t2.n >= (1 << 26)):
-        return None
+    if freq > MAX_FREQ:
+        return _decline(f"-f {freq} > device merge cap {MAX_FREQ}")
+    if t1.n >= (1 << 26) or (not selfish and t2.n >= (1 << 26)):
+        return _decline("GIX table exceeds 2^26 entries")
     if len(t1.perm) >= MAX_CONT or len(t2.perm) >= MAX_CONT:
-        return None
+        return _decline(f">= {MAX_CONT} contigs")
     if amax + 2 * bmax >= (1 << 30) or max(amax, bmax) >= MAX_POST:
-        return None
+        return _decline("contig length exceeds device field width")
 
     has_masks = bool(t1.maskb.any()) or bool(t2.maskb.any()) or soft_mask
 
@@ -1824,7 +1839,7 @@ def device_tubes_tables(t1, t2, alens_by_rank, amax: int, bmax: int,
             (pl, ac, ap, bcn, bp, bo, ns, over, plsum) = yfn(
                 T1, T2, mb1, mb2)
             if int(np.asarray(over)) > 0:
-                return None
+                return _decline("symmetric merge seed cap exceeded")
             NSCAP = NSCAP + NSCAP2
             out = (pl, ac, ap, bcn, bp, bo, ns, np.int32(0), plsum)
         else:
@@ -2016,12 +2031,12 @@ def device_tubes_paneled(gdb1, gdb2, alens_by_rank, freq: int = 10,
     lens1 = gdb1.contig_lengths()
     lens2 = lens1 if selfish else gdb2.contig_lengths()
     if len(lens1) >= MAX_CONT or len(lens2) >= MAX_CONT:
-        return None
+        return _decline(f">= {MAX_CONT} contigs")
     amax, bmax = int(lens1.max()), int(lens2.max())
     if amax + 2 * bmax >= (1 << 30) or max(amax, bmax) >= MAX_POST:
-        return None
+        return _decline("contig length exceeds device field width")
     if freq > MAX_FREQ:
-        return None
+        return _decline(f"-f {freq} > device merge cap {MAX_FREQ}")
     tot1, tot2 = int(lens1.sum()), int(lens2.sum())
 
     with enable_x64():
@@ -2095,7 +2110,7 @@ def device_tubes_paneled(gdb1, gdb2, alens_by_rank, freq: int = 10,
                     f"devpipe panel {p+1}/{P}: ns={int(np.asarray(ns))} "
                     f"over={over} {_t.time()-t0:.2f}s\n")
             if over_tot:
-                return None
+                return _decline("paneled merge seed cap exceeded")
             del T1, T2, out
         spl, sac, sap, sbc, sbp, sbo = _unpack_seeds_jit(GCAP)(g1, g2)
         del g1, g2
@@ -2114,7 +2129,7 @@ def device_tubes_paneled(gdb1, gdb2, alens_by_rank, freq: int = 10,
         outv = tuple(np.asarray(x) for x in res) + (np.asarray(goff),)
     (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt, goff_h) = outv
     if int(goff_h) != nseeds_tot or int(nt) > len(ga):
-        return None
+        return _decline("paneled chain tube cap exceeded")
     n = int(nt)
     tubes = TubeBatch(
         acont=ga[:n].astype(np.int32), bcont=gb[:n].astype(np.int32),
@@ -2134,12 +2149,14 @@ def device_tubes_self(gdb1, alens_by_rank, freq: int = 10,
 
     lens1 = gdb1.contig_lengths()
     if int(lens1.sum()) == 0 or int(lens1.sum()) > _MAX_DEV_BASES:
-        return None
-    if len(lens1) >= MAX_CONT or freq > MAX_FREQ:
-        return None
+        return _decline("genome exceeds single-shot device bases")
+    if len(lens1) >= MAX_CONT:
+        return _decline(f">= {MAX_CONT} contigs")
+    if freq > MAX_FREQ:
+        return _decline(f"-f {freq} > device merge cap {MAX_FREQ}")
     amax = int(lens1.max())
     if 3 * amax >= (1 << 30) or amax >= MAX_POST:
-        return None
+        return _decline("contig length exceeds device field width")
 
     bps1, coff1, clen1, cof1, invp1, nc1, N1 = _prep_genome(gdb1, lens1)
     E1 = max(1 << 12, N1)
@@ -2192,14 +2209,14 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
     tot = int(lens1.sum()) + int(lens2.sum())
     if tot == 0 or int(lens1.sum()) > _MAX_DEV_BASES \
             or int(lens2.sum()) > _MAX_DEV_BASES:
-        return None
+        return _decline("genome exceeds single-shot device bases")
     if len(lens1) >= MAX_CONT or len(lens2) >= MAX_CONT:
-        return None
+        return _decline(f">= {MAX_CONT} contigs")
     amax, bmax = int(lens1.max()), int(lens2.max())
     if amax + 2 * bmax >= (1 << 30) or max(amax, bmax) >= MAX_POST:
-        return None               # int32 geometry only
+        return _decline("contig length exceeds device field width")
     if freq > MAX_FREQ:
-        return None
+        return _decline(f"-f {freq} > device merge cap {MAX_FREQ}")
 
     N1 = _pad_bucket(int(lens1.sum()))
     N2 = _pad_bucket(int(lens2.sum()))
@@ -2245,7 +2262,7 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
             Tf = _gix_jit(N, len(coff), Ef)(bps, coff, clen, invp, nc)
             ne = int(np.asarray(Tf[7]))
             if ne > Ef:
-                return None    # entry cap exceeded -> host fallback
+                return _decline("GIX entry cap exceeded")
             Et = min(_pad_bucket(ne), Ef)
             T = tuple(x[:Et] for x in Tf[:7]) + (Tf[7], Tf[8][:Et])
             cache[("tab", N)] = T
@@ -2273,12 +2290,12 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
                 C1 = None
                 cache1[("drv", N1)] = T1
         if T1 is None:
-            return None
+            return _decline("GIX entry cap exceeded")
         E1 = T1[0].shape[0]
         t0 = _tick("gix1", t0, T1[:6])
         T2 = _full_table(cache2, gdb2, lens2, N2)
         if T2 is None:
-            return None
+            return _decline("GIX entry cap exceeded")
         E2 = T2[0].shape[0]
         t0 = _tick("gix2", t0, T2)
         caps = [NSCAP] + ([NSCAP_FULL] if NSCAP < NSCAP_FULL else [])
@@ -2293,7 +2310,7 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
                 if int(np.asarray(sover)) > 0:
                     if ci + 1 < len(caps):
                         continue   # tight estimate overflowed: full cap
-                    return None
+                    return _decline("merge seed cap exceeded")
                 NSCAP = nscap_try + NSCAP2
                 mout = (spl, sac, sap, sbc, sbp, sbo, sns, np.int32(0),
                         spls)
@@ -2329,7 +2346,7 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
      ne1, ne2) = [np.asarray(x) for x in out]
     if int(ne1) > E1 or int(ne2) > E2 or int(ns) > NSCAP \
             or int(nalive) > ACAP or int(nt) > tcap_eff:
-        return None               # caps exceeded: host fallback
+        return _decline("seed/tube caps exceeded")
     n = int(nt)
     tubes = TubeBatch(
         acont=ga[:n].astype(np.int32), bcont=gb[:n].astype(np.int32),
