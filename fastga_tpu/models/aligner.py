@@ -873,10 +873,32 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
         # flight so host work (wave-0 init, replays, dedup) overlaps
         # device compute and no blocking aliveness polls remain
         # wave-count predictor: a queue's later tiles inherit measured
-        # wave counts; first tiles fall back to a calibrated fraction of
-        # the tube's remaining anti extent (batches sorted by predicted
-        # waves die together, tightening each batch's chunk budget)
-        ratio = [0.05]   # EMA of measured waves per anti unit
+        # wave counts; first tiles are predicted from the chain's seed
+        # coverage (waves ~ diffs ~ uncovered extent; fitted on measured
+        # (extent, cov, waves) triples from the bench workload, see
+        # FASTGA_TPU_HINT_LOG).  Batches sorted by predicted waves die
+        # together, so each 32-tube kernel block's cost ~ its own need
+        # instead of the batch straggler's.
+        ratio = [0.05]   # EMA of measured waves per anti unit (fallback)
+        hint_log = _os.environ.get("FASTGA_TPU_HINT_LOG")
+        hint_fh = open(hint_log, "a") if hint_log else None
+        have_cov = getattr(tubes, "cov", None) is not None \
+            and len(tubes.cov) == tubes.n
+
+        def first_tile_hint(t, extent):
+            """Predicted per-direction wave count for a tube's first
+            tile."""
+            if not have_cov:
+                return int(ratio[0] * extent) + 1
+            text = max(int(tubes.ahgh[t]) - int(tubes.alow[t]), 1)
+            unc = max(text - int(tubes.cov[t]), 0)
+            # fit over bench repeatrich (see tools/fit_hint.py): waves
+            # grow ~0.5/uncovered-anti-unit plus a floor; scaled to the
+            # tile's share of the tube extent
+            pred = 24 + 0.30 * unc + 0.012 * text
+            if extent < text:
+                pred *= max(extent / text, 0.2)
+            return int(pred) + 1
 
         def emit(q):
             """Next device item for queue q (self main-diagonal
@@ -906,18 +928,24 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
                         continue
                 total_calls += 1
                 extent = max(int(q.ahgh) + BUCK_ANTI - int(amid), 1)
+                t = q.tubes[q.ti]
                 hint = q.hint if q.hint >= 0 \
-                    else int(ratio[0] * extent) + 1
+                    else first_tile_hint(t, extent)
                 item = WorkItem(("a", ar, cm), ("b", br),
                                 q.dgmin, q.dgmax, int(amid), cm,
                                 alen, blen, lbord=lbord, hbord=hbord,
                                 waves_hint=hint,
                                 hint_measured=q.hint >= 0)
-                return ((q, int(amid), alen, blen, ctg1, ctg2, extent),
+                return ((q, int(amid), alen, blen, ctg1, ctg2, extent,
+                         t, hint),
                         item)
 
         def more_fn(token, p, waves=-1):
-            q, amid, alen, blen, ctg1, ctg2, extent = token
+            q, amid, alen, blen, ctg1, ctg2, extent, t, hint = token
+            if hint_fh is not None and waves > 0:
+                text = max(int(tubes.ahgh[t]) - int(tubes.alow[t]), 1)
+                cv = int(tubes.cov[t]) if have_cov else -1
+                hint_fh.write(f"{extent} {text} {cv} {waves} {hint}\n")
             q.hint = waves
             if waves > 0:
                 ratio[0] = 0.9 * ratio[0] + 0.1 * (waves / extent)
@@ -1015,12 +1043,20 @@ def _device_align(gdb1, gdb2, tubes, perm1, perm2, lens1, lens2, spec,
                   (wave_engine, getattr(wave_engine, "_small", None))
                   if e is not None) - chunks0
         stats["wave_chunk_calls"] = nch
-        # occupancy: fraction of dispatched (tube-lane x wave) slots a
-        # live tube actually used (chunk programs run cfg.n tubes for
-        # cfg.chunk waves whether alive or not)
+        # occupancy: live tube-waves over the device's true cost — the
+        # kernel runs 32-tube blocks until the LAST tube in a block
+        # dies (per-block early exit), so cost = sum of per-block max
+        # wave counts x 32 lanes.  (The r4 slot-count metric divided by
+        # dispatched chunk x n slots, overstating waste: early-exited
+        # blocks never ran.)
+        bw = ba.stats.get("block_waves", 0)
+        if bw:
+            from ..ops.wave_pallas import BT as _BT
+            stats["wave_occupancy"] = round(
+                ba.stats["device_waves"] / (bw * _BT), 4)
         denom = nch * wave_engine.cfg.chunk * wave_engine.cfg.n
         if denom:
-            stats["wave_occupancy"] = round(
+            stats["wave_occupancy_slots"] = round(
                 ba.stats["device_waves"] / denom, 4)
     if ba._pool is not None:
         pool._dev = ba._pool   # cached pools skip next run's upload

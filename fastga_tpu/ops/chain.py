@@ -63,6 +63,8 @@ class TubeBatch:
     alow: np.ndarray    # int64 — anti range (contig coords)
     ahgh: np.ndarray    # int64
     pairing: np.ndarray  # int64 — diagonal bucket d of the (d,d+1) sweep
+    cov: np.ndarray     # int64 — chain seed coverage (anti units); the
+    # wave scheduler's death predictor (uncovered extent ~ error count)
 
     @property
     def n(self) -> int:
@@ -126,10 +128,11 @@ def chain_tubes(seeds: SeedBatch, amax: int, bmax: int,
         return TubeBatch(*[np.concatenate(
             [getattr(p, f) for p in parts])
             for f in ("acont", "bcont", "comp", "dgmin", "dgmax",
-                      "alow", "ahgh", "pairing")])
+                      "alow", "ahgh", "pairing", "cov")])
     ztube = lambda: TubeBatch(*[np.zeros(0, dt) for dt in
                                 (np.int32, np.int32, bool, np.int32,
-                                 np.int32, np.int64, np.int64, np.int64)])
+                                 np.int32, np.int64, np.int64, np.int64,
+                                 np.int64)])
     if n == 0:
         return ztube()
 
@@ -282,7 +285,7 @@ def chain_tubes(seeds: SeedBatch, amax: int, bmax: int,
         acont=ch_ga[k].astype(np.int32), bcont=ch_gb[k].astype(np.int32),
         comp=ch_gc[k], dgmin=dgmin[k].astype(np.int32),
         dgmax=dgmax[k].astype(np.int32), alow=alow[k], ahgh=ahgh[k],
-        pairing=ch_pair[k])
+        pairing=ch_pair[k], cov=cov[k].astype(np.int64))
 
 
 def _segmented_cummax(x: np.ndarray, seg_start: np.ndarray) -> np.ndarray:

@@ -1271,7 +1271,10 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
           | (ch_pair.astype(jnp.int64) + _POFF))
     c2 = ((ch_alow.astype(jnp.int64) << 15)
           | (ch_dgmax.astype(jnp.int64) << 7) | ch_dgmin.astype(jnp.int64))
-    c3 = ch_ahgh.astype(jnp.int64)
+    # cov rides c3's high bits (ahgh < 2^31, cov < 2^31): the per-chain
+    # seed coverage is the wave-count predictor the batch scheduler
+    # groups tubes by (uncovered extent ~ error count ~ wave count)
+    c3 = (cov.astype(jnp.int64) << 31) | ch_ahgh.astype(jnp.int64)
     kk = jnp.where(keep, jnp.int64(0), jnp.int64(1) << 58) \
         | ridx.astype(jnp.int64)
     osrt = jax.lax.sort((kk, jnp.where(keep, c1, 0),
@@ -1287,7 +1290,8 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
     o_alow = (c2o >> 15).astype(jnp.int32)
     o_dgmax = ((c2o >> 7) & 0xFF).astype(jnp.int32)
     o_dgmin = (c2o & 0x7F).astype(jnp.int32)
-    o_ahgh = c3o.astype(jnp.int32)
+    o_cov = (c3o >> 31).astype(jnp.int32)
+    o_ahgh = (c3o & ((jnp.int64(1) << 31) - 1)).astype(jnp.int32)
 
     # contig-coordinate conversion (tcap-sized gather of the tiny table)
     alen = alens_by_rank[jnp.clip(o_ga, 0, alens_by_rank.shape[0] - 1)]
@@ -1299,7 +1303,8 @@ def chain_tubes_dev(seeds, ns, amax: int, bmax: int, alens_by_rank,
     alow = jnp.where(is_c, o_alow + (alen - amax), o_alow)
     ahgh = jnp.where(is_c, o_ahgh + (alen - amax), o_ahgh)
 
-    return (o_ga, o_gb, is_c, dgmin, dgmax, alow, ahgh, o_pair, ntubes)
+    return (o_ga, o_gb, is_c, dgmin, dgmax, alow, ahgh, o_pair, o_cov,
+            ntubes)
 
 
 # ---------------------------------------------------------------------------
@@ -1688,17 +1693,17 @@ def _run_chain_paneled(seeds6, ns_host, nscap, tcap, chain_break,
         res = pfn(k, v1, v2, np.int64(off), np.int32(end - off),
                   np.int32(amax), np.int32(bmax), jnp.asarray(alens_pad))
         res = [np.asarray(x) for x in res]
-        nt = int(res[8])
+        nt = int(res[9])
         _chain_dbg(f"panel {pi + 1}/{len(panels)} rows={end - off} "
                    f"nt={nt}: {_t.time() - t0:.2f}s")
         if nt > tcap:
             return _decline("chain: panel tube overflow")
-        outs.append([x[:nt] for x in res[:8]])
+        outs.append([x[:nt] for x in res[:9]])
         total += nt
     if not outs:
-        z = [np.zeros(0, np.int64)] * 8
+        z = [np.zeros(0, np.int64)] * 9
         return tuple(z) + (np.int64(0),)
-    cat = [np.concatenate([o[i] for o in outs]) for i in range(8)]
+    cat = [np.concatenate([o[i] for o in outs]) for i in range(9)]
     return tuple(cat) + (np.int64(total),)
 
 
@@ -1747,7 +1752,7 @@ def _run_chain(tubeify, seeds_out, nscap, tcap, chain_break, chain_min,
         res = (t.acont.astype(np.int64), t.bcont.astype(np.int64),
                t.comp.astype(np.int64), t.dgmin.astype(np.int64),
                t.dgmax.astype(np.int64), t.alow, t.ahgh, t.pairing,
-               np.int64(t.n))
+               t.cov, np.int64(t.n))
         return res, ns, nalive, plsum
     if cap < nscap:
         pl, ac, ap, bcn, bp, bo = (
@@ -1765,7 +1770,7 @@ def _run_chain(tubeify, seeds_out, nscap, tcap, chain_break, chain_min,
 
 def _finish_tubes(res, ns, nalive, plsum, nscap, acap, tcap, extra_checks):
     from .chain import TubeBatch
-    (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt) = \
+    (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, cov, nt) = \
         [np.asarray(x) for x in res]
     ns, nalive, plsum = int(ns), int(nalive), int(plsum)
     # tube overflow test vs the emitted array length: == tcap for the
@@ -1778,7 +1783,8 @@ def _finish_tubes(res, ns, nalive, plsum, nscap, acap, tcap, extra_checks):
         comp=np.asarray(gc[:n]).astype(bool),
         dgmin=dgmin[:n].astype(np.int32),
         dgmax=dgmax[:n].astype(np.int32), alow=alow[:n].astype(np.int64),
-        ahgh=ahgh[:n].astype(np.int64), pairing=pair[:n].astype(np.int64))
+        ahgh=ahgh[:n].astype(np.int64), pairing=pair[:n].astype(np.int64),
+        cov=cov[:n].astype(np.int64))
     return tubes, ns, plsum
 
 
@@ -1852,14 +1858,14 @@ def device_tubes_tables(t1, t2, alens_by_rank, amax: int, bmax: int,
             res, ns, nalive, plsum = _run_chain(
                 None, out, NSCAP, tcap_eff, chain_break, chain_min,
                 amax, bmax, alens_by_rank)
-            nt_host = int(np.asarray(res[8]))
+            nt_host = int(np.asarray(res[9]))
             if nt_host <= tcap_eff or tcap_eff >= (1 << 22):
                 break
             tcap_eff = min(_pad_bucket(nt_host + (nt_host >> 2)),
                            1 << 22)
         out2 = tuple(np.asarray(x) for x in res) + (
             np.asarray(ns), np.asarray(nalive), np.asarray(plsum))
-    res, ns, nalive, plsum = out2[:9], out2[9], out2[10], out2[11]
+    res, ns, nalive, plsum = out2[:10], out2[10], out2[11], out2[12]
     return _finish_tubes(res, ns, nalive, plsum, NSCAP, ACAP, tcap_eff,
                          lambda: False)
 
@@ -2121,13 +2127,14 @@ def device_tubes_paneled(gdb1, gdb2, alens_by_rank, freq: int = 10,
             res, ns_, nal_, pls_ = _run_chain(
                 None, seeds9, GCAP, tcap_eff, chain_break, chain_min,
                 amax, bmax, alens_by_rank)
-            nt_host = int(np.asarray(res[8]))
+            nt_host = int(np.asarray(res[9]))
             if nt_host <= tcap_eff or tcap_eff >= (1 << 22):
                 break
             tcap_eff = min(_pad_bucket(nt_host + (nt_host >> 2)),
                            1 << 22)
         outv = tuple(np.asarray(x) for x in res) + (np.asarray(goff),)
-    (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt, goff_h) = outv
+    (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, cov, nt,
+     goff_h) = outv
     if int(goff_h) != nseeds_tot or int(nt) > len(ga):
         return _decline("paneled chain tube cap exceeded")
     n = int(nt)
@@ -2136,7 +2143,8 @@ def device_tubes_paneled(gdb1, gdb2, alens_by_rank, freq: int = 10,
         comp=np.asarray(gc[:n]).astype(bool),
         dgmin=dgmin[:n].astype(np.int32),
         dgmax=dgmax[:n].astype(np.int32), alow=alow[:n].astype(np.int64),
-        ahgh=ahgh[:n].astype(np.int64), pairing=pair[:n].astype(np.int64))
+        ahgh=ahgh[:n].astype(np.int64), pairing=pair[:n].astype(np.int64),
+        cov=cov[:n].astype(np.int64))
     return tubes, nseeds_tot, plsum_tot
 
 
@@ -2175,7 +2183,7 @@ def device_tubes_self(gdb1, alens_by_rank, freq: int = 10,
             res, ns, nalive, plsum = _run_chain(
                 None, out, NSCAP, tcap_eff, chain_break, chain_min,
                 amax, amax, alens_by_rank)
-            nt_host = int(np.asarray(res[8]))
+            nt_host = int(np.asarray(res[9]))
             if nt_host <= tcap_eff or tcap_eff >= (1 << 22):
                 break
             tcap_eff = min(_pad_bucket(nt_host + (nt_host >> 2)),
@@ -2183,8 +2191,8 @@ def device_tubes_self(gdb1, alens_by_rank, freq: int = 10,
         out2 = tuple(np.asarray(x) for x in res) + (
             np.asarray(ns), np.asarray(nalive), np.asarray(plsum),
             np.asarray(ne1))
-    res, ns, nalive, plsum, ne1 = out2[:9], out2[9], out2[10], \
-        out2[11], out2[12]
+    res, ns, nalive, plsum, ne1 = out2[:10], out2[10], out2[11], \
+        out2[12], out2[13]
     return _finish_tubes(res, ns, nalive, plsum, NSCAP, ACAP, tcap_eff,
                          lambda: int(ne1) > E1)
 
@@ -2333,7 +2341,7 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
             res, ns, nalive, plsum = _run_chain(
                 None, mout, NSCAP, tcap_eff, chain_break, chain_min,
                 amax, bmax, alens_by_rank)
-            nt_host = int(np.asarray(res[8]))
+            nt_host = int(np.asarray(res[9]))
             if nt_host <= tcap_eff or tcap_eff >= (1 << 22):
                 break
             # overflow backstop: the seeds are still device-resident,
@@ -2342,8 +2350,8 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
                            1 << 22)
         t0 = _tick("chain", t0, res)
         out = tuple(res) + (ns, nalive, plsum, ne1, ne2)
-    (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt, ns, nalive, plsum,
-     ne1, ne2) = [np.asarray(x) for x in out]
+    (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, cov, nt, ns, nalive,
+     plsum, ne1, ne2) = [np.asarray(x) for x in out]
     if int(ne1) > E1 or int(ne2) > E2 or int(ns) > NSCAP \
             or int(nalive) > ACAP or int(nt) > tcap_eff:
         return _decline("seed/tube caps exceeded")
@@ -2352,5 +2360,6 @@ def device_tubes(gdb1, gdb2, alens_by_rank, freq: int = 10,
         acont=ga[:n].astype(np.int32), bcont=gb[:n].astype(np.int32),
         comp=gc[:n].astype(bool), dgmin=dgmin[:n].astype(np.int32),
         dgmax=dgmax[:n].astype(np.int32), alow=alow[:n].astype(np.int64),
-        ahgh=ahgh[:n].astype(np.int64), pairing=pair[:n].astype(np.int64))
+        ahgh=ahgh[:n].astype(np.int64), pairing=pair[:n].astype(np.int64),
+        cov=cov[:n].astype(np.int64))
     return tubes, int(ns), int(plsum)

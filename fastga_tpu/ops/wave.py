@@ -1590,10 +1590,16 @@ class WaveEngine:
     def _unpack_result(self, packed, n, kbase0):
         cfg = self.cfg
         d0h = packed[8]
-        pk = packed[9:].view(np.uint32)
+        # rows beyond the batch's deepest trim wave are never read by
+        # the replay; and int8->int32 mixed-dtype cumsum hits a numpy
+        # slow path (~30 ms per batch at G=1536) — slice first, cumsum
+        # in int32
+        gneed = int(packed[3][:n].max()) + 1 if n else 1
+        kp = min((gneed + 15) // 16, packed.shape[0] - 9)
+        pk = packed[9:9 + kp].view(np.uint32)
         unsh = (2 * np.arange(16, dtype=np.uint32))
         deltas = ((pk[:, None, :] >> unsh[None, :, None]) & 3) \
-            .reshape(-1, cfg.n).astype(np.int8)
+            .reshape(-1, cfg.n).astype(np.int32)
         deltas -= 1
         diags = np.concatenate(
             [d0h[None], d0h[None] + np.cumsum(deltas, 0,
@@ -1818,10 +1824,12 @@ class WaveEngine:
             # wastes cheap mostly-dead chunks)
             dflt[h["direction"]] = max(need, prev - 1)
             d0h = packed[8]
-            pk = packed[9:].view(np.uint32)
+            gneed = int(packed[3][:n].max()) + 1 if n else 1
+            kp = min((gneed + 15) // 16, packed.shape[0] - 9)
+            pk = packed[9:9 + kp].view(np.uint32)
             unsh = (2 * np.arange(16, dtype=np.uint32))
             deltas = ((pk[:, None, :] >> unsh[None, :, None]) & 3) \
-                .reshape(-1, cfg.n).astype(np.int8)
+                .reshape(-1, cfg.n).astype(np.int32)
             deltas -= 1
             diags = np.concatenate(
                 [d0h[None],
@@ -2037,10 +2045,12 @@ class WaveEngine:
                     self._backtrack_fn(kpad)(chs, bls, st))
         if packed is not None:
             d0h = packed[8]
-            pk = packed[9:].view(np.uint32)
+            gneed = int(packed[3][:n].max()) + 1 if n else 1
+            kp = min((gneed + 15) // 16, packed.shape[0] - 9)
+            pk = packed[9:9 + kp].view(np.uint32)
             unsh = (2 * np.arange(16, dtype=np.uint32))
             deltas = ((pk[:, None, :] >> unsh[None, :, None]) & 3) \
-                .reshape(-1, cfg.n).astype(np.int8)
+                .reshape(-1, cfg.n).astype(np.int32)
             deltas -= 1
             diags = np.concatenate(
                 [d0h[None],

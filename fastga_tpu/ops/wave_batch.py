@@ -64,7 +64,23 @@ class BatchAligner:
         self.offs = offs
         self.seq = seq_lookup
         self.stats = {"fallbacks": 0, "device_waves": 0, "items": 0,
-                      "rerun_fwd": 0, "rerun_rev": 0, "requeues": 0}
+                      "rerun_fwd": 0, "rerun_rev": 0, "requeues": 0,
+                      "block_waves": 0}
+
+    def _count_block_waves(self, *nwaves_arrs):
+        """True device cost of a batch: the mega kernel's BT-tube blocks
+        run until their LAST tube dies, so cost = sum over blocks of
+        max(nwaves) (the slot-count occupancy of VERDICT r4 overstated
+        waste — early-exited blocks never ran)."""
+        from .wave_pallas import BT
+        N = self.cfg.n
+        nb = max(-(-N // BT), 1)   # test configs may have n < BT
+        tot = 0
+        for nw in nwaves_arrs:
+            pad = np.zeros(nb * BT, np.int64)
+            pad[:len(nw)] = nw
+            tot += int(pad.reshape(nb, -1).max(axis=1).sum())
+        self.stats["block_waves"] += tot
 
     @property
     def pool(self):
@@ -177,6 +193,7 @@ class BatchAligner:
             overlap = None
             prof.count("batch.tubes", len(sel))
             self.stats["device_waves"] += int(res.nwaves.sum())
+            self._count_block_waves(np.asarray(res.nwaves[:len(sel)]))
             for j, i in enumerate(sel):
                 rows[i] = tuple(int(f[j]) for f in res[:8])
                 fall[i] = bool(res.fallback[j])
@@ -241,6 +258,14 @@ class BatchAligner:
         if max_inflight is None:
             max_inflight = int(os.environ.get("FASTGA_TPU_INFLIGHT",
                                               "4"))
+        from concurrent.futures import ThreadPoolExecutor
+        disp = ThreadPoolExecutor(max_workers=1)   # ordered dispatch
+
+        def resolve(e):
+            """Handle of an inflight entry (joins its dispatch)."""
+            if "h" not in e:
+                e["h"] = e["f"].result()
+            return e["h"]
         eng = self.engine
         B = self.cfg.n
         tspace = self.spec.trace_space
@@ -319,11 +344,11 @@ class BatchAligner:
                 mh = max(max(it.waves_hint for it in items), 0)
                 ph = min(int(mh * 1.3 + 2 * CW) // CW + 1, cap_long,
                          s.cfg.max_chunks)
-                h = s.submit_pair(self.pool, tubes, pred_hint=ph,
-                                  pred_cap=cap_long)
+                f = disp.submit(s.submit_pair, self.pool, tubes,
+                                pred_hint=ph, pred_cap=cap_long)
                 self.stats["items"] += n
                 prof.count("batch.long_tubes", n)
-                inflight.append(dict(kind="pair", h=h, eng=s,
+                inflight.append(dict(kind="pair", f=f, eng=s,
                                      tokens=tokens, items=items,
                                      anti=anti, long=True))
 
@@ -341,16 +366,26 @@ class BatchAligner:
             tubes = self._tubes_of(items, low, hgh, anti)
             hints = [it.waves_hint for it in items]
             ph = None
+            cap1 = force_cap
             if all(hh >= 0 for hh in hints):
                 # tight: under-predicted stragglers are decapitated and
                 # requeued on the narrow engine, so the budget fits the
                 # batch's bulk, not its tail
                 ph = int(max(hints) * 1.3 + 32) // CW + 1
-            h = eng.submit_pair(self.pool, tubes, pred_hint=ph,
-                                pred_cap=force_cap)
+                if cap1 is None and _long_engine() is not None:
+                    # hard first-pass cap (measured r5: true wave counts
+                    # have p90 ~216 but heavy tails the hint cannot
+                    # rank; capping every wide batch at 4 chunks and
+                    # requeueing survivors beats budgeting for the
+                    # predicted max — and quarters the packed-result
+                    # transfer)
+                    cap1 = int(os.environ.get(
+                        "FASTGA_TPU_PASS1_CAP", "4"))
+            f = disp.submit(eng.submit_pair, self.pool, tubes,
+                            pred_hint=ph, pred_cap=cap1)
             self.stats["items"] += n
             prof.count("batch.tubes", n)
-            inflight.append(dict(kind="pair", h=h, eng=eng,
+            inflight.append(dict(kind="pair", f=f, eng=eng,
                                  tokens=tokens, items=items, anti=anti,
                                  long=False))
 
@@ -397,6 +432,8 @@ class BatchAligner:
             anti = e["anti"]
             self.stats["device_waves"] += int(res_f.nwaves.sum())
             self.stats["device_waves"] += int(res_r.nwaves.sum())
+            self._count_block_waves(np.asarray(res_f.nwaves[:n]),
+                                    np.asarray(res_r.nwaves[:n]))
             host = (np.asarray(res_f.fallback[:n])
                     | np.asarray(res_r.fallback[:n])).copy()
             if res_f.budget is not None:
@@ -531,10 +568,11 @@ class BatchAligner:
                 # its own stragglers (bias up — an under-prediction
                 # costs a blocking continuation round)
                 ph = int(max(hints) * 1.5 + 64) // CW + 1
-            h = eng.submit(self.pool, tubes, +1, pred_hint=ph)
+            f = disp.submit(eng.submit, self.pool, tubes, +1,
+                            pred_hint=ph)
             self.stats["items"] += n
             prof.count("batch.tubes", n)
-            inflight.append(dict(kind="fwd", h=h, tokens=tokens,
+            inflight.append(dict(kind="fwd", f=f, tokens=tokens,
                                  items=items, anti=anti, low=low,
                                  hgh=hgh))
 
@@ -544,6 +582,7 @@ class BatchAligner:
             items = fb["items"]
             n = len(items)
             self.stats["device_waves"] += int(res.nwaves.sum())
+            self._count_block_waves(np.asarray(res.nwaves[:n]))
             host = np.asarray(res.fallback[:n]).copy()
             # the reverse seam = the forward path's wave-0 diagonal
             seam = np.where(host, 0, diags[0][:n]).astype(np.int64)
@@ -589,6 +628,7 @@ class BatchAligner:
             paths = rb["paths"]
             host = rb["host"]
             self.stats["device_waves"] += int(res.nwaves.sum())
+            self._count_block_waves(np.asarray(res.nwaves[:n]))
             host |= np.asarray(res.fallback[:n])
             fshort = np.array([(p.aepos + p.bepos) - anti[i] < DUB_TRIM
                                for i, p in enumerate(paths)])
@@ -791,11 +831,11 @@ class BatchAligner:
             ceng = e.get("eng", eng)
             if e["kind"] == "pair":
                 r = ceng.collect_pair(
-                    e["h"], wait=False,
+                    resolve(e), wait=False,
                     requeue=(not e.get("long")
                              and _long_engine() is not None))
             else:
-                r = ceng.collect(e["h"], wait=False)
+                r = ceng.collect(resolve(e), wait=False)
             if r is None:
                 # straggler continuation dispatched; keep the pipeline
                 # moving on other batches while its fetch runs
@@ -810,6 +850,7 @@ class BatchAligner:
                 on_rev(e)
             else:
                 on_rr(e)
+        disp.shutdown(wait=True)
 
     def _short_reruns(self, items, paths, host, fshort, rshort, anti):
         """DUB_TRIM short-pass reruns (align.c:1508-1532), synchronous

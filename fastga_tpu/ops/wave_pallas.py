@@ -99,6 +99,14 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
     from jax.experimental.pallas import tpu as pltpu
 
     N, W, CW = cfg.n, cfg.w, cfg.chunk
+    # fetch sweep positions per round: the active lanes of one wave span
+    # <= (WAVE_LAG + W)/2 bases (~12 words at W=256), so a 16-position
+    # select sweep replaces the 60-position one (the sweep is the wave
+    # body's dominant VPU cost: positions x 5 words x 2 sequences
+    # selects per snake step); wider bands pay a second refresh round
+    import os as _os
+    FP = int(_os.environ.get("FASTGA_TPU_FETCH_SWEEP",
+                             "16" if W <= 256 else "32"))
     MEGA = mega_k > 0
     G = CW * mega_k if MEGA else CW
     _abl = frozenset(ablate)
@@ -122,6 +130,8 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
             writes.  MEGA: the choice row stages in VMEM and flushes to
             the HBM log by DMA every CW waves (+ a final flush after the
             loop); the band log carries only the kbase row."""
+            if "nolog" in _abl:   # loop-floor probe (backtrack WRONG)
+                return
             if not MEGA:
                 chlog_r[pl.ds(wi, 1)] = choice[None]
                 bandlog_r[pl.ds(wi, 1)] = bandcols[None]
@@ -217,47 +227,62 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
             def fcond(c):
                 return (c[0].max() > 0) & (c[7] < RMAX)
 
-            def fbody(c):
-                rem_i, w0, w1, w2, w3, w4, sb, it = c
-                rem = rem_i > 0
-                m0 = jnp.where(rem, iw, big).min(axis=1)[:, None]
-                need = rem.astype(jnp.int32).max(axis=1)[:, None] > 0
-                stale = need & ((m0 < sb) | (m0 > sb + (JW - 5)))
-                sb2 = jnp.where(
-                    stale, jnp.clip(m0 - 2 - base, 0, PGW - JW) + base,
-                    sb)
-                off = sb2 - base
-                stale_i = stale.astype(jnp.int32)
+            def make_body(P):
+                # one select round over P strip positions: refresh stale
+                # per-tube strips to the min unfetched word, then gather
+                # every lane whose word falls inside the window
+                def fbody(c):
+                    rem_i, w0, w1, w2, w3, w4, sb, it = c
+                    rem = rem_i > 0
+                    m0 = jnp.where(rem, iw, big).min(axis=1)[:, None]
+                    need = rem.astype(jnp.int32).max(
+                        axis=1)[:, None] > 0
+                    stale = need & ((m0 < sb) | (m0 > sb + (P - 1)))
+                    sb2 = jnp.where(
+                        stale,
+                        jnp.clip(m0 - 2 - base, 0, PGW - JW) + base,
+                        sb)
+                    off = sb2 - base
+                    stale_i = stale.astype(jnp.int32)
 
-                @pl.when(stale_i.max() > 0)
-                def _():
-                    for t in range(BT):
-                        @pl.when(stale_i[t, 0] > 0)
-                        def _():
-                            row = win_r[t, 0:1, :]
-                            for r in range(1, 8):
-                                row = jnp.where(subl[t, 0] == r,
-                                                win_r[t, r:r + 1, :],
-                                                row)
-                            str_r[pl.ds(t, 1), :] = pltpu.roll(
-                                row, (-off[t, 0]) % PGW, 1)[:, :JW]
-                locr = iw - sb2
-                sel = rem & (locr >= 0) & (locr <= JW - 5)
-                locn = jnp.clip(locr, 0, JW - 5)
-                strip = str_r[:, :]
-                w5 = [w0, w1, w2, w3, w4]
-                for j in range(JW - 4):
-                    mj = sel & (locn == j)
-                    for kk in range(5):
-                        w5[kk] = jnp.where(
-                            mj, strip[:, j + kk:j + kk + 1], w5[kk])
-                rem2 = jnp.where(sel, 0, rem_i)
-                return (rem2,) + tuple(w5) + (sb2, it + 1)
+                    @pl.when(stale_i.max() > 0)
+                    def _():
+                        for t in range(BT):
+                            @pl.when(stale_i[t, 0] > 0)
+                            def _():
+                                row = win_r[t, 0:1, :]
+                                for r in range(1, 8):
+                                    row = jnp.where(subl[t, 0] == r,
+                                                    win_r[t, r:r + 1, :],
+                                                    row)
+                                str_r[pl.ds(t, 1), :] = pltpu.roll(
+                                    row, (-off[t, 0]) % PGW, 1)[:, :JW]
+                    locr = iw - sb2
+                    sel = rem & (locr >= 0) & (locr <= P - 1)
+                    locn = jnp.clip(locr, 0, P - 1)
+                    strip = str_r[:, :]
+                    w5 = [w0, w1, w2, w3, w4]
+                    for j in range(P):
+                        mj = sel & (locn == j)
+                        for kk in range(5):
+                            w5[kk] = jnp.where(
+                                mj, strip[:, j + kk:j + kk + 1], w5[kk])
+                    rem2 = jnp.where(sel, 0, rem_i)
+                    return (rem2,) + tuple(w5) + (sb2, it + 1)
+                return fbody
 
-            (rem_i, w0, w1, w2, w3, w4, sb, _) = jax.lax.while_loop(
-                fcond, fbody,
+            # round 0: narrow FP-position sweep — active lanes of one
+            # wave span ~12 words, so this resolves everything in the
+            # common case at a fraction of the old 60-position cost.
+            # STALE interior lanes (V far behind best — tandem bands)
+            # can lag arbitrarily; the wide while_loop below serves
+            # them with the full-window sweep, preserving the previous
+            # worst-case coverage (16 rounds x ~56 words).
+            c0 = make_body(FP)(
                 (act.astype(jnp.int32), z32, z32, z32, z32, z32, sb_,
                  jnp.int32(0)))
+            (rem_i, w0, w1, w2, w3, w4, sb, _) = jax.lax.while_loop(
+                fcond, make_body(JW - 4), c0)
             bad = rem_i > 0
             w5 = [w0, w1, w2, w3, w4]
             shv = sh.astype(jnp.uint32)                          # [BT, W]
@@ -1008,6 +1033,7 @@ def build_wave0_pallas(cfg: WaveConfig, direction: int = +1,
     from jax.experimental.pallas import tpu as pltpu
 
     N, W = cfg.n, cfg.w
+    FP = 16 if W <= 256 else 32   # fetch sweep positions (see chunk kernel)
     assert N % BT == 0
     NB = N // BT
     fwd = direction > 0
@@ -1076,47 +1102,62 @@ def build_wave0_pallas(cfg: WaveConfig, direction: int = +1,
             def fcond(c):
                 return (c[0].max() > 0) & (c[7] < RMAX)
 
-            def fbody(c):
-                rem_i, w0, w1, w2, w3, w4, sb, it = c
-                rem = rem_i > 0
-                m0 = jnp.where(rem, iw, big).min(axis=1)[:, None]
-                need = rem.astype(jnp.int32).max(axis=1)[:, None] > 0
-                stale = need & ((m0 < sb) | (m0 > sb + (JW - 5)))
-                sb2 = jnp.where(
-                    stale, jnp.clip(m0 - 2 - base, 0, PGW - JW) + base,
-                    sb)
-                off = sb2 - base
-                stale_i = stale.astype(jnp.int32)
+            def make_body(P):
+                # one select round over P strip positions: refresh stale
+                # per-tube strips to the min unfetched word, then gather
+                # every lane whose word falls inside the window
+                def fbody(c):
+                    rem_i, w0, w1, w2, w3, w4, sb, it = c
+                    rem = rem_i > 0
+                    m0 = jnp.where(rem, iw, big).min(axis=1)[:, None]
+                    need = rem.astype(jnp.int32).max(
+                        axis=1)[:, None] > 0
+                    stale = need & ((m0 < sb) | (m0 > sb + (P - 1)))
+                    sb2 = jnp.where(
+                        stale,
+                        jnp.clip(m0 - 2 - base, 0, PGW - JW) + base,
+                        sb)
+                    off = sb2 - base
+                    stale_i = stale.astype(jnp.int32)
 
-                @pl.when(stale_i.max() > 0)
-                def _():
-                    for t in range(BT):
-                        @pl.when(stale_i[t, 0] > 0)
-                        def _():
-                            row = win_r[t, 0:1, :]
-                            for r in range(1, 8):
-                                row = jnp.where(subl[t, 0] == r,
-                                                win_r[t, r:r + 1, :],
-                                                row)
-                            str_r[pl.ds(t, 1), :] = pltpu.roll(
-                                row, (-off[t, 0]) % PGW, 1)[:, :JW]
-                locr = iw - sb2
-                sel = rem & (locr >= 0) & (locr <= JW - 5)
-                locn = jnp.clip(locr, 0, JW - 5)
-                strip = str_r[:, :]
-                w5 = [w0, w1, w2, w3, w4]
-                for j in range(JW - 4):
-                    mj = sel & (locn == j)
-                    for kk in range(5):
-                        w5[kk] = jnp.where(
-                            mj, strip[:, j + kk:j + kk + 1], w5[kk])
-                rem2 = jnp.where(sel, 0, rem_i)
-                return (rem2,) + tuple(w5) + (sb2, it + 1)
+                    @pl.when(stale_i.max() > 0)
+                    def _():
+                        for t in range(BT):
+                            @pl.when(stale_i[t, 0] > 0)
+                            def _():
+                                row = win_r[t, 0:1, :]
+                                for r in range(1, 8):
+                                    row = jnp.where(subl[t, 0] == r,
+                                                    win_r[t, r:r + 1, :],
+                                                    row)
+                                str_r[pl.ds(t, 1), :] = pltpu.roll(
+                                    row, (-off[t, 0]) % PGW, 1)[:, :JW]
+                    locr = iw - sb2
+                    sel = rem & (locr >= 0) & (locr <= P - 1)
+                    locn = jnp.clip(locr, 0, P - 1)
+                    strip = str_r[:, :]
+                    w5 = [w0, w1, w2, w3, w4]
+                    for j in range(P):
+                        mj = sel & (locn == j)
+                        for kk in range(5):
+                            w5[kk] = jnp.where(
+                                mj, strip[:, j + kk:j + kk + 1], w5[kk])
+                    rem2 = jnp.where(sel, 0, rem_i)
+                    return (rem2,) + tuple(w5) + (sb2, it + 1)
+                return fbody
 
-            (rem_i, w0, w1, w2, w3, w4, sb, _) = jax.lax.while_loop(
-                fcond, fbody,
+            # round 0: narrow FP-position sweep — active lanes of one
+            # wave span ~12 words, so this resolves everything in the
+            # common case at a fraction of the old 60-position cost.
+            # STALE interior lanes (V far behind best — tandem bands)
+            # can lag arbitrarily; the wide while_loop below serves
+            # them with the full-window sweep, preserving the previous
+            # worst-case coverage (16 rounds x ~56 words).
+            c0 = make_body(FP)(
                 (act.astype(jnp.int32), z32, z32, z32, z32, z32, sb_,
                  jnp.int32(0)))
+            (rem_i, w0, w1, w2, w3, w4, sb, _) = jax.lax.while_loop(
+                fcond, make_body(JW - 4), c0)
             bad = rem_i > 0
             w5 = [w0, w1, w2, w3, w4]
             shv = sh.astype(jnp.uint32)                          # [BT, W]

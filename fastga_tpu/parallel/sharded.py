@@ -205,7 +205,7 @@ def build_sharded_tubes(mesh, L: int, cap2: int, nscap: int, scap: int,
         res = dp.chain_tubes_dev(
             (spl, sac, sap, sbc, sbp, sbo), ns2, amax[0], bmax[0],
             alens_pad, tcap, chain_break, chain_min)
-        (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt) = res
+        (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, cov, nt) = res
         nseeds_tot = jax.lax.psum(ns, AXIS)
         plsum_tot = jax.lax.psum(plsum, AXIS)
         over_l = (ov1 + ov2 + ov3 + (ns > nscap).astype(jnp.int32)
@@ -213,14 +213,14 @@ def build_sharded_tubes(mesh, L: int, cap2: int, nscap: int, scap: int,
                   + (nt > tcap).astype(jnp.int32))
         over = jax.lax.psum(over_l, AXIS)
         return (ga[None], gb[None], gc[None], dgmin[None], dgmax[None],
-                alow[None], ahgh[None], pair[None], nt[None],
+                alow[None], ahgh[None], pair[None], cov[None], nt[None],
                 nseeds_tot, plsum_tot, over)
 
     Pn = P(None)
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(Pn,) * 6 + (Pn,) * 6 + (P(AXIS), Pn, Pn, Pn, Pn),
-        out_specs=(P(AXIS),) * 9 + (P(), P(), P()),
+        out_specs=(P(AXIS),) * 10 + (P(), P(), P()),
         check_rep=False)
     import jax as _jax
     return _jax.jit(fn)
@@ -300,8 +300,8 @@ def sharded_tubes(gdb1, gdb2, alens_by_rank, mesh, freq: int = 10,
             out = [_dist.gather_host(x) for x in out]
         else:
             out = [np.asarray(x) for x in out]
-    (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, nt, nseeds, plsum,
-     over) = out
+    (ga, gb, gc, dgmin, dgmax, alow, ahgh, pair, cov, nt, nseeds,
+     plsum, over) = out
     if int(over) > 0:
         return None
     parts = []
@@ -309,11 +309,12 @@ def sharded_tubes(gdb1, gdb2, alens_by_rank, mesh, freq: int = 10,
         n = int(nt[d])
         parts.append((ga[d][:n], gb[d][:n], gc[d][:n], dgmin[d][:n],
                       dgmax[d][:n], alow[d][:n], ahgh[d][:n],
-                      pair[d][:n]))
-    cat = [np.concatenate([p[i] for p in parts]) for i in range(8)]
+                      pair[d][:n], cov[d][:n]))
+    cat = [np.concatenate([p[i] for p in parts]) for i in range(9)]
     tubes = TubeBatch(
         acont=cat[0].astype(np.int32), bcont=cat[1].astype(np.int32),
         comp=cat[2].astype(bool), dgmin=cat[3].astype(np.int32),
         dgmax=cat[4].astype(np.int32), alow=cat[5].astype(np.int64),
-        ahgh=cat[6].astype(np.int64), pairing=cat[7].astype(np.int64))
+        ahgh=cat[6].astype(np.int64), pairing=cat[7].astype(np.int64),
+        cov=cat[8].astype(np.int64))
     return tubes, int(nseeds), int(plsum)

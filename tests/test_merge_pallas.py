@@ -9,6 +9,8 @@ bucket with full streams (no invalid tail).
 import os
 
 import numpy as np
+
+from conftest import INTERPRET
 import pytest
 
 jax = pytest.importorskip("jax")
@@ -30,7 +32,8 @@ def _mk_stream(rng, E, nvalid, parity):
 @pytest.mark.parametrize("geom", [(8192, 8192, 8000, 8100),
                                   (12288, 8192, 12288, 5)])
 def test_merge_kernel_equals_lax_sort(geom):
-    os.environ["FASTGA_TPU_MERGE_INTERPRET"] = "1"
+    if INTERPRET:
+        os.environ["FASTGA_TPU_MERGE_INTERPRET"] = "1"
     try:
         import jax.numpy as jnp
 
@@ -49,4 +52,4 @@ def test_merge_kernel_equals_lax_sort(geom):
                 np.testing.assert_array_equal(np.asarray(got[i])[:nval],
                                               np.asarray(ref[i])[:nval])
     finally:
-        del os.environ["FASTGA_TPU_MERGE_INTERPRET"]
+        os.environ.pop("FASTGA_TPU_MERGE_INTERPRET", None)

@@ -8,6 +8,8 @@ both directions, multi-block streams, and non-block-aligned tails.
 import os
 
 import numpy as np
+
+from conftest import INTERPRET
 import pytest
 
 jax = pytest.importorskip("jax")
@@ -16,7 +18,8 @@ jax = pytest.importorskip("jax")
 @pytest.mark.parametrize("M", [33024, 128 * 7])
 @pytest.mark.parametrize("reverse", [False, True])
 def test_fused_scan_matches_oracle(M, reverse):
-    os.environ["FASTGA_TPU_SCAN_INTERPRET"] = "1"
+    if INTERPRET:
+        os.environ["FASTGA_TPU_SCAN_INTERPRET"] = "1"
     try:
         import jax.numpy as jnp
 
@@ -43,4 +46,4 @@ def test_fused_scan_matches_oracle(M, reverse):
                 np.asarray(got[c]), want[c],
                 err_msg=f"channel {c} {spec[c]} reverse={reverse}")
     finally:
-        del os.environ["FASTGA_TPU_SCAN_INTERPRET"]
+        os.environ.pop("FASTGA_TPU_SCAN_INTERPRET", None)

@@ -3,6 +3,8 @@
 Interpret mode on CPU; Mosaic-compiled on TPU."""
 
 import numpy as np
+
+from conftest import INTERPRET
 import pytest
 
 from tests.test_wave_pallas import _mutate
@@ -20,7 +22,7 @@ def test_pallas_wave0_matches_host(direction):
     pool = seqpack.SeqPool.build({"a": A, "b": B})
     cfg = wavek.WaveConfig(n=32, w=256, chunk=24, max_chunks=64)
 
-    init = wave_pallas.build_wave0_pallas(cfg, direction, interpret=True)
+    init = wave_pallas.build_wave0_pallas(cfg, direction, interpret=INTERPRET)
     pw = jnp.asarray(pool.words)
     pages = wave_pallas.build_pool_pages(jnp, pw)
     aw, alen = pool.offs["a"]

@@ -4,6 +4,8 @@ reference (test_wave_device.py).  Runs in interpret mode on CPU; the
 same kernel compiles via Mosaic on TPU."""
 
 import numpy as np
+
+from conftest import INTERPRET
 import pytest
 
 
@@ -42,7 +44,7 @@ def test_pallas_chunk_matches_xla(direction):
         direction)
     pal = wave_pallas.build_chunk_pallas(
         cfg, spec.ave_path, spec.mscore, spec.dscore, direction,
-        interpret=True)
+        interpret=INTERPRET)
 
     pw = jnp.asarray(pool.words)
     aw, alen = pool.offs["a"]
@@ -104,7 +106,7 @@ def test_backtrack_walk_matches_scan():
                     diag[n] += 1
     D_ref[0] = diag
 
-    walk = wave_pallas.build_backtrack_walk(cfg, G, interpret=True)
+    walk = wave_pallas.build_backtrack_walk(cfg, G, interpret=INTERPRET)
     d0, Ds = walk(jnp.asarray(np.transpose(ch, (0, 2, 1)).copy()),
                   jnp.asarray(kb), jnp.asarray(trim_diag),
                   jnp.asarray(trim_wave))

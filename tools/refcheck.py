@@ -154,9 +154,11 @@ def main():
                     help="repeat-rich workload (dispersed subfamilies "
                          "at the -f cutoff, tandems, softmasks) instead "
                          "of the near-identical pair")
-    ap.add_argument("--bytecmp", action="store_true",
+    ap.add_argument("--bytecmp", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="also compare the .1aln binary data sections "
-                         "byte for byte (trained-codec parity)")
+                         "byte for byte (trained-codec parity; on by "
+                         "default, disable with --no-bytecmp)")
     ap.add_argument("--convert", action="store_true",
                     help="also byte-compare + time ALNtoPAF -x (CIGAR "
                          "reconstruction) on the reference .1aln")
@@ -207,8 +209,11 @@ def main():
         os.chdir(cwd0)
     assert rc == 0
     t_ours = time.time() - t0
+    import resource
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
     print(f"  fastga_tpu: {t_ours:.1f}s "
-          f"({t_ref / t_ours:.2f}x the reference)")
+          f"({t_ref / t_ours:.2f}x the reference); "
+          f"peak host RSS {rss_mb} MB")
 
     ref_recs = read_records(wd / "ref.1aln")
     our_recs = read_records(wd / "ours.1aln")
