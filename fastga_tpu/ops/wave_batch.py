@@ -827,7 +827,31 @@ class BatchAligner:
                 submit_fwd(take(min(B, len(ready))))
             elif long_ready and len(inflight) < 2:
                 submit_long(take_long(min(SL, len(long_ready))))
-            e = inflight.popleft()
+            # completion-order collection: joining the FIFO head
+            # serialized all host work behind the slowest fetch while
+            # completed batches sat in the deque; pick any batch whose
+            # dispatch AND result fetch are done, and only block on the
+            # oldest when none is ready (true starvation)
+            def _fetched(c):
+                if "h" not in c:
+                    if c.get("f") is None or not c["f"].done():
+                        return False
+                    resolve(c)
+                h = c["h"]
+                while isinstance(h, dict) and "chain" in h:
+                    h = h["chain"]
+                ft = h.get("fetcher") if isinstance(h, dict) else None
+                return ft is None or not ft.is_alive()
+
+            e = None
+            for _ in range(len(inflight)):
+                c = inflight.popleft()
+                if _fetched(c):
+                    e = c
+                    break
+                inflight.append(c)
+            if e is None:
+                e = inflight.popleft()
             ceng = e.get("eng", eng)
             if e["kind"] == "pair":
                 r = ceng.collect_pair(

@@ -32,12 +32,17 @@ if not DEVICE_LANE:
 
 def _force_cpu_backend():
     """This box's sitecustomize pre-registers a TPU backend at interpreter
-    boot; env vars alone don't override it once registered."""
+    boot; env vars alone don't override it once registered.  Set the
+    platform unconditionally (probing jax.devices() first would try to
+    initialize the TPU backend — which hangs or raises when the remote
+    tunnel is down)."""
     import jax
-    if jax.devices()[0].platform != "cpu" or len(jax.devices()) < 8:
-        import jax.extend
-        jax.config.update("jax_platforms", "cpu")
+    import jax.extend
+    jax.config.update("jax_platforms", "cpu")
+    try:
         jax.extend.backend.clear_backends()
+    except Exception:
+        pass
 
 
 if not DEVICE_LANE:
