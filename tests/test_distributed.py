@@ -43,7 +43,7 @@ from fastga_tpu.ops import device_pipeline as devp
 from fastga_tpu.io.gix import _length_perm
 
 rng = np.random.default_rng(99)
-pair = synth.uniform_pair(rng, 3, 6000, div=0.02)
+pair = synth.uniform_pair(rng, 3, 24000, div=0.02)
 g1, _ = synth.to_gdb("a", pair["A"])
 g2, _ = synth.to_gdb("b", pair["B"])
 lens1 = g1.contig_lengths()
@@ -58,17 +58,33 @@ res = sharded.sharded_tubes(g1, g2, alens, mesh)
 assert res is not None
 tubes, nseeds, plsum = res
 
+# full end-to-end under the 2-process mesh: every process drives the
+# wave phase over its local devices; process 0 also runs the
+# single-device pipeline and asserts the FINAL OVERLAP RECORDS equal
+# (VERDICT r4 #7: the old gate stopped at tube descriptors)
+from fastga_tpu.models import aligner
+ovls_s, stats_s = aligner.align_genomes(g1, g2, engine="jax",
+                                        mesh=mesh)
+assert stats_s.get("sharded") == 8, stats_s
+
 if pid == 0:
     ref = devp.device_tubes(g1, g2, alens)
     assert ref is not None
     rt, rn, rp = ref
     rows = lambda t: [tuple(int(v) for v in row) for row in zip(
         t.acont, t.bcont, t.comp, t.dgmin, t.dgmax, t.alow, t.ahgh,
-        t.pairing)]
+        t.pairing, t.cov)]
     assert nseeds == rn and plsum == rp, (nseeds, rn, plsum, rp)
     assert rows(tubes) == rows(rt), "tube mismatch"
+    ovls_1, _ = aligner.align_genomes(g1, g2, engine="jax")
+    assert len(ovls_s) == len(ovls_1) and all(
+        (a.aread, a.abpos, a.aepos, a.bbpos, a.bepos, a.diffs, a.trace)
+        == (b.aread, b.abpos, b.aepos, b.bbpos, b.bepos, b.diffs,
+            b.trace)
+        for a, b in zip(ovls_s, ovls_1)), "overlap mismatch"
     with open(outf, "w") as f:
-        f.write(f"OK {tubes.n} tubes {nseeds} seeds")
+        f.write(f"OK {tubes.n} tubes {nseeds} seeds "
+                f"{len(ovls_s)} overlaps")
 """
 
 
