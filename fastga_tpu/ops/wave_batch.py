@@ -802,79 +802,83 @@ class BatchAligner:
             for ti in out:
                 push(ti)
 
-        while ready or long_ready or inflight or rescue:
-            # keep the device fed: submit full batches up to the window
-            while len(ready) >= B and len(inflight) < max_inflight:
-                submit_fwd(take(B))
-            # long lane: its items run the longest — dispatch full
-            # narrow batches early so they overlap the bulk
-            while len(long_ready) >= SL and len(inflight) < max_inflight:
-                submit_long(take_long(SL))
-            if not inflight:
-                if ready:
+        try:
+            while ready or long_ready or inflight or rescue:
+                # keep the device fed: submit full batches up to the window
+                while len(ready) >= B and len(inflight) < max_inflight:
+                    submit_fwd(take(B))
+                # long lane: its items run the longest — dispatch full
+                # narrow batches early so they overlap the bulk
+                while len(long_ready) >= SL and len(inflight) < max_inflight:
+                    submit_long(take_long(SL))
+                if not inflight:
+                    if ready:
+                        submit_fwd(take(min(B, len(ready))))
+                    if long_ready:
+                        submit_long(take_long(min(SL, len(long_ready))))
+                    if not ready and not long_ready and rescue:
+                        flush_rescue()
+                    continue
+                # drain the tail: nothing ready and only one batch in
+                # flight -> a partial batch keeps the pipeline deep enough
+                if (ready and len(inflight) < 2
+                        and len(ready) + sum(len(e.get("items",
+                                                   e.get("idxs", ())))
+                                             for e in inflight) <= 2 * B):
                     submit_fwd(take(min(B, len(ready))))
-                if long_ready:
+                elif long_ready and len(inflight) < 2:
                     submit_long(take_long(min(SL, len(long_ready))))
-                if not ready and not long_ready and rescue:
-                    flush_rescue()
-                continue
-            # drain the tail: nothing ready and only one batch in
-            # flight -> a partial batch keeps the pipeline deep enough
-            if (ready and len(inflight) < 2
-                    and len(ready) + sum(len(e.get("items",
-                                               e.get("idxs", ())))
-                                         for e in inflight) <= 2 * B):
-                submit_fwd(take(min(B, len(ready))))
-            elif long_ready and len(inflight) < 2:
-                submit_long(take_long(min(SL, len(long_ready))))
-            # completion-order collection: joining the FIFO head
-            # serialized all host work behind the slowest fetch while
-            # completed batches sat in the deque; pick any batch whose
-            # dispatch AND result fetch are done, and only block on the
-            # oldest when none is ready (true starvation)
-            def _fetched(c):
-                if "h" not in c:
-                    if c.get("f") is None or not c["f"].done():
-                        return False
-                    resolve(c)
-                h = c["h"]
-                while isinstance(h, dict) and "chain" in h:
-                    h = h["chain"]
-                ft = h.get("fetcher") if isinstance(h, dict) else None
-                return ft is None or not ft.is_alive()
+                # completion-order collection: joining the FIFO head
+                # serialized all host work behind the slowest fetch while
+                # completed batches sat in the deque; pick any batch whose
+                # dispatch AND result fetch are done, and only block on the
+                # oldest when none is ready (true starvation)
+                def _fetched(c):
+                    if "h" not in c:
+                        if c.get("f") is None or not c["f"].done():
+                            return False
+                        resolve(c)
+                    h = c["h"]
+                    while isinstance(h, dict) and "chain" in h:
+                        h = h["chain"]
+                    ft = h.get("fetcher") if isinstance(h, dict) else None
+                    return ft is None or not ft.is_alive()
 
-            e = None
-            for _ in range(len(inflight)):
-                c = inflight.popleft()
-                if _fetched(c):
-                    e = c
-                    break
-                inflight.append(c)
-            if e is None:
-                e = inflight.popleft()
-            ceng = e.get("eng", eng)
-            if e["kind"] == "pair":
-                r = ceng.collect_pair(
-                    resolve(e), wait=False,
-                    requeue=(not e.get("long")
-                             and _long_engine() is not None))
-            else:
-                r = ceng.collect(resolve(e), wait=False)
-            if r is None:
-                # straggler continuation dispatched; keep the pipeline
-                # moving on other batches while its fetch runs
-                inflight.append(e)
-                continue
-            e["res"] = r
-            if e["kind"] == "pair":
-                on_pair(e)
-            elif e["kind"] == "fwd":
-                on_fwd(e)
-            elif e["kind"] == "rev":
-                on_rev(e)
-            else:
-                on_rr(e)
-        disp.shutdown(wait=True)
+                e = None
+                for _ in range(len(inflight)):
+                    c = inflight.popleft()
+                    if _fetched(c):
+                        e = c
+                        break
+                    inflight.append(c)
+                if e is None:
+                    e = inflight.popleft()
+                ceng = e.get("eng", eng)
+                if e["kind"] == "pair":
+                    r = ceng.collect_pair(
+                        resolve(e), wait=False,
+                        requeue=(not e.get("long")
+                                 and _long_engine() is not None))
+                else:
+                    r = ceng.collect(resolve(e), wait=False)
+                if r is None:
+                    # straggler continuation dispatched; keep the pipeline
+                    # moving on other batches while its fetch runs
+                    inflight.append(e)
+                    continue
+                e["res"] = r
+                if e["kind"] == "pair":
+                    on_pair(e)
+                elif e["kind"] == "fwd":
+                    on_fwd(e)
+                elif e["kind"] == "rev":
+                    on_rev(e)
+                else:
+                    on_rr(e)
+        finally:
+            # cancel queued dispatches on error so interpreter
+            # exit does not block joining the worker
+            disp.shutdown(wait=False, cancel_futures=True)
 
     def _short_reruns(self, items, paths, host, fshort, rshort, anti):
         """DUB_TRIM short-pass reruns (align.c:1508-1532), synchronous
