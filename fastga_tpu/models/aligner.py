@@ -50,6 +50,19 @@ def _ensure_compile_cache():
     import os
     try:
         import jax
+        # honor an EXPLICIT JAX_PLATFORMS env: this box's sitecustomize
+        # force-registers the remote-TPU backend and overrides the env,
+        # so `JAX_PLATFORMS=cpu fastga ...` otherwise still dials (or
+        # hangs on) the tunnel
+        envp = os.environ.get("JAX_PLATFORMS")
+        if envp and "axon" not in envp \
+                and jax.config.jax_platforms != envp:
+            jax.config.update("jax_platforms", envp)
+            try:
+                import jax.extend
+                jax.extend.backend.clear_backends()
+            except Exception:
+                pass
         if (jax.config.jax_compilation_cache_dir
                 or os.environ.get("JAX_COMPILATION_CACHE_DIR")):
             return

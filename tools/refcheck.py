@@ -162,6 +162,13 @@ def main():
     ap.add_argument("--convert", action="store_true",
                     help="also byte-compare + time ALNtoPAF -x (CIGAR "
                          "reconstruction) on the reference .1aln")
+    ap.add_argument("--ref-only", action="store_true",
+                    help="stop after the reference run (pre-compute the "
+                         "CPU half while e.g. the TPU tunnel is down; "
+                         "pair --workdir with --ours-only later)")
+    ap.add_argument("--ours-only", action="store_true",
+                    help="reuse --workdir: skip generation and the "
+                         "reference run when ref.1aln already exists")
     args = ap.parse_args()
 
     refbuild = Path(args.refbuild)
@@ -171,31 +178,44 @@ def main():
     wd.mkdir(parents=True, exist_ok=True)
     total = int(args.mbp * 1e6)
     ncontig = args.contigs or max(8, total // 250_000)
-    print(f"generating {args.mbp} Mbp x2, {ncontig} contigs, "
-          f"div={args.div}{' repeat-rich' if args.repeats else ''} "
-          f"in {wd}")
-    if args.repeats:
-        na, nb = make_repeat_pair(wd, total, min(ncontig, 64), args.seed)
-    else:
-        na, nb = make_pair(wd, total, ncontig, args.div, args.seed)
-    print(f"  A={na:,} bp  B={nb:,} bp")
-
     env = dict(os.environ)
     env["PATH"] = f"{refbuild}:{env['PATH']}"
-    t0 = time.time()
-    for attempt in (1, 2):      # GIXmake can fail transiently under
-        try:                    # memory pressure; precursors persist
-            subprocess.run(
-                [str(refbuild / "FastGA"), f"-T{args.threads}", "-1:ref",
-                 "A.fasta.gz", "B.fasta.gz"],
-                cwd=wd, env=env, check=True)
-            break
-        except subprocess.CalledProcessError:
-            if attempt == 2:
-                raise
-            print("  reference FastGA failed once; retrying ...")
-    t_ref = time.time() - t0
-    print(f"  reference FastGA: {t_ref:.1f}s")
+    reuse = args.ours_only and (wd / "ref.1aln").exists()
+    t_ref = 0.0
+    if reuse:
+        tref_f = wd / "t_ref.txt"
+        if tref_f.exists():
+            t_ref = float(tref_f.read_text())
+        print(f"reusing reference run in {wd} (t_ref={t_ref:.1f}s)")
+    else:
+        print(f"generating {args.mbp} Mbp x2, {ncontig} contigs, "
+              f"div={args.div}{' repeat-rich' if args.repeats else ''} "
+              f"in {wd}")
+        if args.repeats:
+            na, nb = make_repeat_pair(wd, total, min(ncontig, 64), args.seed)
+        else:
+            na, nb = make_pair(wd, total, ncontig, args.div, args.seed)
+        print(f"  A={na:,} bp  B={nb:,} bp")
+
+        t0 = time.time()
+        for attempt in (1, 2):      # GIXmake can fail transiently under
+            try:                    # memory pressure; precursors persist
+                subprocess.run(
+                    [str(refbuild / "FastGA"), f"-T{args.threads}", "-1:ref",
+                     "A.fasta.gz", "B.fasta.gz"],
+                    cwd=wd, env=env, check=True)
+                break
+            except subprocess.CalledProcessError:
+                if attempt == 2:
+                    raise
+                print("  reference FastGA failed once; retrying ...")
+        t_ref = time.time() - t0
+        print(f"  reference FastGA: {t_ref:.1f}s")
+        (wd / "t_ref.txt").write_text(str(t_ref))
+    if args.ref_only:
+        print(f"reference half done in {wd}; rerun with --ours-only "
+              f"--workdir {wd}")
+        return 0
 
     t0 = time.time()
     sys.path.insert(0, str(REPO))
