@@ -131,6 +131,26 @@ def main():
     except Exception:
         pass
 
+    # backend watchdog: PJRT client creation hangs indefinitely when the
+    # remote TPU tunnel is down (observed 2026-08-21, multi-hour outage)
+    # — fail fast with a clear message instead of wedging the caller
+    import threading
+    probe_ok = []
+
+    def _probe():
+        import jax
+        probe_ok.append(jax.devices()[0].platform)
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout=float(os.environ.get("BENCH_BACKEND_TIMEOUT", "900")))
+    if not probe_ok:
+        sys.stderr.write(
+            "bench: jax backend init unresponsive (remote TPU tunnel "
+            "down?) — aborting without a score\n")
+        return 1
+    sys.stderr.write(f"bench: backend {probe_ok[0]}\n")
+
     from fastga_tpu.utils import synth
 
     engine = os.environ.get("BENCH_ENGINE", "jax")
