@@ -206,86 +206,85 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                         dma.wait()
             return newbase
 
-        def _strip_refresh(win_r, str_r, base, sb_, woff_r, iw, act,
-                           tbad):
-            """Re-base the strips of tubes whose active lanes escaped
-            the FP-position sweep window: per-tube gated row pick from
-            the page window + lane roll.  ``tbad`` [BT,1] marks tubes
-            needing it.  New sb targets (min active word - 2) so the
-            whole active span (~12 words at W=256) fits positions
-            0..FP-1 afterwards."""
-            subl = ((base + woff_r[:, :]) >> PGS_LOG) & 7        # [BT,1]
-            m0 = jnp.where(act, iw, big).min(axis=1)[:, None]
-            sb2 = jnp.where(
-                tbad > 0,
-                jnp.clip(m0 - 2 - base, 0, PGW - JW) + base, sb_)
-            off = sb2 - base
-            for t in range(BT):
-                @pl.when(tbad[t, 0] > 0)
-                def _():
-                    row = win_r[t, 0:1, :]
-                    for r in range(1, 8):
-                        row = jnp.where(subl[t, 0] == r,
-                                        win_r[t, r:r + 1, :], row)
-                    str_r[pl.ds(t, 1), :] = pltpu.roll(
-                        row, (-off[t, 0]) % PGW, 1)[:, :JW]
-            return sb2
+        def fetchw(win_r, str_r, base, sb_, woff_r, iw, sh, act):
+            """words iw..iw+4 per lane via batched strip selects.
 
-        def _sweep(str_r, loc, act):
-            """One FP-position select round over a fresh strip: gather
-            words loc..loc+4 for every active lane with loc in
-            [0, FP-1].  Pure vector work — no DMA, no reductions, no
-            branches (the fast path of the combined fetch below)."""
-            z32 = jnp.zeros((BT, W), jnp.uint32)
-            sel = act & (loc >= 0) & (loc <= FP - 1)
-            locn = jnp.clip(loc, 0, FP - 1)
-            strip = str_r[:, :]
-            w5 = [z32] * 5
-            for j in range(FP):
-                mj = sel & (locn == j)
-                for kk in range(5):
-                    w5[kk] = jnp.where(
-                        mj, strip[:, j + kk:j + kk + 1], w5[kk])
-            rem_i = (act & ~sel).astype(jnp.int32)
-            return w5, rem_i
-
-        def _residual(win_r, str_r, base, woff_r, iw, c0):
-            """Multi-round wide-window sweep for lanes the fast path
-            could not serve (STALE interior lanes — tandem bands — can
-            lag arbitrarily behind the band head).  Each round
-            refreshes stale strips to the min unfetched word and
-            gathers every lane inside a (JW-4)-position window; RMAX
-            rounds preserve the previous worst-case coverage.  Lanes
-            still unfetched flag the overflow guard (host replays those
-            tubes exactly)."""
+            ``str_r`` [BT, JW] caches pool words [sb, sb+JW) per tube.
+            Active lanes usually cluster within a few words of the band
+            head, but STALE interior lanes (V far behind best — tandem
+            bands) can lag arbitrarily, so the select loops windows over
+            the remaining lanes: each round refreshes the strip to the
+            minimum unfetched word (per-tube gated row pick + lane roll)
+            and gathers every lane that fits; common case is ONE round.
+            Lanes still unfetched after RMAX rounds flag the overflow
+            guard (host replays those tubes exactly).
+            Returns (4 funnel-shifted u32 words [BT, W], new sb [BT,1],
+            overflow guard [BT, W])."""
             RMAX = 16
-            P = JW - 4
+            subl = ((base + woff_r[:, :]) >> PGS_LOG) & 7        # [BT,1]
+            z32 = jnp.zeros((BT, W), jnp.uint32)
 
             def fcond(c):
                 return (c[0].max() > 0) & (c[7] < RMAX)
 
-            def fbody(c):
-                rem_i, w0, w1, w2, w3, w4, sb, it = c
-                rem = rem_i > 0
-                tbad = rem_i.max(axis=1)[:, None]
-                sb2 = _strip_refresh(win_r, str_r, base, sb, woff_r,
-                                     iw, rem, tbad)
-                locr = iw - sb2
-                sel = rem & (locr >= 0) & (locr <= P - 1)
-                locn = jnp.clip(locr, 0, P - 1)
-                strip = str_r[:, :]
-                w5 = [w0, w1, w2, w3, w4]
-                for j in range(P):
-                    mj = sel & (locn == j)
-                    for kk in range(5):
-                        w5[kk] = jnp.where(
-                            mj, strip[:, j + kk:j + kk + 1], w5[kk])
-                rem2 = jnp.where(sel, 0, rem_i)
-                return (rem2,) + tuple(w5) + (sb2, it + 1)
+            def make_body(P):
+                # one select round over P strip positions: refresh stale
+                # per-tube strips to the min unfetched word, then gather
+                # every lane whose word falls inside the window
+                def fbody(c):
+                    rem_i, w0, w1, w2, w3, w4, sb, it = c
+                    rem = rem_i > 0
+                    m0 = jnp.where(rem, iw, big).min(axis=1)[:, None]
+                    need = rem.astype(jnp.int32).max(
+                        axis=1)[:, None] > 0
+                    stale = need & ((m0 < sb) | (m0 > sb + (P - 1)))
+                    sb2 = jnp.where(
+                        stale,
+                        jnp.clip(m0 - 2 - base, 0, PGW - JW) + base,
+                        sb)
+                    off = sb2 - base
+                    stale_i = stale.astype(jnp.int32)
 
-            return jax.lax.while_loop(fcond, fbody, c0)
+                    @pl.when(stale_i.max() > 0)
+                    def _():
+                        for t in range(BT):
+                            @pl.when(stale_i[t, 0] > 0)
+                            def _():
+                                row = win_r[t, 0:1, :]
+                                for r in range(1, 8):
+                                    row = jnp.where(subl[t, 0] == r,
+                                                    win_r[t, r:r + 1, :],
+                                                    row)
+                                str_r[pl.ds(t, 1), :] = pltpu.roll(
+                                    row, (-off[t, 0]) % PGW, 1)[:, :JW]
+                    locr = iw - sb2
+                    sel = rem & (locr >= 0) & (locr <= P - 1)
+                    locn = jnp.clip(locr, 0, P - 1)
+                    strip = str_r[:, :]
+                    w5 = [w0, w1, w2, w3, w4]
+                    for j in range(P):
+                        mj = sel & (locn == j)
+                        for kk in range(5):
+                            w5[kk] = jnp.where(
+                                mj, strip[:, j + kk:j + kk + 1], w5[kk])
+                    rem2 = jnp.where(sel, 0, rem_i)
+                    return (rem2,) + tuple(w5) + (sb2, it + 1)
+                return fbody
 
-        def _funnel(w5, sh):
+            # round 0: narrow FP-position sweep — active lanes of one
+            # wave span ~12 words, so this resolves everything in the
+            # common case at a fraction of the old 60-position cost.
+            # STALE interior lanes (V far behind best — tandem bands)
+            # can lag arbitrarily; the wide while_loop below serves
+            # them with the full-window sweep, preserving the previous
+            # worst-case coverage (16 rounds x ~56 words).
+            c0 = make_body(FP)(
+                (act.astype(jnp.int32), z32, z32, z32, z32, z32, sb_,
+                 jnp.int32(0)))
+            (rem_i, w0, w1, w2, w3, w4, sb, _) = jax.lax.while_loop(
+                fcond, make_body(JW - 4), c0)
+            bad = rem_i > 0
+            w5 = [w0, w1, w2, w3, w4]
             shv = sh.astype(jnp.uint32)                          # [BT, W]
             outs = []
             for k in range(4):
@@ -294,7 +293,7 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                                 w5[k + 1] << (jnp.uint32(32) - shv),
                                 jnp.uint32(0))
                 outs.append(lo_ | hi_)
-            return outs
+            return outs, sb, bad                        # 4x [BT,W], ...
 
         def popcount(v):
             v = v - ((v >> 1) & jnp.uint32(0x55555555))
@@ -485,67 +484,14 @@ def build_chunk_pallas(cfg: WaveConfig, path_ave: int, mscore: int,
                     ab, bb = ab_, bb_
                     asb, bsb, fbad = asb_, bsb_, fbad_
                 else:
-                    # combined fast-path predicate: every active lane
-                    # of BOTH sequences sits inside its strip's
-                    # FP-position sweep window.  ONE reduce+branch
-                    # replaces the previous per-sequence refill
-                    # checks, per-round stale branches and while-loop
-                    # conds (~6 scalar syncs per snake step -> 1 in
-                    # the common case, and the refill/stale vector
-                    # work is skipped entirely).
-                    loca = iwa - asb_
-                    locb = iwb - bsb_
-                    tbad_a = (cont & ((loca < 0) | (loca > FP - 1))
-                              ).astype(jnp.int32).max(axis=1)[:, None]
-                    tbad_b = (cont & ((locb < 0) | (locb > FP - 1))
-                              ).astype(jnp.int32).max(axis=1)[:, None]
-
-                    def _fetch_slow(ops):
-                        ab0, bb0, asb0, bsb0 = ops
-                        ab = refill(awin_r, ab0, aw_r, iwa, cont, 0)
-                        bb = refill(bwin_r, bb0, bw_r, iwb, cont, 1)
-                        asb = _strip_refresh(awin_r, astr_r, ab, asb0,
-                                             aw_r, iwa, cont, tbad_a)
-                        bsb = _strip_refresh(bwin_r, bstr_r, bb, bsb0,
-                                             bw_r, iwb, cont, tbad_b)
-                        return ab, bb, asb, bsb
-
-                    ab, bb, asb, bsb = jax.lax.cond(
-                        jnp.maximum(tbad_a, tbad_b).max() > 0,
-                        _fetch_slow, lambda ops: ops,
-                        (ab_, bb_, asb_, bsb_))
-
-                    wa5, rem_a = _sweep(astr_r, iwa - asb, cont)
-                    wb5, rem_b = _sweep(bstr_r, iwb - bsb, cont)
-
-                    def _resid_run(ops):
-                        (ra, a0, a1, a2, a3, a4, sa_,
-                         rb, b0, b1, b2, b3, b4, sb2_) = ops
-                        (ra2, a0, a1, a2, a3, a4, sa2,
-                         _) = _residual(
-                            awin_r, astr_r, ab, aw_r, iwa,
-                            (ra, a0, a1, a2, a3, a4, sa_,
-                             jnp.int32(0)))
-                        (rb2, b0, b1, b2, b3, b4, sb3,
-                         _) = _residual(
-                            bwin_r, bstr_r, bb, bw_r, iwb,
-                            (rb, b0, b1, b2, b3, b4, sb2_,
-                             jnp.int32(0)))
-                        return (ra2, a0, a1, a2, a3, a4, sa2,
-                                rb2, b0, b1, b2, b3, b4, sb3)
-
-                    (rem_a, wa0, wa1, wa2, wa3, wa4, asb,
-                     rem_b, wb0, wb1, wb2, wb3, wb4,
-                     bsb) = jax.lax.cond(
-                        (rem_a + rem_b).max() > 0,
-                        _resid_run, lambda ops: ops,
-                        (rem_a,) + tuple(wa5) + (asb,)
-                        + (rem_b,) + tuple(wb5) + (bsb,))
-
-                    fbad = fbad_ | (rem_a + rem_b).max(
+                    ab = refill(awin_r, ab_, aw_r, iwa, cont, 0)
+                    bb = refill(bwin_r, bb_, bw_r, iwb, cont, 1)
+                    was, asb, abad = fetchw(awin_r, astr_r, ab, asb_,
+                                            aw_r, iwa, sha, cont)
+                    wbs, bsb, bbad = fetchw(bwin_r, bstr_r, bb, bsb_,
+                                            bw_r, iwb, shb, cont)
+                    fbad = fbad_ | (abad | bbad).astype(jnp.int32).max(
                         axis=1)[:, None]
-                    was = _funnel([wa0, wa1, wa2, wa3, wa4], sha)
-                    wbs = _funnel([wb0, wb1, wb2, wb3, wb4], shb)
                 if not fwd:
                     was = [rev2(w) for w in was][::-1]
                     wbs = [rev2(w) for w in wbs][::-1]

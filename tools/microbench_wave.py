@@ -27,6 +27,8 @@ import numpy as np
 ABLATIONS = [
     (),
     ("noop",),
+    ("noop", "nolog"),
+    ("nolog",),
     ("nocond",),
     ("nosnake",),
     ("nofetch",),
